@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar column functions reproducing the reference pipeline semantics
+  * (SURVEY.md §2A) as pure Catalyst expressions — codegen'd, pushdown-
+  * friendly, and each with a DuckDB-expressible twin for the oracle.
+  *
+  * No UDFs in the hot path: everything here composes built-in functions
+  * so whole-stage codegen stays intact and the optimizer can reason about
+  * the expressions.
+  */
+object CoreFunctions {
+
+  /** First 8 hex chars of a lowercase hex string → uint32 as Long.
+    * DuckDB twin: CAST('0x' || substr(h, 1, 8) AS BIGINT). */
+  def hexPrefixToLong(hex: Column): Column =
+    conv(substring(hex, 1, 8), 16, 10).cast("long")
+
+  /** First 15 hex chars → 60-bit non-negative Long (SimHash/token hashes).
+    * DuckDB twin: CAST('0x' || substr(h, 1, 15) AS BIGINT). */
+  def hexPrefixToLong15(hex: Column): Column =
+    conv(substring(hex, 1, 15), 16, 10).cast("long")
+
+  /** Deterministic SHA-256 hash bucket in [0, 1].
+    * Mirrors reference sampling.js:15-24: sha256(key) hex, first 8 hex
+    * chars as uint32, divided by 0xffffffff. */
+  def hashBucket(key: Column): Column =
+    hexPrefixToLong(sha2(key, 256)) / lit(4294967295.0)
+
+  /** Deterministic sampling decision (reference sampling.js shouldSample):
+    * rate >= 1 keeps all, rate <= 0 drops all, else hash-bucket compare.
+    * Bit-exact vs the JS original and the DuckDB twin. */
+  def shouldSample(key: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else hashBucket(key) < lit(rate)
+
+  /** Idempotency-key derivation (reference validation.js:33-42):
+    * coalesce of payload call_id, payload message_id, envelope trace_id.
+    * Generalized: coalesce over JSON extracts then fallback columns. */
+  def idempotencyKey(payload: Column, jsonPaths: Seq[String],
+      fallbacks: Column*): Column =
+    coalesce(jsonPaths.map(p => get_json_object(payload, p)) ++ fallbacks: _*)
+
+  /** E.164 phone normalization (reference phone.js:15-29 semantics,
+    * engine-defined edge behavior — see SURVEY §7 "hard parts").
+    * Deterministic, pure-SQL-expressible rules with default region US:
+    *   - keep digits (and a leading '+') only
+    *   - '+' prefixed and 8..15 digits        → '+' ++ digits
+    *   - bare 10 digits (US national)         → '+1' ++ digits
+    *   - bare 11 digits starting with '1'     → '+'  ++ digits
+    *   - anything else                        → null
+    */
+  def normalizePhone(phone: Column): Column = {
+    val cleaned = regexp_replace(phone, "[^0-9+]", "")
+    val hasPlus = startswith(cleaned, lit("+"))
+    val digits = regexp_replace(cleaned, "[^0-9]", "")
+    val n = length(digits)
+    when(phone.isNull, lit(null).cast("string"))
+      .when(hasPlus && n.between(8, 15), concat(lit("+"), digits))
+      .when(!hasPlus && n === 10, concat(lit("+1"), digits))
+      .when(!hasPlus && n === 11 && startswith(digits, lit("1")),
+        concat(lit("+"), digits))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Error categorization (reference handler.js:16-32) as a routing
+    * expression over an error-type column: terminal 4xx vs transient 5xx. */
+  def categorizeError(errorType: Column): Column =
+    when(errorType.isin("invalid_json", "malformed_envelope"), lit(422))
+      .when(errorType.isin("missing_fields", "no_idempotency_key",
+        "invalid_timestamp"), lit(400))
+      .otherwise(lit(503))
+
+  /** Exact money arithmetic: cast a double column that carries 2-decimal
+    * money values to DECIMAL so sums are exact and order-independent
+    * (then cast the aggregate back to double for a stable cross-engine
+    * comparison). */
+  def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact decimal sum of a money column, surfaced as double. */
+  def moneySum(c: Column): Column = sum(money(c)).cast("double")
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Reference ingest-pipeline semantics (SURVEY §2A / §2C Q1–Q8, Q36–Q39)
+  * re-expressed over the driver's `events` stream table
+  * (event_id, ts, user_id, event_type, value, props-json).
+  *
+  * Mapping of the reference envelope onto the test schema:
+  *   payload          → props (JSON string, `$.k` plays call_id)
+  *   trace_id         → event_id (stringified fallback)
+  *   tenant_id        → user_id
+  *   occurred_at      → ts
+  */
+object PipelineQueries {
+
+  /** Idempotency key: coalesce(JSON key, stringified event id) —
+    * reference validation.js:33-42 priority chain. */
+  private def keyCol = coalesce(
+    get_json_object(col("props"), "$.k"),
+    col("event_id").cast("string"))
+
+  private val keySql =
+    "coalesce(json_extract_string(props, '$.k'), CAST(event_id AS VARCHAR))"
+
+  /** Dedup key with natural duplicates: user + JSON k. */
+  private def dupKeyCol =
+    concat(col("user_id").cast("string"), lit(":"),
+      coalesce(get_json_object(col("props"), "$.k"), lit("-")))
+
+  private val dupKeySql =
+    "CAST(user_id AS VARCHAR) || ':' || coalesce(json_extract_string(props, '$.k'), '-')"
+
+  val all: Seq[EngineQuery] = Seq(
+
+    // Q1 — envelope validation split (reference validation.js:12-25):
+    // required-field presence + timestamp parse, routed by error type.
+    EngineQuery("q01_validation_split",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.select(
+            col("event_type"),
+            (col("event_type").isNotNull && col("ts").isNotNull &&
+              col("user_id").isNotNull &&
+              get_json_object(col("props"), "$.k").isNotNull)
+              .as("is_valid"),
+            when(col("event_type").isNull || col("ts").isNull ||
+                col("user_id").isNull, lit("missing_fields"))
+              .when(get_json_object(col("props"), "$.k").isNull,
+                lit("no_idempotency_key"))
+              .otherwise(lit("ok")).as("error_type"))
+          .groupBy("event_type", "is_valid", "error_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "is_valid", "error_type")
+      },
+      Some("""SELECT event_type,
+             |  (event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+             |   AND json_extract_string(props, '$.k') IS NOT NULL) AS is_valid,
+             |  CASE WHEN event_type IS NULL OR ts IS NULL OR user_id IS NULL THEN 'missing_fields'
+             |       WHEN json_extract_string(props, '$.k') IS NULL THEN 'no_idempotency_key'
+             |       ELSE 'ok' END AS error_type,
+             |  COUNT(*) AS n
+             |FROM events
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q2 — idempotency-key derivation (coalesce priority chain).
+    EngineQuery("q02_idempotency_key",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), keyCol.as("idem_key"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id, $keySql AS idem_key
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q3 — deterministic SHA-256 sampling @ 0.25 (reference sampling.js:15-24,
+    // bit-exact: uint32(first 8 hex) / 0xffffffff < rate).
+    EngineQuery("q03_deterministic_sample",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), keyCol.as("idem_key"),
+          hashBucket(keyCol).as("hash_bucket"))
+        .filter(col("hash_bucket") < 0.25)
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id, idem_key, hash_bucket FROM (
+              |  SELECT event_id, $keySql AS idem_key,
+              |    CAST('0x' || substr(sha256($keySql), 1, 8) AS BIGINT) / 4294967295.0 AS hash_bucket
+              |  FROM events) t
+              |WHERE hash_bucket < 0.25
+              |ORDER BY event_id""".stripMargin)),
+
+    // Q4 — dedup by key, keep-first by (ts, event_id) (reference bq.js:49
+    // insertId semantics, made deterministic).
+    EngineQuery("q04_dedup_by_key",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("dup_key"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(dupKeyCol.as("dup_key"), col("event_id"), col("ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("dup_key")
+      },
+      Some(s"""SELECT dup_key, event_id, ts FROM (
+              |  SELECT $dupKeySql AS dup_key, event_id, ts,
+              |    row_number() OVER (PARTITION BY $dupKeySql ORDER BY ts, event_id) AS rn
+              |  FROM events) t
+              |WHERE rn = 1 ORDER BY dup_key""".stripMargin)),
+
+    // Q5 — ingest projection / warehouse-row construction (reference
+    // bq.js:20-35): casts, coalesce defaults, constant flags.
+    EngineQuery("q05_ingest_projection",
+      (s, dir) => Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id").cast("string").as("tenant_id"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("schema_version"),
+          lit(1L).as("envelope_version"),
+          col("ts").as("occurred_at"),
+          coalesce(col("event_type"), lit("unknown")).as("source"),
+          lit(true).as("sampled"),
+          keyCol.as("idempotency_key"),
+          col("props").as("payload"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  CAST(user_id AS VARCHAR) AS tenant_id,
+              |  event_type,
+              |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS schema_version,
+              |  CAST(1 AS BIGINT) AS envelope_version,
+              |  ts AS occurred_at,
+              |  coalesce(event_type, 'unknown') AS source,
+              |  true AS sampled,
+              |  $keySql AS idempotency_key,
+              |  props AS payload
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q6 — per-tenant/type counts, the reference's canonical verification
+    // query (load-test.js:135): filter + 2-col group + count.
+    EngineQuery("q06_counts_by_user_type",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("value") >= 100.0)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, COUNT(*) AS n
+             |FROM events WHERE value >= 100.0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Q7 — smoke verification (scripts/01_smoke_publish.js:141-154):
+    // JSON extraction, date filter, sort desc, limit.
+    EngineQuery("q07_smoke_verification",
+      (s, dir) => Tables.events(s, dir)
+        .filter(to_date(col("ts")) === lit("2024-01-01").cast("date"))
+        .select(
+          get_json_object(col("props"), "$.k").as("k"),
+          get_json_object(col("props"), "$.missing").as("missing"),
+          col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(50),
+      Some("""SELECT json_extract_string(props, '$.k') AS k,
+             |  json_extract_string(props, '$.missing') AS missing,
+             |  event_id, user_id, event_type, ts
+             |FROM events
+             |WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+             |ORDER BY ts DESC, event_id
+             |LIMIT 50""".stripMargin)),
+
+    // Q8 — duplicate-collapse audit (scripts/02_idempotency_test.js:169-176):
+    // group by key HAVING count > 1.
+    EngineQuery("q08_duplicate_audit",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(dupKeyCol.as("dup_key"))
+        .agg(count(lit(1)).as("row_count"))
+        .filter(col("row_count") > 1)
+        .orderBy("dup_key"),
+      Some(s"""SELECT $dupKeySql AS dup_key, COUNT(*) AS row_count
+              |FROM events GROUP BY 1 HAVING COUNT(*) > 1
+              |ORDER BY dup_key""".stripMargin)),
+
+    // A15 — DLQ replay routing (replay-dlq-job.js:76-92): attempts >= max
+    // → parking lot, else increment and republish.
+    EngineQuery("q36_dlq_replay_route",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), (col("event_id") % 5).as("attempts"))
+        .withColumn("route",
+          when(col("attempts") >= 3, lit("park")).otherwise(lit("replay")))
+        .withColumn("new_attempts",
+          when(col("attempts") >= 3, col("attempts"))
+            .otherwise(col("attempts") + 1))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, attempts,
+             |  CASE WHEN attempts >= 3 THEN 'park' ELSE 'replay' END AS route,
+             |  CASE WHEN attempts >= 3 THEN attempts ELSE attempts + 1 END AS new_attempts
+             |FROM (SELECT event_id, event_id % 5 AS attempts FROM events) t
+             |ORDER BY event_id""".stripMargin)),
+
+    // A8/A9 — E.164 phone normalization over synthesized phone strings
+    // (reference phone.js:15-29; formats from scripts/01_smoke_publish.js).
+    EngineQuery("q37_phone_normalize",
+      (s, dir) => {
+        val c = Tables.table(s, dir, "customer")
+        val a = lpad((lit(200) + col("c_custkey") % 700).cast("string"), 3, "0")
+        val b = lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0")
+        val d = lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0")
+        val raw = when(col("c_custkey") % 4 === 0,
+            concat(lit("("), a, lit(") "), b, lit("-"), d))
+          .when(col("c_custkey") % 4 === 1, concat(a, lit("-"), b, lit("-"), d))
+          .when(col("c_custkey") % 4 === 2, concat(lit("+1"), a, b, d))
+          .otherwise(concat(lit("00"), a, b))
+        c.select(col("c_custkey"), raw.as("raw_phone"),
+            normalizePhone(raw).as("phone_e164"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, raw_phone,
+             |  CASE WHEN raw_phone IS NULL THEN NULL
+             |       WHEN starts_with(cleaned, '+') AND length(digits) BETWEEN 8 AND 15 THEN '+' || digits
+             |       WHEN NOT starts_with(cleaned, '+') AND length(digits) = 10 THEN '+1' || digits
+             |       WHEN NOT starts_with(cleaned, '+') AND length(digits) = 11 AND starts_with(digits, '1') THEN '+' || digits
+             |       ELSE NULL END AS phone_e164
+             |FROM (
+             |  SELECT c_custkey, raw_phone,
+             |    regexp_replace(raw_phone, '[^0-9+]', '', 'g') AS cleaned,
+             |    regexp_replace(raw_phone, '[^0-9]', '', 'g') AS digits
+             |  FROM (
+             |    SELECT c_custkey,
+             |      CASE WHEN c_custkey % 4 = 0 THEN '(' || a || ') ' || b || '-' || d
+             |           WHEN c_custkey % 4 = 1 THEN a || '-' || b || '-' || d
+             |           WHEN c_custkey % 4 = 2 THEN '+1' || a || b || d
+             |           ELSE '00' || a || b END AS raw_phone
+             |    FROM (
+             |      SELECT c_custkey,
+             |        lpad(CAST(200 + c_custkey % 700 AS VARCHAR), 3, '0') AS a,
+             |        lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') AS b,
+             |        lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') AS d
+             |      FROM customer) t1) t2) t3
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // A17/B7 — observed sampling-rate ratio (docs/monitoring.md:40-86):
+    // kept / total per event_type, exact integer numerator + denominator.
+    EngineQuery("q39_sampling_rate_ratio",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), shouldSample(keyCol, 0.5).as("sampled"))
+        .groupBy("event_type")
+        .agg(sum(when(col("sampled"), 1L).otherwise(0L)).as("kept"),
+          count(lit(1)).as("total"))
+        .withColumn("observed_rate",
+          col("kept").cast("double") / col("total").cast("double"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, kept, total,
+              |  CAST(kept AS DOUBLE) / CAST(total AS DOUBLE) AS observed_rate
+              |FROM (
+              |  SELECT event_type,
+              |    CAST(SUM(CASE WHEN CAST('0x' || substr(sha256($keySql), 1, 8) AS BIGINT) / 4294967295.0 < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              |    COUNT(*) AS total
+              |  FROM events GROUP BY 1) t
+              |ORDER BY event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Relational surface over the TPC-H-ish star schema (SURVEY §2C Q9–Q15,
+  * Q18–Q21). Dimension sides of star joins are broadcast; money aggregates
+  * run in exact DECIMAL then surface as DOUBLE.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** Exact decimal revenue term: ext * (1 - disc). */
+  private def revenue =
+    money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val all: Seq[EngineQuery] = Seq(
+
+    // Q9 — pricing summary, TPC-H Q1 shape: multi-agg over filtered scan.
+    EngineQuery("q09_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          sum(revenue * (lit(1) + money(col("l_tax")))).cast("double")
+            .as("sum_charge"),
+          (sum(money(col("l_quantity"))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty"),
+          (sum(money(col("l_discount"))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+              |  CAST(SUM($revenueSql * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+              |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+              |  COUNT(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Q10 — 3-way star join (TPC-H Q3 shape): broadcast dims, shuffle fact.
+    EngineQuery("q10_star_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        // broadcast only the true dimension (customer); orders stays a
+        // shuffle side — it is fact-scale at 100 TB.
+        l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+            l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderkey", "c_custkey")
+          .agg(sum(revenue).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT o_orderkey, c_custkey,
+              |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+              |  COUNT(*) AS n_lines
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY 1, 2
+              |ORDER BY revenue DESC, o_orderkey
+              |LIMIT 100""".stripMargin)),
+
+    // Q11 — 5-way snowflake join (TPC-H Q5 shape): revenue per nation in ASIA.
+    EngineQuery("q11_snowflake_join",
+      (s, dir) => {
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val dims = c.join(broadcast(n.join(broadcast(r),
+            n("n_regionkey") === r("r_regionkey"))),
+          c("c_nationkey") === n("n_nationkey"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+          .groupBy("n_name")
+          .agg(sum(revenue).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+              |  COUNT(*) AS n_lines
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Q12 — semi/anti join: customers with vs without orders.
+    EngineQuery("q12_semi_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("with_orders").as("tag"))
+        val noO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("tag"))
+        withO.unionByName(noO).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, 'with_orders' AS tag FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' AS tag FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Q13 — left outer join + null-safe aggregates.
+    EngineQuery("q13_outer_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey", "c_name")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(sum(money(col("o_totalprice"))), lit(0))
+              .cast("double").as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  COUNT(o_orderkey) AS n_orders,
+             |  CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)),
+
+    // Q14 — equi + range (theta) join: lineitem price within part's
+    // retail-price band.
+    EngineQuery("q14_range_join",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        l.join(broadcast(p),
+            l("l_partkey") === p("p_partkey") &&
+              l("l_extendedprice") >= p("p_retailprice") * 2.0 &&
+              l("l_extendedprice") < p("p_retailprice") * 40.0)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_in_band"),
+            sum(money(col("l_extendedprice"))).cast("double").as("band_value"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_in_band,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  AND l_extendedprice >= p_retailprice * 2.0
+             |  AND l_extendedprice < p_retailprice * 40.0
+             |GROUP BY 1 ORDER BY p_brand""".stripMargin)),
+
+    // Q15 — top-k per group: 3 biggest orders per customer (rank window).
+    EngineQuery("q15_topk_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Q18 — rollup with grouping flags.
+    EngineQuery("q18_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast("double").as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+             |FROM orders
+             |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Q19 — set operations on customer vs supplier nation keys.
+    EngineQuery("q19_set_ops",
+      (s, dir) => {
+        val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+        cn.intersect(sn).select(lit("both").as("tag"), col("nk"))
+          .unionByName(cn.except(sn).select(lit("cust_only").as("tag"), col("nk")))
+          .unionByName(sn.except(cn).select(lit("supp_only").as("tag"), col("nk")))
+          .orderBy("tag", "nk")
+      },
+      Some("""SELECT 'both' AS tag, nk FROM (
+             |  SELECT DISTINCT c_nationkey AS nk FROM customer
+             |  INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier) t1
+             |UNION ALL
+             |SELECT 'cust_only' AS tag, nk FROM (
+             |  SELECT DISTINCT c_nationkey AS nk FROM customer
+             |  EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier) t2
+             |UNION ALL
+             |SELECT 'supp_only' AS tag, nk FROM (
+             |  SELECT DISTINCT s_nationkey AS nk FROM supplier
+             |  EXCEPT SELECT DISTINCT c_nationkey AS nk FROM customer) t3
+             |ORDER BY tag, nk""".stripMargin)),
+
+    // Q20 — scalar-function battery: string / date / math on one pass.
+    EngineQuery("q20_scalar_battery",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderpriority"), 1, 3).as("pri_prefix"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
+            .as("status_pri"),
+          regexp_extract(col("o_orderpriority"), "([A-Z]+)", 1).as("pri_word"),
+          size(split(col("o_orderpriority"), "-")).as("n_parts"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("order_month"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("days_since_epoch_start"),
+          year(col("o_orderdate")).as("order_year"),
+          // exact decimal product (double*0.1 rounding sits on half-cent
+          // boundaries and differs across engines)
+          (money(col("o_totalprice")) * expr("CAST(0.1 AS DECIMAL(2,1))"))
+            .cast("double").as("fee"),
+          abs(-col("o_totalprice")).as("abs_price"),
+          pow(lit(2.0), (col("o_orderkey") % 10).cast("double")).as("pow2"),
+          // transcendental fns differ by 1 ulp across libm implementations;
+          // round to 8 decimals for a stable cross-engine comparison
+          round(log(col("o_totalprice")), 8).as("ln_price"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  upper(o_orderpriority) AS pri_upper,
+             |  substr(o_orderpriority, 1, 3) AS pri_prefix,
+             |  o_orderstatus || '-' || o_orderpriority AS status_pri,
+             |  regexp_extract(o_orderpriority, '([A-Z]+)', 1) AS pri_word,
+             |  CAST(len(string_split(o_orderpriority, '-')) AS INT) AS n_parts,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+             |  CAST(year(o_orderdate) AS INT) AS order_year,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS fee,
+             |  abs(-o_totalprice) AS abs_price,
+             |  pow(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS pow2,
+             |  round(ln(o_totalprice), 8) AS ln_price
+             |FROM orders WHERE o_orderkey <= 500
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q21 — global multi-key sort + limit.
+    EngineQuery("q21_sort_limit",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin))
+  )
+}

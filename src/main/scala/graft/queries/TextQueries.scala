@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Training-data text operators over `documents` (SURVEY §2C Q25–Q26,
+  * Q28 + the EXT battery: SimHash, n-gram Jaccard, language ID, quality
+  * scoring, token counting, winnowing fingerprints).
+  *
+  * Scale notes (the 100 TB design point):
+  *   - near-dup candidate generation is BANDED (MinHash bands / SimHash
+  *     chunks) — never all-pairs; the only self-joins are on band keys.
+  *   - all operators are shuffle-on-key aggregations of exploded tokens /
+  *     shingles; no driver-side state anywhere.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  /** 8-char shingles at every position (1-based), as (doc_id, i, gram). */
+  private def gramsDf(s: SparkSession, dir: String) =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"), expr("substring(text, i, 8)").as("gram"))
+
+  /** DuckDB twin of gramsDf (bounded cross join + length filter). */
+  private val gramsSql =
+    """SELECT doc_id, i, substr(text, CAST(i AS INT), 8) AS gram
+      |FROM documents CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
+      |WHERE i <= length(text) - 7""".stripMargin
+
+  /** uint32 hash of a gram salted by band. */
+  private def bandHash(band: Column, gram: Column): Column =
+    hexPrefixToLong(sha2(concat(band.cast("string"), lit(":"), gram), 256))
+
+  private def bandHashSql(band: String, gram: String): String =
+    s"CAST('0x' || substr(sha256(CAST($band AS VARCHAR) || ':' || $gram), 1, 8) AS BIGINT)"
+
+  /** 60-bit token hash (15 hex chars — stays positive in a signed long). */
+  private val tokHash60Sql =
+    "CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT)"
+
+  private def tokens(s: SparkSession, dir: String) =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+
+  private val tokensSql =
+    "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[EngineQuery] = Seq(
+
+    // Q25 — exact text dedup: hash-groupBy, keep min doc_id. One shuffle
+    // on the 256-bit content hash; trivially scale-safe.
+    EngineQuery("q25_exact_dedup",
+      (s, dir) => docs(s, dir)
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash"),
+      Some("""SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+             |  COUNT(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    // Q26 — MinHash+LSH near-dup candidates: shingle → min-hash per band
+    // → band-key self-join (banded, NOT all-pairs).
+    EngineQuery("q26_minhash_candidates",
+      (s, dir) => {
+        val sigs = gramsDf(s, dir)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(7))).as("band"), col("gram"))
+          .groupBy("doc_id", "band")
+          .agg(min(bandHash(col("band"), col("gram"))).as("minhash"))
+        val a = sigs.toDF("doc_a", "band", "minhash")
+        val b = sigs.toDF("doc_b", "band", "minhash")
+        a.join(b, Seq("band", "minhash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(countDistinct(col("band")).as("n_shared_bands"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |sigs AS (
+              |  SELECT doc_id, band,
+              |    MIN(${bandHashSql("band", "gram")}) AS minhash
+              |  FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands
+              |  GROUP BY doc_id, band)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  COUNT(DISTINCT a.band) AS n_shared_bands
+              |FROM sigs a JOIN sigs b
+              |  ON a.band = b.band AND a.minhash = b.minhash
+              |  AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Q28 — per-document token statistics.
+    EngineQuery("q28_text_stats",
+      (s, dir) => tokens(s, dir)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_unique"),
+          sum(length(col("tok"))).as("sum_tok_len"),
+          sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+            .as("n_stopwords"))
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+          (col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_token_len"),
+          (col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+            .as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens, n_unique,
+              |  CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+              |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+              |FROM (
+              |  SELECT doc_id, COUNT(*) AS n_tokens,
+              |    COUNT(DISTINCT tok) AS n_unique,
+              |    CAST(SUM(length(tok)) AS BIGINT) AS sum_tok_len,
+              |    CAST(SUM(CASE WHEN tok IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+              |  FROM ($tokensSql) toks GROUP BY doc_id) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Q29 — SimHash 60-bit fingerprint per document.
+    EngineQuery("q29_simhash_fingerprint",
+      (s, dir) => {
+        val th = tokens(s, dir)
+          .select(col("doc_id"),
+            hexPrefixToLong15(sha2(col("tok"), 256)).as("h"))
+        th.select(col("doc_id"), col("h"),
+            explode(sequence(lit(0), lit(59))).as("bit"))
+          .groupBy("doc_id", "bit")
+          .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L))
+            .as("bit_score"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("bit_score") > 0,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .otherwise(0L)).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH th AS (
+              |  SELECT doc_id, $tokHash60Sql AS h FROM ($tokensSql) toks),
+              |bits AS (
+              |  SELECT doc_id, bit,
+              |    CAST(SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_score
+              |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+              |  GROUP BY doc_id, bit)
+              |SELECT doc_id,
+              |  CAST(SUM(CASE WHEN bit_score > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q30 — SimHash near-dup pairs via 15-bit chunk banding (4 chunks)
+    // then Hamming distance <= 12 on candidates. Banded, not all-pairs.
+    EngineQuery("q30_simhash_neardup",
+      (s, dir) => {
+        val fp = SimHash.fingerprints(s, dir)
+        val chunks = fp.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("chunk"))
+          .withColumn("chunk_val",
+            expr("(simhash >> (chunk * 15)) & 32767"))
+        val a = chunks.toDF("doc_a", "sh_a", "chunk", "chunk_val")
+        val b = chunks.toDF("doc_b", "sh_b", "chunk", "chunk_val")
+        a.join(b, Seq("chunk", "chunk_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH th AS (
+              |  SELECT doc_id, $tokHash60Sql AS h FROM ($tokensSql) toks),
+              |bits AS (
+              |  SELECT doc_id, bit,
+              |    CAST(SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_score
+              |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+              |  GROUP BY doc_id, bit),
+              |fp AS (
+              |  SELECT doc_id,
+              |    CAST(SUM(CASE WHEN bit_score > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+              |  FROM bits GROUP BY doc_id),
+              |chunks AS (
+              |  SELECT doc_id, simhash, chunk, ((simhash >> (chunk * 15)) & 32767) AS chunk_val
+              |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c)
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM chunks a JOIN chunks b
+              |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+              |  AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Q31 — exact n-gram Jaccard on the MinHash candidate pairs (integer
+    // intersection/union counts: no float drift).
+    EngineQuery("q31_ngram_jaccard",
+      (s, dir) => {
+        val gset = gramsDf(s, dir).select("doc_id", "gram").distinct()
+        val sizes = gset.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val sigs = gramsDf(s, dir)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(7))).as("band"), col("gram"))
+          .groupBy("doc_id", "band")
+          .agg(min(bandHash(col("band"), col("gram"))).as("minhash"))
+        val cand = sigs.toDF("doc_a", "band", "minhash")
+          .join(sigs.toDF("doc_b", "band", "minhash"), Seq("band", "minhash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val inter = cand
+          .join(gset.toDF("doc_a", "gram"), Seq("doc_a"))
+          .join(gset.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        cand.join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+          .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"),
+            col("nb"),
+            (col("n_inter").cast("double") /
+              (col("na") + col("nb") - col("n_inter")).cast("double"))
+              .as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |gset AS (SELECT DISTINCT doc_id, gram FROM grams),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
+              |sigs AS (
+              |  SELECT doc_id, band,
+              |    MIN(${bandHashSql("band", "gram")}) AS minhash
+              |  FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands
+              |  GROUP BY doc_id, band),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sigs a JOIN sigs b
+              |    ON a.band = b.band AND a.minhash = b.minhash
+              |    AND a.doc_id < b.doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              |  FROM cand c
+              |  JOIN gset ga ON ga.doc_id = c.doc_a
+              |  JOIN gset gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+              |  GROUP BY 1, 2)
+              |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+              |  coalesce(i.n_inter, 0) AS n_inter,
+              |  sa.n AS na, sb.n AS nb,
+              |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |    / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              |JOIN sizes sa ON sa.doc_id = c.doc_a
+              |JOIN sizes sb ON sb.doc_id = c.doc_b
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // Q32 — language ID by stopword-hit heuristic (argmax with a fixed
+    // tie-break order).
+    EngineQuery("q32_language_id",
+      (s, dir) => {
+        def hits(ws: Seq[String]) =
+          sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L))
+        tokens(s, dir)
+          .groupBy("doc_id", "lang")
+          .agg(hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
+            hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
+          .withColumn("predicted_lang",
+            when(col("en_hits") >= col("es_hits") &&
+              col("en_hits") >= col("de_hits") &&
+              col("en_hits") >= col("fr_hits"), lit("en"))
+              .when(col("es_hits") >= col("de_hits") &&
+                col("es_hits") >= col("fr_hits"), lit("es"))
+              .when(col("de_hits") >= col("fr_hits"), lit("de"))
+              .otherwise(lit("fr")))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+              |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+              |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+              |       WHEN de_hits >= fr_hits THEN 'de'
+              |       ELSE 'fr' END AS predicted_lang
+              |FROM (
+              |  SELECT doc_id, lang,
+              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.en)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.es)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.de)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.fr)}) THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+              |  FROM ($tokensSql) toks GROUP BY 1, 2) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Q33 — document quality score: bounded blend of token-count, non-
+    // stopword ratio, and token-length signals (identical scalar float
+    // expression in both engines).
+    EngineQuery("q33_quality_score",
+      (s, dir) => tokens(s, dir)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("tok"))).as("sum_len"),
+          sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          (least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.3 +
+            (lit(1.0) - col("n_stop").cast("double") /
+              col("n_tokens").cast("double")) * 0.4 +
+            least(lit(1.0), (col("sum_len").cast("double") /
+              col("n_tokens").cast("double")) / 8.0) * 0.3)
+            .as("quality_score"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens,
+              |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+              |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+              |  + least(1.0, (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.3 AS quality_score
+              |FROM (
+              |  SELECT doc_id, COUNT(*) AS n_tokens,
+              |    CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+              |    CAST(SUM(CASE WHEN tok IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+              |  FROM ($tokensSql) toks GROUP BY doc_id) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Q34 — token counting: whitespace tokens + a BPE-ish regex count.
+    EngineQuery("q34_token_count",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+            .cast("int").as("n_bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens,
+             |  CAST(length(text) AS INT) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q35 — winnowing fingerprints: rolling min over 4 consecutive 8-gram
+    // hashes, per-document distinct fingerprint count.
+    EngineQuery("q35_winnow_fingerprint",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(-3, 0)
+        gramsDf(s, dir)
+          .withColumn("h", bandHash(lit(0), col("gram")))
+          .withColumn("wmin", min(col("h")).over(w))
+          .filter(col("i") >= 4)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            countDistinct(col("wmin")).as("n_fingerprints"),
+            min(col("h")).as("min_gram_hash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |hashed AS (
+              |  SELECT doc_id, i, ${bandHashSql("0", "gram")} AS h FROM grams),
+              |winnowed AS (
+              |  SELECT doc_id, i, h,
+              |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+              |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+              |  FROM hashed)
+              |SELECT doc_id, COUNT(*) AS n_windows,
+              |  COUNT(DISTINCT wmin) AS n_fingerprints,
+              |  MIN(h) AS min_gram_hash
+              |FROM winnowed WHERE i >= 4
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+
+  /** Stopword lists for the language-ID heuristic. */
+  object LangId {
+    val en = Seq("the", "and", "of", "to", "in", "is", "a")
+    val es = Seq("el", "la", "de", "que", "y", "en")
+    val de = Seq("der", "die", "und", "das", "ist")
+    val fr = Seq("le", "les", "des", "et", "un")
+    def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+  }
+
+  /** Shared SimHash fingerprint dataframe (used by q29 and q30). */
+  object SimHash {
+    def fingerprints(s: SparkSession, dir: String): DataFrame =
+      tokens(s, dir)
+        .select(col("doc_id"), hexPrefixToLong15(sha2(col("tok"), 256)).as("h"))
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L))
+          .as("bit_score"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bit_score") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sf_dir] [out_dir] [--skip-spark]
+
+1. runs `sbt runMain graft.Verify <sf_dir> <out_dir>` (unless --skip-spark)
+2. for each query output dir: loads the Spark parquet via DuckDB, runs the
+   oracle SQL (from out_dir/oracle_sql.json) over views named after the
+   source tables, sorts columns by name + rows by all columns, compares.
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(
+        (x is None, str(type(x)), str(x)) for x in t)), [cols[i] for i in order]
+
+
+def cmp_cell(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf
+    return a == b if type(a) == type(b) else str(a) == str(b)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
+    if "--skip-spark" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=3600)
+        sys.stdout.write("\n".join(
+            l for l in (r.stdout + r.stderr).splitlines()
+            if "[verify]" in l or "error" in l.lower()) + "\n")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    oracles = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        qdir = out_dir / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            sr = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            s_rows, s_cols = canon(sr.fetchall(), [c for c in sr.columns])
+            orr = con.sql(oracles[name])
+            o_rows, o_cols = canon(orr.fetchall(), [c for c in orr.columns])
+        except Exception as e:
+            print(f"FAIL {name}: {str(e)[:300]}"); n_fail += 1; continue
+        if s_cols != o_cols:
+            print(f"FAIL {name}: cols spark={s_cols} oracle={o_cols}")
+            n_fail += 1; continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+            n_fail += 1; continue
+        bad = None
+        for i, (sr_, or_) in enumerate(zip(s_rows, o_rows)):
+            for j, (a, b) in enumerate(zip(sr_, or_)):
+                if not cmp_cell(a, b):
+                    bad = (i, s_cols[j], a, b); break
+            if bad: break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
+                  f"spark={bad[2]!r} oracle={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    # queries with no oracle: rows-only
+    for qdir in sorted(out_dir.iterdir()):
+        if qdir.is_dir() and qdir.name not in oracles:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{qdir}/*.parquet'").fetchone()[0]
+                print(f"INFO {qdir.name}: rows-only, {n} rows")
+            except Exception as e:
+                print(f"FAIL {qdir.name}: rows-only read error {str(e)[:200]}")
+                n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
