@@ -1,0 +1,43 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A15 — DLQ replay as a batch two-way routed write (reference
+  * replay-dlq-job.js:21-147): pull DLQ rows, strip transport attributes,
+  * stamp replay metadata, then route park-vs-replay on the attempt count.
+  *
+  * The reference's per-message ack-after-publish loop collapses into the
+  * atomicity of one batch write per route; pacing/caps (BATCH_SIZE,
+  * REPLAY_DELAY_MS, MAX_PULLS) are transport backpressure knobs that
+  * Spark replaces with partitioned execution.
+  */
+object DlqReplay {
+
+  final case class Routed(replay: DataFrame, parked: DataFrame)
+
+  /** Attribute hygiene (replay-dlq-job.js:31-34): drop googclient_* and
+    * the replay counter itself from a map<string,string> attrs column. */
+  def cleanAttributes(attrs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    map_filter(attrs, (k, _) =>
+      !k.startsWith("googclient_") && k =!= "x-replay-attempts")
+
+  /** Route a DLQ table: rows with attempts >= maxAttempts go to the
+    * parking lot (with x-parked-reason / x-final-attempt-count); the rest
+    * are stamped with an incremented counter for re-publication
+    * (replay-dlq-job.js:36-46, 76-92). */
+  def route(dlq: DataFrame, maxAttempts: Int = 3,
+      attemptsCol: String = "replay_attempts"): Routed = {
+    val attempts = col(attemptsCol)
+    val base =
+      if (dlq.columns.contains("message_id"))
+        dlq.withColumn("x_original_message_id", col("message_id"))
+      else dlq.withColumn("x_original_message_id", lit(null).cast("string"))
+    val parked = base.filter(attempts >= maxAttempts)
+      .withColumn("x_parked_reason", lit("max-replay-attempts-exceeded"))
+      .withColumn("x_final_attempt_count", attempts)
+    val replay = base.filter(attempts < maxAttempts)
+      .withColumn(attemptsCol, attempts + 1)
+    Routed(replay, parked)
+  }
+}

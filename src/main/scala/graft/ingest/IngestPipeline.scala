@@ -1,0 +1,144 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.CoreFunctions._
+
+/** The reference's ingest pipeline (SURVEY §2A A2–A14) as one declarative
+  * Spark transform chain: decode → validate → key-derive → sample →
+  * phone-normalize → project → split(events, dlq).
+  *
+  * The whole chain is column expressions over a single scan — Catalyst
+  * fuses it into one whole-stage-codegen'd stage (SURVEY §3.1), so the
+  * same code serves batch DataFrames and Structured Streaming inputs.
+  * Reference behavior mirrored from handler.js:37-109, validation.js,
+  * sampling.js, phone.js, bq.js:20-35.
+  */
+object IngestPipeline {
+
+  /** Pipeline configuration (reference env vars, README.md:160-168). */
+  final case class Config(
+      auditRate: Double = 1.0,
+      defaultRegion: String = "US",
+      /** Fixed ingest timestamp for deterministic tests; None = now(). */
+      receivedAt: Option[java.sql.Timestamp] = None)
+
+  /** Typed view of the known payload fields (load-test.js:35-47,
+    * scripts/01_smoke_publish.js:71-77); unknown fields survive inside
+    * the raw JSON string column. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("call_id", StringType),
+    StructField("message_id", StringType),
+    StructField("caller", StringType),
+    StructField("callee", StringType),
+    StructField("from_phone", StringType),
+    StructField("to_phone", StringType),
+    StructField("duration", DoubleType),
+    StructField("status", StringType),
+    StructField("channel", StringType),
+    StructField("text_length", LongType),
+    StructField("metadata", MapType(StringType, StringType))))
+
+  /** A2 — base64-decode a Pub/Sub push body column and surface the
+    * envelope fields (handler.js:43-44). Bad base64 / non-JSON rows get
+    * null envelope fields and are routed by [[validated]]. */
+  def decoded(raw: DataFrame, dataCol: String = "data"): DataFrame = {
+    val json = col("__raw_json")
+    // try_to_binary: malformed base64 yields null (→ invalid_json route)
+    // instead of an ANSI execution error
+    raw.withColumn("__raw_json",
+        expr(s"cast(try_to_binary($dataCol, 'base64') as string)"))
+      .withColumn("envelope_version", get_json_object(json, "$.envelope_version"))
+      .withColumn("event_type", get_json_object(json, "$.event_type"))
+      .withColumn("schema_version", get_json_object(json, "$.schema_version"))
+      .withColumn("tenant_id", get_json_object(json, "$.tenant_id"))
+      .withColumn("occurred_at", get_json_object(json, "$.occurred_at"))
+      .withColumn("trace_id", get_json_object(json, "$.trace_id"))
+      .withColumn("source", get_json_object(json, "$.source"))
+      .withColumn("payload", get_json_object(json, "$.payload"))
+  }
+
+  /** A3+A4+A5 — envelope validation + key derivation (validation.js:12-66):
+    * adds is_valid, error_type, idempotency_key. */
+  def validated(df: DataFrame): DataFrame = {
+    val requiredOk = Seq("envelope_version", "event_type", "schema_version",
+      "tenant_id", "occurred_at", "payload").map(col(_).isNotNull)
+      .reduce(_ && _)
+    // try_ variant: malformed timestamps must route to the DLQ, not throw
+    // (ANSI mode is on)
+    val tsOk = expr("try_to_timestamp(occurred_at)").isNotNull
+    val key = idempotencyKey(col("payload"),
+      Seq("$.call_id", "$.message_id"), col("trace_id"))
+    df.withColumn("idempotency_key", key)
+      .withColumn("error_type",
+        when(col("__raw_json").isNull ||
+            get_json_object(col("__raw_json"), "$.event_type").isNull &&
+            !col("__raw_json").rlike("^\\s*\\{"), lit("invalid_json"))
+          .when(!requiredOk, lit("missing_fields"))
+          .when(!tsOk, lit("invalid_timestamp"))
+          .when(key.isNull, lit("no_idempotency_key"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("is_valid", col("error_type").isNull)
+  }
+
+  /** A6+A7 — deterministic sampling decision column (sampling.js). */
+  def sampled(df: DataFrame, cfg: Config): DataFrame =
+    df.withColumn("sampled",
+      shouldSample(col("idempotency_key"), cfg.auditRate))
+
+  /** A9 — normalize the four phone fields inside the payload JSON
+    * (phone.js:36-56) via a typed struct round-trip; untouched fields and
+    * nested metadata survive. */
+  def phoneNormalized(df: DataFrame): DataFrame = {
+    val p = from_json(col("payload"), payloadSchema)
+    val norm = Seq("caller", "callee", "from_phone", "to_phone")
+      .foldLeft(p)((s, f) => s.withField(f, normalizePhone(s.getField(f))))
+    df.withColumn("payload_struct", norm)
+      .withColumn("payload_normalized", to_json(col("payload_struct")))
+  }
+
+  /** A10 — warehouse-row projection (bq.js:20-35): INT casts, defaults,
+    * ingest timestamp, sampled flag, normalized payload re-serialized. */
+  def projected(df: DataFrame, cfg: Config): DataFrame = {
+    val receivedAt = cfg.receivedAt
+      .map(ts => lit(ts).cast("timestamp"))
+      .getOrElse(current_timestamp())
+    df.select(
+      col("tenant_id"),
+      col("event_type"),
+      col("schema_version").cast("long").as("schema_version"),
+      col("envelope_version").cast("long").as("envelope_version"),
+      col("trace_id"),
+      expr("try_to_timestamp(occurred_at)").as("occurred_at"),
+      receivedAt.as("received_at"),
+      coalesce(col("source"), lit("unknown")).as("source"),
+      lit(true).as("sampled"),
+      col("idempotency_key"),
+      col("payload_normalized").as("payload"))
+  }
+
+  /** Result of a pipeline run: warehouse-ready rows, DLQ rows with error
+    * routing, and rows dropped by sampling (observability only). */
+  final case class IngestResult(events: DataFrame, dlq: DataFrame,
+      sampledOut: DataFrame)
+
+  /** Full pipeline: raw push bodies → (events, dlq, sampled-out).
+    * A12's dedup: events are dropDuplicates on idempotency_key — stronger
+    * than the reference's best-effort BigQuery insertId (SURVEY A12). */
+  def run(raw: DataFrame, cfg: Config = Config()): IngestResult = {
+    val v = sampled(validated(decoded(raw)), cfg)
+    val valid = v.filter(col("is_valid"))
+    val events = projected(phoneNormalized(valid.filter(col("sampled"))), cfg)
+      .dropDuplicates("idempotency_key")
+    // A13/A14 — terminal errors route to the DLQ with an HTTP-status
+    // taxonomy (handler.js:16-32); transient (5xx) rows stay re-playable.
+    val dlq = v.filter(!col("is_valid"))
+      .withColumn("http_status", categorizeError(col("error_type")))
+      .withColumn("replay_attempts", lit(0))
+      .select("data", "error_type", "http_status", "replay_attempts")
+    val sampledOut = v.filter(col("is_valid") && !col("sampled"))
+      .select("idempotency_key", "tenant_id", "event_type")
+    IngestResult(events, dlq, sampledOut)
+  }
+}

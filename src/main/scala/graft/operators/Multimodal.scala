@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary columns
+  * with typed metadata, processed per-partition in bounded batches.
+  *
+  * The actual media decode is STUBBED (deterministic fake — this
+  * environment ships no image/audio codecs); everything around it — the
+  * schema contract, partition-parallel execution, batch shape, feature
+  * vector layout — is the real 100 TB-shaped pipeline: binary payloads
+  * never touch the driver, decode runs inside mapPartitions with a
+  * fixed-size row group per call, and output is a flat feature struct
+  * that downstream similarity operators consume directly.
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + metadata (mime drives the decode path). */
+  final case class MediaRow(media_id: Long, mime: String, content: Array[Byte])
+
+  /** Extracted features: deterministic stand-ins for decode outputs. */
+  final case class MediaFeatures(
+      media_id: Long, mime: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int,
+      embedding: Array[Float])
+
+  /** STUB decode — replace with a real codec in production. Deterministic
+    * in the content bytes so tests and retries agree. */
+  private[operators] def stubDecode(row: MediaRow): MediaFeatures = {
+    val n = row.content.length
+    val h = java.util.Arrays.hashCode(row.content)
+    val dim = 16
+    val emb = Array.tabulate(dim) { i =>
+      // cheap keyed hash → [-1, 1): fake embedding, stable per content
+      val x = (h * 31 + i * 2654435761L).toInt
+      (x.toFloat / Int.MaxValue.toFloat)
+    }
+    val isVideo = row.mime.startsWith("video/")
+    MediaFeatures(row.media_id, row.mime, n,
+      width = if (n == 0) 0 else 64 + math.abs(h % 577),
+      height = if (n == 0) 0 else 64 + math.abs((h / 7) % 433),
+      n_frames = if (isVideo) 1 + math.abs(h % 240) else 1,
+      embedding = emb)
+  }
+
+  /** Feature extraction over binary media: partition-parallel, batched.
+    * `batchSize` bounds per-call memory (decoded frames never accumulate
+    * beyond one batch per task). */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => batch.map(stubDecode) }
+    }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th synthetic frame
+    * index (the real implementation would seek in the container). */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int = 30)(
+      implicit spark: SparkSession): DataFrame = {
+    features.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+          lit(stride))))
+      .select("media_id", "mime", "frame_idx")
+  }
+
+  /** Wrap documents' text bytes as a media table (test/bench harness:
+    * gives the binary pipeline real distributed input without shipping
+    * actual media). */
+  def mediaFromDocuments(docs: DataFrame)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, lit("image/png"))
+          .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+          .otherwise(lit("video/mp4")).as("mime"),
+        col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+}

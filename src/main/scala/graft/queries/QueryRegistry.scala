@@ -22,7 +22,7 @@ final case class EngineQuery(
 object QueryRegistry {
   lazy val all: Seq[EngineQuery] =
     PipelineQueries.all ++ RelationalQueries.all ++ WindowQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ OperatorQueries.all
 
   lazy val byName: Map[String, EngineQuery] = all.map(q => q.name -> q).toMap
 }

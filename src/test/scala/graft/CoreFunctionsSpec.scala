@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.CoreFunctions._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class CoreFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Pinned vectors computed from the reference algorithm
+    * (sampling.js:15-24): uint32(first 8 hex of sha256) / 0xffffffff. */
+  private val samplingVectors = Seq(
+    ("call-123", 1814378258L, 0.4224428577400844),
+    ("msg-456", 317275444L, 0.0738714458592868),
+    ("trace-789", 2098074263L, 0.488495981201645),
+    ("key-a", 4044322834L, 0.9416422888035053),
+    ("key-b", 2735027365L, 0.6367981819521632),
+    ("tenant-a:42", 2307771631L, 0.5373199543769751))
+
+  test("hash bucket is bit-exact vs the reference JS algorithm") {
+    val rows = samplingVectors.map(_._1).toDF("key")
+      .select(col("key"), hexPrefixToLong(sha2(col("key"), 256)),
+        hashBucket(col("key")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    samplingVectors.foreach { case (k, u32, bucket) =>
+      assert(rows(k)._1 === u32, s"u32 for $k")
+      assert(rows(k)._2 === bucket, s"bucket for $k")
+    }
+  }
+
+  test("shouldSample: rate >= 1 keeps all, rate <= 0 drops all (sampling.js:16-17)") {
+    val df = samplingVectors.map(_._1).toDF("key")
+    assert(df.filter(shouldSample(col("key"), 1.0)).count() === 6)
+    assert(df.filter(shouldSample(col("key"), 1.5)).count() === 6)
+    assert(df.filter(shouldSample(col("key"), 0.0)).count() === 0)
+    assert(df.filter(shouldSample(col("key"), -1.0)).count() === 0)
+  }
+
+  test("shouldSample is deterministic and monotone in rate") {
+    val keys = Gen.listOfN(30, Gen.alphaNumStr.suchThat(_.nonEmpty)).sample
+      .getOrElse(Seq("a", "b", "c").toList)
+    val df = keys.toDF("key").cache()
+    val at25 = df.filter(shouldSample(col("key"), 0.25)).as[String].collect().toSet
+    val at25again = df.filter(shouldSample(col("key"), 0.25)).as[String].collect().toSet
+    val at75 = df.filter(shouldSample(col("key"), 0.75)).as[String].collect().toSet
+    assert(at25 === at25again)
+    assert(at25.subsetOf(at75))
+  }
+
+  test("idempotency key priority chain: call_id > message_id > trace_id (validation.js:33-42)") {
+    val rows = Seq(
+      ("""{"call_id":"c1","message_id":"m1"}""", "t1", "c1"),
+      ("""{"message_id":"m1"}""", "t1", "m1"),
+      ("""{}""", "t1", "t1"),
+      ("""{"other":1}""", null, null))
+      .toDF("payload", "trace_id", "expected")
+    val got = rows.select(
+      idempotencyKey(col("payload"), Seq("$.call_id", "$.message_id"),
+        col("trace_id")).as("key"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.get(0) === r.get(1)))
+  }
+
+  test("phone normalization matches the reference's published goldens (01_smoke_publish.js:156-161)") {
+    val goldens = Seq(
+      ("(415) 555-0001", "+14155550001"),
+      ("415-555-0002", "+14155550002"),
+      ("+44 20 7123 4567", "+442071234567"),
+      ("555.123.4567", "+15551234567"),
+      ("+1-555-987-6543", "+15559876543"),
+      ("not-a-phone", null),
+      ("123", null),
+      (null, null))
+    val got = goldens.toDF("raw", "expected")
+      .select(normalizePhone(col("raw")).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.get(0) === r.get(1)))
+  }
+
+  test("error categorization taxonomy (handler.js:16-32)") {
+    val rows = Seq(
+      ("invalid_json", 422), ("malformed_envelope", 422),
+      ("missing_fields", 400), ("no_idempotency_key", 400),
+      ("invalid_timestamp", 400), ("bq_timeout", 503), ("anything", 503))
+      .toDF("error_type", "expected")
+    rows.select(categorizeError(col("error_type")).as("got"), col("expected"))
+      .collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+}
