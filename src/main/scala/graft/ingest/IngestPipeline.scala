@@ -91,11 +91,18 @@ object IngestPipeline {
     * (phone.js:36-56) via a typed struct round-trip; untouched fields and
     * nested metadata survive. */
   def phoneNormalized(df: DataFrame): DataFrame = {
-    val p = from_json(col("payload"), payloadSchema)
-    val norm = Seq("caller", "callee", "from_phone", "to_phone")
-      .foldLeft(p)((s, f) => s.withField(f, normalizePhone(s.getField(f))))
-    df.withColumn("payload_struct", norm)
-      .withColumn("payload_normalized", to_json(col("payload_struct")))
+    // parse once, rebuild the struct flat: a withField fold over from_json
+    // re-embeds the parse (and the regex-heavy normalizer) per field and
+    // blows up the codegen'd expression tree
+    val parsed = df.withColumn("payload_struct",
+      from_json(col("payload"), payloadSchema))
+    val p = col("payload_struct")
+    val phoneFields = Set("caller", "callee", "from_phone", "to_phone")
+    val rebuilt = struct(payloadSchema.fields.toIndexedSeq.map { f =>
+      val v = p.getField(f.name)
+      (if (phoneFields(f.name)) normalizePhone(v) else v).as(f.name)
+    }: _*)
+    parsed.withColumn("payload_normalized", to_json(rebuilt))
   }
 
   /** A10 — warehouse-row projection (bq.js:20-35): INT casts, defaults,

@@ -34,12 +34,48 @@ object TextQueries {
       |FROM documents CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
       |WHERE i <= length(text) - 7""".stripMargin
 
-  /** uint32 hash of a gram salted by band. */
-  private def bandHash(band: Column, gram: Column): Column =
-    hexPrefixToLong(sha2(concat(band.cast("string"), lit(":"), gram), 256))
+  /** uint32 hash of a gram, remixed per band with cheap arithmetic — one
+    * sha256 per gram instead of one per (gram, band): 8× fewer digest
+    * calls on the hot path, identical algebra in DuckDB. */
+  private def bandHash(band: Column, gram: Column): Column = {
+    val h = hexPrefixToLong(sha2(gram, 256))
+    (h * (band * 2 + 1) + band * lit(2654435761L)) % lit(4294967296L)
+  }
 
   private def bandHashSql(band: String, gram: String): String =
-    s"CAST('0x' || substr(sha256(CAST($band AS VARCHAR) || ':' || $gram), 1, 8) AS BIGINT)"
+    s"((CAST('0x' || substr(sha256($gram), 1, 8) AS BIGINT) * ($band * 2 + 1) + $band * 2654435761) % 4294967296)"
+
+  /** MinHash signatures as (doc_id, band, minhash), computed WITHOUT
+    * exploding bands into the shuffle: 8 conditional min-aggregates fold
+    * map-side (partial agg), then a stack/unpivot of the tiny per-doc
+    * result. At 100 TB this keeps the shuffle at |docs| rows instead of
+    * 8 × |grams|. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until 8).map(b =>
+      min((col("h") * (b * 2 + 1) + lit(b) * lit(2654435761L)) %
+        lit(4294967296L)).as(s"m$b"))
+    val wide = gramsDf(s, dir)
+      .withColumn("h", hexPrefixToLong(sha2(col("gram"), 256)))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    wide.select(col("doc_id"), expr(
+      "stack(8, 0, m0, 1, m1, 2, m2, 3, m3, 4, m4, 5, m5, 6, m6, 7, m7) AS (band, minhash)"))
+  }
+
+  private val minhashSigsSql = {
+    val mins = (0 until 8).map(b =>
+      s"MIN((h * ${b * 2 + 1} + $b * 2654435761) % 4294967296) AS m$b")
+      .mkString(", ")
+    val unions = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, m$b AS minhash FROM sigs_wide")
+      .mkString(" UNION ALL ")
+    s"""hashed_grams AS (
+       |  SELECT doc_id, CAST('0x' || substr(sha256(gram), 1, 8) AS BIGINT) AS h
+       |  FROM grams),
+       |sigs_wide AS (
+       |  SELECT doc_id, $mins FROM hashed_grams GROUP BY doc_id),
+       |sigs AS ($unions)""".stripMargin
+  }
 
   /** 60-bit token hash (15 hex chars — stays positive in a signed long). */
   private val tokHash60Sql =
@@ -72,11 +108,7 @@ object TextQueries {
     // → band-key self-join (banded, NOT all-pairs).
     EngineQuery("q26_minhash_candidates",
       (s, dir) => {
-        val sigs = gramsDf(s, dir)
-          .select(col("doc_id"),
-            explode(sequence(lit(0), lit(7))).as("band"), col("gram"))
-          .groupBy("doc_id", "band")
-          .agg(min(bandHash(col("band"), col("gram"))).as("minhash"))
+        val sigs = minhashSigs(s, dir)
         val a = sigs.toDF("doc_a", "band", "minhash")
         val b = sigs.toDF("doc_b", "band", "minhash")
         a.join(b, Seq("band", "minhash"))
@@ -86,11 +118,7 @@ object TextQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH grams AS ($gramsSql),
-              |sigs AS (
-              |  SELECT doc_id, band,
-              |    MIN(${bandHashSql("band", "gram")}) AS minhash
-              |  FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands
-              |  GROUP BY doc_id, band)
+              |$minhashSigsSql
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |  COUNT(DISTINCT a.band) AS n_shared_bands
               |FROM sigs a JOIN sigs b
@@ -199,11 +227,7 @@ object TextQueries {
       (s, dir) => {
         val gset = gramsDf(s, dir).select("doc_id", "gram").distinct()
         val sizes = gset.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val sigs = gramsDf(s, dir)
-          .select(col("doc_id"),
-            explode(sequence(lit(0), lit(7))).as("band"), col("gram"))
-          .groupBy("doc_id", "band")
-          .agg(min(bandHash(col("band"), col("gram"))).as("minhash"))
+        val sigs = minhashSigs(s, dir)
         val cand = sigs.toDF("doc_a", "band", "minhash")
           .join(sigs.toDF("doc_b", "band", "minhash"), Seq("band", "minhash"))
           .filter(col("doc_a") < col("doc_b"))
@@ -226,11 +250,7 @@ object TextQueries {
       Some(s"""WITH grams AS ($gramsSql),
               |gset AS (SELECT DISTINCT doc_id, gram FROM grams),
               |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
-              |sigs AS (
-              |  SELECT doc_id, band,
-              |    MIN(${bandHashSql("band", "gram")}) AS minhash
-              |  FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands
-              |  GROUP BY doc_id, band),
+              |$minhashSigsSql,
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |  FROM sigs a JOIN sigs b
