@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.time.LocalDate
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** B6 — the warehouse sink's physical layout (reference DDL,
+  * README.md:86-93): time-partitioned on the occurred date, clustered by
+  * (tenant_id, event_type) inside each partition, with a partition-
+  * expiration retention job.
+  *
+  * Spark mapping: `partitionBy(occurred_date)` gives partition pruning on
+  * date predicates; `repartition(date) + sortWithinPartitions` gives one
+  * compact run of files per date clustered so parquet row-group min/max
+  * stats skip on tenant/event_type — the same data-skipping BigQuery
+  * clustering provides. Retention = dropping expired partition
+  * directories, the exact semantic of BQ's partition expiration.
+  */
+object WarehouseWriter {
+
+  val partitionCol = "occurred_date"
+
+  /** Append warehouse rows in the partitioned + clustered layout. */
+  def write(events: DataFrame, path: String): Unit =
+    events
+      .withColumn(partitionCol, to_date(col("occurred_at")))
+      // co-locate each date in one shuffle partition, then cluster rows
+      // so row-group stats are tight on the cluster keys
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(partitionCol, "tenant_id", "event_type")
+      .write
+      .partitionBy(partitionCol)
+      .mode("append")
+      .parquet(path)
+
+  /** Read back with partition pruning available on occurred_date. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Partition expiration (README.md:88 — 1-year default): drop partition
+    * directories strictly older than the cutoff. Returns dropped dates. */
+  def expirePartitions(spark: SparkSession, path: String,
+      cutoff: LocalDate): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(path)
+    if (!fs.exists(base)) return Seq.empty
+    val expired = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(s"$partitionCol=") &&
+          (try LocalDate.parse(p.getName.stripPrefix(s"$partitionCol="))
+            .isBefore(cutoff)
+          catch { case _: Exception => false })
+      }
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName)
+  }
+}
