@@ -1,42 +1,20 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Similarity
 
 /** Similarity search over the `embeddings` table (SURVEY §2C Q27 + EXT):
-  * brute-force top-k cosine as the correctness baseline, and a random-
-  * hyperplane LSH path (signature band join, no all-pairs) as the 100 TB
-  * scale route. Plus the multimodal binary-column feature query (Q38).
-  *
-  * Float determinism: embeddings are cast to DOUBLE[] in both engines and
-  * dot products use each engine's sequential fold, then every surfaced
-  * similarity is rounded to 6 decimals before ranking so ordering is
-  * identical cross-engine.
+  * brute-force top-k cosine as the correctness baseline, random-
+  * hyperplane sign-LSH as the 100 TB scale route (implementations in
+  * graft.operators.Similarity), plus the multimodal binary-column
+  * feature query (Q38).
   */
 object SimilarityQueries {
 
-  /** Sequential-fold dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
-  /** 8 deterministic ±1 hyperplanes for 64-dim sign-LSH, derived from
-    * SHA-256 so the DuckDB twin can embed the identical literals. */
-  private[queries] lazy val planes: Seq[Array[Double]] = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    (0 until 8).map { p =>
-      Array.tabulate(64) { i =>
-        val h = md.digest(s"$p:$i".getBytes("UTF-8"))
-        if ((h(0) & 1) == 0) 1.0 else -1.0
-      }
-    }
-  }
-
-  private def planeLit(p: Array[Double]): Column =
-    array(p.map(v => lit(v)).toIndexedSeq: _*)
+  /** 8 × 64-dim deterministic ±1 hyperplanes shared by the Spark run and
+    * the DuckDB oracle literals. */
+  private lazy val planes = Similarity.hyperplanes(nPlanes = 8, dim = 64)
 
   private def planeSqlList(p: Array[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -44,25 +22,11 @@ object SimilarityQueries {
   val all: Seq[EngineQuery] = Seq(
 
     // Q27 — brute-force top-5 cosine neighbours for query vectors
-    // (vec_id < 10). Baseline correctness path; ranking on rounded score
-    // with vec_id tie-break.
+    // (vec_id < 10); ranking on rounded score with vec_id tie-break.
     EngineQuery("q27_topk_cosine",
-      (s, dir) => {
-        val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm")).filter(col("q_id") < 10)
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        q.join(e, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
-              .as("cos_sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .orderBy("q_id", "rn")
-      },
+      (s, dir) => Similarity.topKCosine(
+          Tables.table(s, dir, "embeddings"), col("q_id") < 10, k = 5)
+        .orderBy("q_id", "rn"),
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |n AS (
@@ -81,27 +45,9 @@ object SimilarityQueries {
     // exact cosine only on same-signature candidates (banded; the 100 TB
     // path — signature buckets shard the shuffle).
     EngineQuery("q40_embedding_neardup",
-      (s, dir) => {
-        val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        val sig = planes.zipWithIndex.foldLeft(e) { case (df, (p, i)) =>
-          df.withColumn(s"b$i",
-            when(dot(col("v"), planeLit(p)) > 0, lit(1L) * (1L << i))
-              .otherwise(lit(0L)))
-        }.withColumn("sig",
-          (0 until 8).map(i => col(s"b$i")).reduce(_ + _))
-          .select("vec_id", "v", "nrm", "sig")
-        val a = sig.toDF("vec_a", "va", "na", "sig")
-        val b = sig.toDF("vec_b", "vb", "nb", "sig")
-        a.join(b, Seq("sig"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-              .as("cos_sim"))
-          .filter(col("cos_sim") >= 0.25)
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, dir) => Similarity.lshNearNeighbours(
+          Tables.table(s, dir, "embeddings"), planes, minCosine = 0.25)
+        .orderBy("vec_a", "vec_b"),
       Some(s"""WITH e AS (
               |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               |n AS (

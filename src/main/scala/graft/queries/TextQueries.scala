@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.CoreFunctions._
+import graft.operators.TextDedup
 
 /** Training-data text operators over `documents` (SURVEY §2C Q25–Q26,
   * Q28 + the EXT battery: SimHash, n-gram Jaccard, language ID, quality
@@ -45,22 +46,10 @@ object TextQueries {
   private def bandHashSql(band: String, gram: String): String =
     s"((CAST('0x' || substr(sha256($gram), 1, 8) AS BIGINT) * ($band * 2 + 1) + $band * 2654435761) % 4294967296)"
 
-  /** MinHash signatures as (doc_id, band, minhash), computed WITHOUT
-    * exploding bands into the shuffle: 8 conditional min-aggregates fold
-    * map-side (partial agg), then a stack/unpivot of the tiny per-doc
-    * result. At 100 TB this keeps the shuffle at |docs| rows instead of
-    * 8 × |grams|. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until 8).map(b =>
-      min((col("h") * (b * 2 + 1) + lit(b) * lit(2654435761L)) %
-        lit(4294967296L)).as(s"m$b"))
-    val wide = gramsDf(s, dir)
-      .withColumn("h", hexPrefixToLong(sha2(col("gram"), 256)))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-    wide.select(col("doc_id"), expr(
-      "stack(8, 0, m0, 1, m1, 2, m2, 3, m3, 4, m4, 5, m5, 6, m6, 7, m7) AS (band, minhash)"))
-  }
+  /** MinHash signatures (graft.operators.TextDedup.minhashSignatures):
+    * band mins fold map-side, shuffle is |docs| rows. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashSignatures(gramsDf(s, dir))
 
   private val minhashSigsSql = {
     val mins = (0 until 8).map(b =>
@@ -96,9 +85,7 @@ object TextQueries {
     // Q25 — exact text dedup: hash-groupBy, keep min doc_id. One shuffle
     // on the 256-bit content hash; trivially scale-safe.
     EngineQuery("q25_exact_dedup",
-      (s, dir) => docs(s, dir)
-        .groupBy(sha2(col("text"), 256).as("text_hash"))
-        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      (s, dir) => TextDedup.exactDuplicates(docs(s, dir))
         .orderBy("text_hash"),
       Some("""SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
              |  COUNT(*) AS n_copies
@@ -107,16 +94,8 @@ object TextQueries {
     // Q26 — MinHash+LSH near-dup candidates: shingle → min-hash per band
     // → band-key self-join (banded, NOT all-pairs).
     EngineQuery("q26_minhash_candidates",
-      (s, dir) => {
-        val sigs = minhashSigs(s, dir)
-        val a = sigs.toDF("doc_a", "band", "minhash")
-        val b = sigs.toDF("doc_b", "band", "minhash")
-        a.join(b, Seq("band", "minhash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(countDistinct(col("band")).as("n_shared_bands"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => TextDedup.candidatePairs(minhashSigs(s, dir))
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH grams AS ($gramsSql),
               |$minhashSigsSql
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -154,21 +133,8 @@ object TextQueries {
 
     // Q29 — SimHash 60-bit fingerprint per document.
     EngineQuery("q29_simhash_fingerprint",
-      (s, dir) => {
-        val th = tokens(s, dir)
-          .select(col("doc_id"),
-            hexPrefixToLong15(sha2(col("tok"), 256)).as("h"))
-        th.select(col("doc_id"), col("h"),
-            explode(sequence(lit(0), lit(59))).as("bit"))
-          .groupBy("doc_id", "bit")
-          .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L))
-            .as("bit_score"))
-          .groupBy("doc_id")
-          .agg(sum(when(col("bit_score") > 0,
-              expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-            .otherwise(0L)).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => TextDedup.simhashFingerprints(tokens(s, dir))
+        .orderBy("doc_id"),
       Some(s"""WITH th AS (
               |  SELECT doc_id, $tokHash60Sql AS h FROM ($tokensSql) toks),
               |bits AS (
@@ -183,22 +149,9 @@ object TextQueries {
     // Q30 — SimHash near-dup pairs via 15-bit chunk banding (4 chunks)
     // then Hamming distance <= 12 on candidates. Banded, not all-pairs.
     EngineQuery("q30_simhash_neardup",
-      (s, dir) => {
-        val fp = SimHash.fingerprints(s, dir)
-        val chunks = fp.select(col("doc_id"), col("simhash"),
-            explode(sequence(lit(0), lit(3))).as("chunk"))
-          .withColumn("chunk_val",
-            expr("(simhash >> (chunk * 15)) & 32767"))
-        val a = chunks.toDF("doc_a", "sh_a", "chunk", "chunk_val")
-        val b = chunks.toDF("doc_b", "sh_b", "chunk", "chunk_val")
-        a.join(b, Seq("chunk", "chunk_val"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 12)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => TextDedup.simhashNearDups(
+          TextDedup.simhashFingerprints(tokens(s, dir)), maxHamming = 12)
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH th AS (
               |  SELECT doc_id, $tokHash60Sql AS h FROM ($tokensSql) toks),
               |bits AS (
@@ -224,29 +177,9 @@ object TextQueries {
     // Q31 — exact n-gram Jaccard on the MinHash candidate pairs (integer
     // intersection/union counts: no float drift).
     EngineQuery("q31_ngram_jaccard",
-      (s, dir) => {
-        val gset = gramsDf(s, dir).select("doc_id", "gram").distinct()
-        val sizes = gset.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val sigs = minhashSigs(s, dir)
-        val cand = sigs.toDF("doc_a", "band", "minhash")
-          .join(sigs.toDF("doc_b", "band", "minhash"), Seq("band", "minhash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val inter = cand
-          .join(gset.toDF("doc_a", "gram"), Seq("doc_a"))
-          .join(gset.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-        cand.join(inter, Seq("doc_a", "doc_b"), "left")
-          .na.fill(0L, Seq("n_inter"))
-          .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-          .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"),
-            col("nb"),
-            (col("n_inter").cast("double") /
-              (col("na") + col("nb") - col("n_inter")).cast("double"))
-              .as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => TextDedup.jaccard(gramsDf(s, dir),
+        TextDedup.candidatePairs(minhashSigs(s, dir)))
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH grams AS ($gramsSql),
               |gset AS (SELECT DISTINCT doc_id, gram FROM grams),
               |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
@@ -389,21 +322,5 @@ object TextQueries {
     val de = Seq("der", "die", "und", "das", "ist")
     val fr = Seq("le", "les", "des", "et", "un")
     def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
-  }
-
-  /** Shared SimHash fingerprint dataframe (used by q29 and q30). */
-  object SimHash {
-    def fingerprints(s: SparkSession, dir: String): DataFrame =
-      tokens(s, dir)
-        .select(col("doc_id"), hexPrefixToLong15(sha2(col("tok"), 256)).as("h"))
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(59))).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L))
-          .as("bit_score"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("bit_score") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-          .otherwise(0L)).as("simhash"))
   }
 }
