@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Scalar column functions reproducing the reference pipeline semantics
@@ -13,15 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object CoreFunctions {
 
-  /** First 8 hex chars of a lowercase hex string → uint32 as Long.
+  /** First 8 hex chars of a lowercase hex string → uint32 as Long, via
+    * the native codegen'd expression (no intermediate strings).
     * DuckDB twin: CAST('0x' || substr(h, 1, 8) AS BIGINT). */
   def hexPrefixToLong(hex: Column): Column =
-    conv(substring(hex, 1, 8), 16, 10).cast("long")
+    GraftColumnBridge.column(
+      HexPrefixToLongExpr(GraftColumnBridge.expression(hex), 8))
 
   /** First 15 hex chars → 60-bit non-negative Long (SimHash/token hashes).
     * DuckDB twin: CAST('0x' || substr(h, 1, 15) AS BIGINT). */
   def hexPrefixToLong15(hex: Column): Column =
-    conv(substring(hex, 1, 15), 16, 10).cast("long")
+    GraftColumnBridge.column(
+      HexPrefixToLongExpr(GraftColumnBridge.expression(hex), 15))
 
   /** Deterministic SHA-256 hash bucket in [0, 1].
     * Mirrors reference sampling.js:15-24: sha256(key) hex, first 8 hex

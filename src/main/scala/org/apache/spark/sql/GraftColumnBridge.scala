@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the private[sql] Column ⇄ Expression converters — Spark 4
+  * removed the public `Column.expr` / `new Column(expr)` surface; custom
+  * Catalyst expressions (graft.functions.HexPrefixToLongExpr) still need
+  * the classic conversion. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
