@@ -238,6 +238,19 @@ object PipelineQueries {
              |      FROM customer) t1) t2) t3
              |ORDER BY c_custkey""".stripMargin)),
 
+    // B5 — filter on a JSON-extracted field + projection
+    // (scripts/03_dlq_and_replay.js:71-75).
+    EngineQuery("q45_json_filter",
+      (s, dir) => Tables.events(s, dir)
+        .filter(get_json_object(col("props"), "$.k") === "42")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, props
+             |FROM events
+             |WHERE json_extract_string(props, '$.k') = '42'
+             |ORDER BY event_id""".stripMargin)),
+
     // A17/B7 — observed sampling-rate ratio (docs/monitoring.md:40-86):
     // kept / total per event_type, exact integer numerator + denominator.
     EngineQuery("q39_sampling_rate_ratio",
