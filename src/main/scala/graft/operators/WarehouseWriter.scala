@@ -38,6 +38,20 @@ object WarehouseWriter {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed layout for co-located joins: two tables bucketed (and
+    * sorted) on the same key join WITHOUT a shuffle on either side — at
+    * 100 TB this turns the recurring fact⋈fact join into a zip of
+    * pre-sorted buckets. Catalog-backed (saveAsTable) because bucket
+    * metadata lives in the table catalog. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      nBuckets: Int = 64): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Partition expiration (README.md:88 — 1-year default): drop partition
     * directories strictly older than the cutoff. Returns dropped dates. */
   def expirePartitions(spark: SparkSession, path: String,

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{SkewJoin, WarehouseWriter}
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("SQL entry point: full Catalyst path over registered views (SURVEY §3.3)") {
+    Catalog.registerAll(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    val viaDf = Tables.table(spark, dir, "lineitem")
+      .join(Tables.table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(viaSql === viaDf)
+    // events view carries the ns-timestamp fix through SQL too
+    assert(Catalog.sql(spark, dir,
+      "SELECT count(*) FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'")
+      .head().getLong(0) > 0)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val o = Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    WarehouseWriter.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    WarehouseWriter.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === li.count())
+  }
+
+  test("salted skew join equals the plain join, deterministic across runs") {
+    // fact with an extreme hot key: 90% of rows share key 1
+    val fact = spark.range(2000)
+      .select(when(col("id") % 10 === 0, col("id") % 5 + 2).otherwise(1L)
+        .as("k"), col("id").as("row_id"))
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"),
+      (6L, "e")).toDF("k", "label")
+    val plain = fact.join(dim, Seq("k")).groupBy("k", "label").count()
+      .as[(Long, String, Long)].collect().toSet
+    val salted = SkewJoin.saltedInnerJoin(fact, dim, "k",
+        saltSource = col("row_id"), saltFactor = 8)
+      .groupBy("k", "label").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(salted === plain)
+    val again = SkewJoin.saltedInnerJoin(fact, dim, "k",
+        saltSource = col("row_id"), saltFactor = 8)
+      .groupBy("k", "label").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(again === salted)
+  }
+}
