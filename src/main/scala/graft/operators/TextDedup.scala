@@ -51,15 +51,24 @@ object TextDedup {
   }
 
   /** LSH candidate pairs: docs sharing any (band, minhash) bucket.
-    * Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b. */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
-    val a = sigs.toDF("doc_a", "band", "minhash")
-    val b = sigs.toDF("doc_b", "band", "minhash")
-    a.join(b, Seq("band", "minhash"))
+    * Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    *
+    * Implemented as ONE pass over the signatures — group each bucket,
+    * collect its member list, explode the pairs — instead of a self-join,
+    * which would compute the whole signature pipeline twice (Spark does
+    * not reuse the exchange across the join's two sides here). Bucket
+    * member lists are bounded by bucket population; a pathological
+    * mega-bucket (every doc identical) is exactly the case where exact
+    * dedup should run first. */
+  def candidatePairs(sigs: DataFrame): DataFrame =
+    sigs.groupBy("band", "minhash")
+      .agg(collect_list(col(sigs.columns.head)).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("band"), explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("band"), col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(countDistinct(col("band")).as("n_shared_bands"))
-  }
 
   /** Exact n-gram Jaccard for candidate pairs: integer intersection and
     * set sizes (no float drift), ratio surfaced as double. */
@@ -97,18 +106,20 @@ object TextDedup {
         .otherwise(0L)).as("simhash"))
 
   /** SimHash near-dup pairs via 15-bit chunk banding (4 chunks), Hamming
-    * distance filter on candidates only. */
-  def simhashNearDups(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
-    val chunks = fingerprints.select(col("doc_id"), col("simhash"),
+    * distance filter on candidates only. Same one-pass bucket-explode
+    * shape as [[candidatePairs]] — no self-join recomputation. */
+  def simhashNearDups(fingerprints: DataFrame, maxHamming: Int): DataFrame =
+    fingerprints.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val", expr("(simhash >> (chunk * 15)) & 32767"))
-    val a = chunks.toDF("doc_a", "sh_a", "chunk", "chunk_val")
-    val b = chunks.toDF("doc_b", "sh_b", "chunk", "chunk_val")
-    a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+      .groupBy("chunk", "chunk_val")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-  }
 }
