@@ -268,6 +268,40 @@ object RelationalQueries {
              |FROM orders WHERE o_orderkey <= 500
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Q9b — advanced aggregate battery: exact variance/stddev from
+    // decimal sums (order-independent, identical float expression in both
+    // engines) + interpolated median.
+    EngineQuery("q47_agg_battery",
+      (s, dir) => {
+        val p = money(col("o_totalprice"))
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(p).cast("double").as("s"),
+            sum(p * p).cast("double").as("ss"),
+            round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"))
+          .select(col("o_orderstatus"), col("n"),
+            col("s").as("sum_price"),
+            ((col("ss") - col("s") * col("s") / col("n").cast("double")) /
+              (col("n").cast("double") - 1.0)).as("var_price"),
+            sqrt((col("ss") - col("s") * col("s") / col("n").cast("double")) /
+              (col("n").cast("double") - 1.0)).as("stddev_price"),
+            col("median_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, n, sum_price,
+             |  (ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_price,
+             |  sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_price,
+             |  median_price
+             |FROM (
+             |  SELECT o_orderstatus, COUNT(*) AS n,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |    round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+             |  FROM orders GROUP BY 1) agg
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // Q21 — global multi-key sort + limit.
     EngineQuery("q21_sort_limit",
       (s, dir) => t(s, dir, "lineitem")

@@ -68,6 +68,36 @@ object WindowQueries {
         .orderBy("event_type"),
       None),
 
+    // Q16b — ranking/distribution window battery: ntile, percent_rank,
+    // cume_dist, first/last value over deterministic frames.
+    EngineQuery("q46_window_battery",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val frame = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("first_val", first(col("value")).over(frame))
+          .withColumn("last_val", last(col("value")).over(frame))
+          .drop("ts")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  row_number() OVER w AS rn,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val,
+             |  last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // Q22 — tumbling 1-hour window aggregation (streaming twin uses the
     // same window() operator behind a watermark).
     EngineQuery("q22_tumbling_window",
