@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming forms of the windowed analytics queries (Q22–Q24): the same
+  * window()/session_window() operators the batch twins use, behind a
+  * watermark, fed from a file stream.
+  *
+  * The batch formulations in graft.queries.WindowQueries are the oracle-
+  * checked twins; these run the identical aggregation incrementally with
+  * bounded state (watermark expires windows, maxFilesPerTrigger bounds
+  * per-batch input — the reference's MAX_BATCH_SIZE analog).
+  */
+object StreamingAnalytics {
+
+  /** Stream the events table: ns-timestamp read as long (the same fix
+    * Tables.events applies) surfaced as a microsecond timestamp_ntz. */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      // watermarks require TIMESTAMP (with local tz); under the UTC
+      // session the wall-clock values match the batch twin's ntz ones,
+      // and window bounds are cast to ntz at output
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Q22 streaming form: tumbling 1-hour counts/sums per event type. */
+  def tumblingCounts(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Q23 streaming form: sliding 30-minute windows, 15-minute slide. */
+  def slidingCounts(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Q24 streaming form: native session windows per user. */
+  def sessionCounts(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"))
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingAnalytics
+
+/** The streaming windowed aggregations must agree with their oracle-
+  * checked batch twins: every window the stream finalizes (watermark
+  * passed) carries exactly the batch result. */
+class StreamingAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling windows agree with the batch twin q22 (A1/A11/Q22)") {
+    val stream = StreamingAnalytics.eventsStream(spark, dir)
+    val agg = StreamingAnalytics.tumblingCounts(stream, watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-q22").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling_out")
+      .as[(java.time.LocalDateTime, String, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("q22_tumbling_window")(spark, dir)
+      .as[(java.time.LocalDateTime, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "watermark finalized no windows")
+    assert(streamed.subsetOf(batch),
+      "every finalized streaming window must equal its batch twin")
+    // only the tail windows still inside the watermark may be missing
+    val missing = batch -- streamed
+    val maxFinalized = streamed.map(_._1).max
+    assert(missing.forall(_._1.isAfter(maxFinalized.minusHours(2))),
+      s"non-tail windows missing from the stream: $missing")
+  }
+
+  test("streaming session windows agree with the batch twin q24 on finalized sessions") {
+    val stream = StreamingAnalytics.eventsStream(spark, dir)
+    val agg = StreamingAnalytics.sessionCounts(stream, watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-q24").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_stream_out")
+      .as[(Long, java.time.LocalDateTime, Long)].collect().toSet
+    val batch = SparkEntry.queries("q24_sessionization")(spark, dir)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .as[(Long, java.time.LocalDateTime, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      "every finalized streaming session must equal its batch twin")
+  }
+}
