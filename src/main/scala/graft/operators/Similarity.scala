@@ -61,6 +61,59 @@ object Similarity {
   private def planeLit(p: Array[Double]): Column =
     array(p.map(v => lit(v)).toIndexedSeq: _*)
 
+  /** IVF-style ANN: partition vectors into inverted lists by nearest
+    * seed centroid, probe only the `nProbe` closest lists per query.
+    *
+    * Centroids are the first `nCentroids` vectors of the table itself
+    * (deterministic seeding — a k-means refinement would drop in here
+    * without changing the query shape). At 100 TB the assignment is one
+    * broadcast join against the centroid set and the search shuffles on
+    * list id, so each query touches |probed lists| rather than N. */
+  def ivfTopK(embeddings: DataFrame, queryPredicate: Column, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    // assign every vector to its nearest centroid (rounded cosine,
+    // centroid-id tie-break — reproducible cross-engine)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("cent_cos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cent_id").as("list_id"))
+    // per query: rank centroids, keep nProbe lists
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = e.filter(queryPredicate)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cent_id"),
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6)
+          .as("cent_cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("cent_id").as("list_id"))
+    // search only the probed lists
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+      .groupBy("q_id", "vec_id").agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+  }
+
   /** Sign-LSH near-neighbour pairs: bucket by the n-bit hyperplane
     * signature, exact cosine only within buckets. */
   def lshNearNeighbours(embeddings: DataFrame, planes: Seq[Array[Double]],

@@ -280,18 +280,20 @@ object RelationalQueries {
             sum(p).cast("double").as("s"),
             sum(p * p).cast("double").as("ss"),
             round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"))
+          // decimal→double conversion of the huge sum-of-squares differs
+          // by 1 ulp across engines at larger SFs; round the derived stats
           .select(col("o_orderstatus"), col("n"),
             col("s").as("sum_price"),
-            ((col("ss") - col("s") * col("s") / col("n").cast("double")) /
-              (col("n").cast("double") - 1.0)).as("var_price"),
-            sqrt((col("ss") - col("s") * col("s") / col("n").cast("double")) /
-              (col("n").cast("double") - 1.0)).as("stddev_price"),
+            round((col("ss") - col("s") * col("s") / col("n").cast("double")) /
+              (col("n").cast("double") - 1.0), 4).as("var_price"),
+            round(sqrt((col("ss") - col("s") * col("s") / col("n").cast("double")) /
+              (col("n").cast("double") - 1.0)), 6).as("stddev_price"),
             col("median_price"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, n, sum_price,
-             |  (ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_price,
-             |  sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_price,
+             |  round((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 4) AS var_price,
+             |  round(sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_price,
              |  median_price
              |FROM (
              |  SELECT o_orderstatus, COUNT(*) AS n,

@@ -41,6 +41,47 @@ object SimilarityQueries {
              |  WHERE q.vec_id < 10) x
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // Q48 — IVF-style ANN: inverted lists by nearest seed centroid,
+    // probe the 4 closest lists per query (the bucketed alternative to
+    // LSH for similarity at scale).
+    EngineQuery("q48_ivf_knn",
+      (s, dir) => Similarity.ivfTopK(
+          Tables.table(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
+        .orderBy("q_id", "rn"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |cents AS (
+             |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |assigned AS (
+             |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+             |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+             |          c.cent_id) AS arn
+             |    FROM n CROSS JOIN cents c) t
+             |  WHERE arn = 1),
+             |probes AS (
+             |  SELECT q_id, qv, qnrm, cent_id AS list_id FROM (
+             |    SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, c.cent_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+             |          c.cent_id) AS prn
+             |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10) t
+             |  WHERE prn <= 4),
+             |hits AS (
+             |  SELECT p.q_id, a.vec_id,
+             |    MAX(round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 6)) AS cos_sim
+             |  FROM probes p JOIN assigned a
+             |    ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+             |  GROUP BY 1, 2)
+             |SELECT q_id, vec_id, cos_sim, rn FROM (
+             |  SELECT q_id, vec_id, cos_sim,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+             |  FROM hits) x
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
     // Q40 — LSH near-neighbour pairs: 8-bit random-hyperplane signature,
     // exact cosine only on same-signature candidates (banded; the 100 TB
     // path — signature buckets shard the shuffle).
