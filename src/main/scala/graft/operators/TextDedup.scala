@@ -71,7 +71,9 @@ object TextDedup {
       .agg(countDistinct(col("band")).as("n_shared_bands"))
 
   /** Exact n-gram Jaccard for candidate pairs: integer intersection and
-    * set sizes (no float drift), ratio surfaced as double. */
+    * set sizes (no float drift), ratio surfaced as double.
+    * (Measured: recomputing the cheap shingle explode per consumer beats
+    * persisting the distinct gram set — no cache here on purpose.) */
   def jaccard(grams: DataFrame, pairs: DataFrame): DataFrame = {
     val gset = grams.select("doc_id", "gram").distinct()
     val sizes = gset.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
