@@ -206,6 +206,73 @@ object TextQueries {
               |JOIN sizes sb ON sb.doc_id = c.doc_b
               |ORDER BY 1, 2""".stripMargin)),
 
+    // Q49 — collection aggregates: per-language sorted distinct source
+    // arrays (collect_set → sort_array) with membership/size checks.
+    EngineQuery("q49_collection_agg",
+      (s, dir) => docs(s, dir)
+        .groupBy("lang")
+        .agg(sort_array(collect_set(col("source"))).as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(col("lang"), col("sources"),
+          size(col("sources")).cast("long").as("n_sources_arr"),
+          col("n_sources"),
+          array_contains(col("sources"), "src1").as("has_src1"))
+        .orderBy("lang"),
+      Some("""SELECT lang, sources,
+             |  CAST(len(sources) AS BIGINT) AS n_sources_arr,
+             |  n_sources,
+             |  list_contains(sources, 'src1') AS has_src1
+             |FROM (
+             |  SELECT lang,
+             |    list_sort(list(DISTINCT source)) AS sources,
+             |    COUNT(DISTINCT source) AS n_sources
+             |  FROM documents GROUP BY 1) t
+             |ORDER BY lang""".stripMargin)),
+
+    // Q50 — dedup keep-best composition: exact duplicate groups resolved
+    // by quality score (argmax via deterministic rank), the canonical-
+    // document selection a training-data pipeline actually runs.
+    EngineQuery("q50_dedup_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality = tokens(s, dir)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+              .as("n_stop"))
+          .select(col("doc_id"),
+            (lit(1.0) - col("n_stop").cast("double") /
+              col("n_tokens").cast("double")).as("quality"))
+        val hashed = docs(s, dir)
+          .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"))
+          .join(quality, Seq("doc_id"))
+        val w = Window.partitionBy(col("text_hash"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        hashed.withColumn("rk", row_number().over(w))
+          .groupBy("text_hash")
+          .agg(count(lit(1)).as("group_size"),
+            max(when(col("rk") === 1, col("doc_id"))).as("keep_doc_id"),
+            round(max(when(col("rk") === 1, col("quality"))), 6)
+              .as("keep_quality"))
+          .orderBy("text_hash")
+      },
+      Some(s"""WITH quality AS (
+              |  SELECT doc_id,
+              |    1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS quality
+              |  FROM (
+              |    SELECT doc_id, COUNT(*) AS n_tokens,
+              |      CAST(SUM(CASE WHEN tok IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+              |    FROM ($tokensSql) toks GROUP BY doc_id) t),
+              |ranked AS (
+              |  SELECT d.doc_id, sha256(d.text) AS text_hash, q.quality,
+              |    row_number() OVER (PARTITION BY sha256(d.text)
+              |      ORDER BY q.quality DESC, d.doc_id) AS rk
+              |  FROM documents d JOIN quality q ON q.doc_id = d.doc_id)
+              |SELECT text_hash, COUNT(*) AS group_size,
+              |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+              |  round(MAX(CASE WHEN rk = 1 THEN quality END), 6) AS keep_quality
+              |FROM ranked GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
     // Q32 — language ID by stopword-hit heuristic (argmax with a fixed
     // tie-break order).
     EngineQuery("q32_language_id",
