@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Operator-surface batteries beyond the core SURVEY list: pivot,
+  * generator/positional explode, null-handling, date arithmetic, and
+  * string/fuzzy-matching functions — each with a DuckDB twin so the whole
+  * surface stays inside the correctness gate.
+  */
+object BatteryQueries {
+
+  val all: Seq[EngineQuery] = Seq(
+
+    // Q51 — pivot: per-user event counts spread across fixed type columns.
+    EngineQuery("q51_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q52 — positional generator: posexplode of tokens with 0-based pos.
+    EngineQuery("q52_posexplode",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i + 1 AS INT)] AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |      FROM documents WHERE doc_id < 50) d,
+             |  (SELECT unnest(range(0, 2048)) AS i) pos
+             |WHERE i < len(toks)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // Q53 — null-handling battery over the outer-join shape: nullif,
+    // coalesce chains, null-safe equality.
+    EngineQuery("q53_null_battery",
+      (s, dir) => {
+        val c = Tables.table(s, dir, "customer")
+        val o = Tables.table(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            max(col("o_totalprice")).as("max_price"))
+          .select(col("c_custkey"),
+            nullif(col("n_orders"), lit(0)).as("n_orders_or_null"),
+            coalesce(col("max_price"), lit(-1.0)).as("max_price_filled"),
+            (nullif(col("n_orders"), lit(0)) <=> lit(null))
+              .as("has_no_orders"),
+            when(col("n_orders") > 0, col("max_price"))
+              .otherwise(lit(null)).isNull.as("null_check"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  nullif(n_orders, 0) AS n_orders_or_null,
+             |  coalesce(max_price, -1.0) AS max_price_filled,
+             |  (nullif(n_orders, 0) IS NOT DISTINCT FROM NULL) AS has_no_orders,
+             |  (CASE WHEN n_orders > 0 THEN max_price ELSE NULL END) IS NULL AS null_check
+             |FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             |    MAX(o_totalprice) AS max_price
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY 1) t
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Q54 — date arithmetic battery (engine-aligned semantics only:
+    // dayofweek is normalized to Sunday=1 in both).
+    EngineQuery("q54_date_battery",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"), col("d"),
+          date_add(col("d"), 30).as("plus_30d"),
+          add_months(col("d"), 3).as("plus_3m"),
+          last_day(col("d")).as("month_end"),
+          quarter(col("d")).cast("long").as("q"),
+          dayofweek(col("d")).cast("long").as("dow_sun1"),
+          datediff(lit("2002-01-01").cast("date"), col("d")).cast("long")
+            .as("days_to_2002"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, d,
+             |  d + 30 AS plus_30d,
+             |  CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+             |  last_day(d) AS month_end,
+             |  CAST(quarter(d) AS BIGINT) AS q,
+             |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow_sun1,
+             |  CAST(datediff('day', d, DATE '2002-01-01') AS BIGINT) AS days_to_2002
+             |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+             |      FROM orders WHERE o_orderkey <= 1000) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q55 — string battery incl. fuzzy matching (levenshtein).
+    EngineQuery("q55_string_battery",
+      (s, dir) => Tables.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          reverse(col("p_name")).as("reversed"),
+          repeat(substring(col("p_name"), 1, 2), 3).as("rep2x3"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          instr(col("p_name"), "e").cast("long").as("first_e"),
+          levenshtein(col("p_name"), lit("green widget")).cast("long")
+            .as("lev_to_green_widget"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+             |  reverse(p_name) AS reversed,
+             |  repeat(substr(p_name, 1, 2), 3) AS rep2x3,
+             |  lpad(p_brand, 12, '*') AS brand_padded,
+             |  CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+             |  CAST(levenshtein(p_name, 'green widget') AS BIGINT) AS lev_to_green_widget
+             |FROM part ORDER BY p_partkey""".stripMargin))
+  )
+}

@@ -22,7 +22,8 @@ final case class EngineQuery(
 object QueryRegistry {
   lazy val all: Seq[EngineQuery] =
     PipelineQueries.all ++ RelationalQueries.all ++ WindowQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ OperatorQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ OperatorQueries.all ++
+      BatteryQueries.all
 
   lazy val byName: Map[String, EngineQuery] = all.map(q => q.name -> q).toMap
 }
