@@ -101,6 +101,78 @@ object BatteryQueries {
              |      FROM orders WHERE o_orderkey <= 1000) t
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Q56 — scalar + correlated subqueries through the SQL path
+    // (Catalyst RewritePredicateSubquery/RewriteCorrelatedScalarSubquery):
+    // customers spending above the global average, with their per-status
+    // order count exceeding that status's average (correlated).
+    EngineQuery("q56_subqueries",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""
+          |WITH spend AS (
+          |  SELECT o_custkey,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |  FROM orders GROUP BY o_custkey)
+          |SELECT c_custkey, s.total
+          |FROM customer JOIN spend s ON s.o_custkey = c_custkey
+          |WHERE s.total > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |                        / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+          |                 FROM orders)
+          |  AND EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT c_custkey, s.total
+             |FROM customer JOIN spend s ON s.o_custkey = c_custkey
+             |WHERE s.total > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |                        / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+             |                 FROM orders)
+             |  AND EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Q57 — multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL
+    // keep duplicate multiplicities.
+    EngineQuery("q57_multiset_ops",
+      (s, dir) => {
+        val cn = Tables.table(s, dir, "customer")
+          .select(col("c_nationkey").as("nk"))
+        val sn = Tables.table(s, dir, "supplier")
+          .select(col("s_nationkey").as("nk"))
+        cn.intersectAll(sn).groupBy("nk").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+          .unionByName(sn.exceptAll(cn).groupBy("nk")
+            .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+          .orderBy("op", "nk")
+      },
+      Some("""SELECT nk, CAST(COUNT(*) AS BIGINT) AS n, 'intersect_all' AS op FROM (
+             |  SELECT c_nationkey AS nk FROM customer
+             |  INTERSECT ALL SELECT s_nationkey AS nk FROM supplier) a
+             |GROUP BY nk
+             |UNION ALL
+             |SELECT nk, CAST(COUNT(*) AS BIGINT) AS n, 'except_all' AS op FROM (
+             |  SELECT s_nationkey AS nk FROM supplier
+             |  EXCEPT ALL SELECT c_nationkey AS nk FROM customer) b
+             |GROUP BY nk
+             |ORDER BY op, nk""".stripMargin)),
+
+    // Q58 — approximate quantiles (t-digest style sketch): rows-only (the
+    // sketch differs from DuckDB's); the test suite bounds it against the
+    // exact quantile.
+    EngineQuery("q58_approx_quantile",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+            .as("approx_quartiles"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+            .as("exact_quartiles"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Q55 — string battery incl. fuzzy matching (levenshtein).
     EngineQuery("q55_string_battery",
       (s, dir) => Tables.table(s, dir, "part")

@@ -26,6 +26,18 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("percentile_approx stays within 5% of exact quartiles (q58 self-check)") {
+    val rows = QueryRegistry.byName("q58_approx_quantile")
+      .run(spark, dir).collect()
+    rows.foreach { r =>
+      val approx = r.getSeq[Double](1)
+      val exact = r.getSeq[Double](2)
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+      }
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (Q17 self-check)") {
     import org.apache.spark.sql.functions._
     val rows = QueryRegistry.byName("q17b_approx_distinct")
