@@ -251,6 +251,22 @@ object PipelineQueries {
              |WHERE json_extract_string(props, '$.k') = '42'
              |ORDER BY event_id""".stripMargin)),
 
+    // A17 — the same ratio through the registered UDAF (typed Aggregator
+    // surface); oracle is the plain ratio arithmetic.
+    EngineQuery("q59_udaf_sampling_rate",
+      (s, dir) => {
+        graft.operators.Metrics.register(s)
+        Tables.events(s, dir)
+          .select(col("event_type"), shouldSample(keyCol, 0.5).as("sampled"))
+          .groupBy("event_type")
+          .agg(expr("observed_sampling_rate(sampled)").as("observed_rate"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type,
+              |  CAST(SUM(CASE WHEN CAST('0x' || substr(sha256($keySql), 1, 8) AS BIGINT) / 4294967295.0 < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS observed_rate
+              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // A17/B7 — observed sampling-rate ratio (docs/monitoring.md:40-86):
     // kept / total per event_type, exact integer numerator + denominator.
     EngineQuery("q39_sampling_rate_ratio",

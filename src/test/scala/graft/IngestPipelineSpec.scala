@@ -113,6 +113,28 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(res.events.count() > 400)
   }
 
+  test("full DLQ cycle: invalid → DLQ → corrected replay → ingested (scripts/03_dlq_and_replay.js)") {
+    import graft.ingest.DlqReplay
+    // 1. envelope missing tenant_id lands in the DLQ
+    val bad = envelope(tenantId = "")
+    val res1 = IngestPipeline.run(
+      Seq(("m1", b64(bad))).toDF("message_id", "data"), cfg)
+    assert(res1.events.count() === 0)
+    assert(res1.dlq.collect().head.getAs[String]("error_type") === "missing_fields")
+    // 2. replay routing stamps the attempt counter
+    val routed = DlqReplay.route(res1.dlq, maxAttempts = 3)
+    assert(routed.replay.collect().head.getAs[Int]("replay_attempts") === 1)
+    // 3. the corrected envelope re-ingests cleanly
+    val corrected = routed.replay.select("data").as[String].collect().map { d =>
+      val fixed = new String(Base64.getDecoder.decode(d), "UTF-8")
+        .replace("\"occurred_at\"", "\"tenant_id\":\"t1\",\"occurred_at\"")
+      ("m1-replay", b64(fixed))
+    }.toSeq.toDF("message_id", "data")
+    val res2 = IngestPipeline.run(corrected, cfg)
+    assert(res2.dlq.count() === 0)
+    assert(res2.events.collect().head.getAs[String]("tenant_id") === "t1")
+  }
+
   test("DLQ replay routing: attempts >= 3 park, others increment (replay-dlq-job.js:76-92)") {
     val dlq = Seq(
       ("d1", "missing_fields", 0), ("d2", "missing_fields", 2),
