@@ -8,5 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * the classic conversion. */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst conversion: ExpressionUtils.expression
+    * wraps lazily in a ColumnNodeExpression, which never resolves when
+    * the result is injected through the function registry — the converter
+    * produces a plain catalyst tree the analyzer handles anywhere. */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

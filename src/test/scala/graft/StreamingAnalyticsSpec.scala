@@ -38,6 +38,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       s"non-tail windows missing from the stream: $missing")
   }
 
+  test("watermark drops late data (Q23 semantics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingAnalytics.tumblingCounts(events, watermark = "30 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-late").toString)
+      .start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 10:15:00"), "a", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past the 10:00 window
+    input.addData((ts("2024-01-01 14:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // late arrival for the already-finalized 10:00 window → dropped
+    input.addData((ts("2024-01-01 10:20:00"), "a", 99.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 18:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val tenOClock = spark.table("late_out")
+      .filter(col("hour_start") === lit("2024-01-01 10:00:00").cast("timestamp_ntz"))
+      .collect()
+    assert(tenOClock.length === 1)
+    assert(tenOClock.head.getAs[Long]("n") === 1L,
+      "the late event must not re-open the finalized window")
+  }
+
   test("streaming session windows agree with the batch twin q24 on finalized sessions") {
     val stream = StreamingAnalytics.eventsStream(spark, dir)
     val agg = StreamingAnalytics.sessionCounts(stream, watermark = "1 hour")
