@@ -173,6 +173,37 @@ object BatteryQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // Q60 — as-of (point-in-time) join: each purchase gets the user's
+    // most recent preceding click value. Composed as a union + ignore-
+    // nulls window (one shuffle on the key; no range-join explosion).
+    EngineQuery("q60_asof_join",
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id", "value")
+        AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+            valueCols = Seq("value"), tieBreak = Seq("event_id"))
+          .select("event_id", "user_id", "ts", "value", "asof_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts, value, asof_value FROM (
+             |  SELECT event_id, user_id, ts, side, value,
+             |    last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts, side, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+             |  FROM (
+             |    SELECT event_id, user_id, ts, 1 AS side, value,
+             |      CAST(NULL AS DOUBLE) AS rv
+             |    FROM events WHERE event_type = 'purchase'
+             |    UNION ALL
+             |    SELECT event_id, user_id, ts, 0 AS side,
+             |      CAST(NULL AS DOUBLE) AS value, value AS rv
+             |    FROM events WHERE event_type = 'click') u) t
+             |WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
     // Q55 — string battery incl. fuzzy matching (levenshtein).
     EngineQuery("q55_string_battery",
       (s, dir) => Tables.table(s, dir, "part")
