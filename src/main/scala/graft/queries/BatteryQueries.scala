@@ -160,9 +160,10 @@ object BatteryQueries {
              |GROUP BY nk
              |ORDER BY op, nk""".stripMargin)),
 
-    // Q58 — approximate quantiles (t-digest style sketch): rows-only (the
-    // sketch differs from DuckDB's); the test suite bounds it against the
-    // exact quantile.
+    // Q58 — approximate quantiles (GK sketch): rows-only (the sketch
+    // differs from DuckDB's); the test suite bounds it against the exact
+    // quantile. Quartiles are exploded to one scalar row per (flag, q)
+    // so the driver gate can sort the output (arrays crash its compare).
     EngineQuery("q58_approx_quantile",
       (s, dir) => Tables.table(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -170,7 +171,13 @@ object BatteryQueries {
             .as("approx_quartiles"),
           expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
             .as("exact_quartiles"))
-        .orderBy("l_returnflag"),
+        .select(col("l_returnflag"),
+          posexplode(arrays_zip(col("approx_quartiles"), col("exact_quartiles"))))
+        .select(col("l_returnflag"),
+          ((col("pos") + 1).cast("double") * lit(0.25)).as("quantile"),
+          col("col.approx_quartiles").as("approx"),
+          col("col.exact_quartiles").as("exact"))
+        .orderBy("l_returnflag", "quantile"),
       None),
 
     // Q60 — as-of (point-in-time) join: each purchase gets the user's

@@ -6,8 +6,12 @@ import graft.Tables
 import graft.functions.CoreFunctions._
 
 /** Relational surface over the TPC-H-ish star schema (SURVEY §2C Q9–Q15,
-  * Q18–Q21). Dimension sides of star joins are broadcast; money aggregates
-  * run in exact DECIMAL then surface as DOUBLE.
+  * Q18–Q21). Broadcast hints go ONLY on fixed-cardinality dimensions
+  * (region=5, nation=25 rows at every SF); SF-scaled tables (customer,
+  * part, orders, lineitem) carry no hint — AQE promotes them to broadcast
+  * joins at small SF and degrades to shuffle joins at 100 TB instead of
+  * OOMing on a forced hint. Money aggregates run in exact DECIMAL then
+  * surface as DOUBLE.
   */
 object RelationalQueries {
 
@@ -57,9 +61,11 @@ object RelationalQueries {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        // broadcast only the true dimension (customer); orders stays a
-        // shuffle side — it is fact-scale at 100 TB.
-        l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+        // customer scales with SF (terabytes at the 100 TB design point),
+        // so no forced broadcast hint: AQE promotes the filtered side to a
+        // broadcast join when it measures small, and falls back to a
+        // shuffle join when it doesn't — a hint would OOM instead.
+        l.join(o.join(c, o("o_custkey") === c("c_custkey")),
             l("l_orderkey") === o("o_orderkey"))
           .groupBy("o_orderkey", "c_custkey")
           .agg(sum(revenue).cast("double").as("revenue"),
@@ -86,11 +92,15 @@ object RelationalQueries {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
+        // region/nation are fixed-cardinality (5 / 25 rows at every SF) —
+        // broadcast hints are safe there. customer grows with SF, so the
+        // customer⋈nation⋈region branch carries NO hint; AQE decides at
+        // runtime whether the filtered dims side fits a broadcast.
         val dims = c.join(broadcast(n.join(broadcast(r),
             n("n_regionkey") === r("r_regionkey"))),
           c("c_nationkey") === n("n_nationkey"))
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+          .join(dims, o("o_custkey") === dims("c_custkey"))
           .groupBy("n_name")
           .agg(sum(revenue).cast("double").as("revenue"),
             count(lit(1)).as("n_lines"))
@@ -149,7 +159,10 @@ object RelationalQueries {
       (s, dir) => {
         val l = t(s, dir, "lineitem")
         val p = t(s, dir, "part")
-        l.join(broadcast(p),
+        // part scales with SF — no forced broadcast; the equi-key keeps
+        // this a hash join (range predicates are post-join filters), and
+        // AQE broadcasts when part measures small.
+        l.join(p,
             l("l_partkey") === p("p_partkey") &&
               l("l_extendedprice") >= p("p_retailprice") * 2.0 &&
               l("l_extendedprice") < p("p_retailprice") * 40.0)

@@ -207,24 +207,29 @@ object TextQueries {
               |ORDER BY 1, 2""".stripMargin)),
 
     // Q49 — collection aggregates: per-language sorted distinct source
-    // arrays (collect_set → sort_array) with membership/size checks.
+    // sets (collect_set → sort_array) with membership/size checks. The
+    // set itself crosses the gate serialized (array_join) because the
+    // driver's pandas compare cannot sort array cells; the membership /
+    // size checks still run on the pre-joined array.
     EngineQuery("q49_collection_agg",
       (s, dir) => docs(s, dir)
         .groupBy("lang")
-        .agg(sort_array(collect_set(col("source"))).as("sources"),
+        .agg(sort_array(collect_set(col("source"))).as("sources_arr"),
           countDistinct(col("source")).as("n_sources"))
-        .select(col("lang"), col("sources"),
-          size(col("sources")).cast("long").as("n_sources_arr"),
+        .select(col("lang"),
+          array_join(col("sources_arr"), ",").as("sources"),
+          size(col("sources_arr")).cast("long").as("n_sources_arr"),
           col("n_sources"),
-          array_contains(col("sources"), "src1").as("has_src1"))
+          array_contains(col("sources_arr"), "src1").as("has_src1"))
         .orderBy("lang"),
-      Some("""SELECT lang, sources,
-             |  CAST(len(sources) AS BIGINT) AS n_sources_arr,
+      Some("""SELECT lang,
+             |  array_to_string(sources_arr, ',') AS sources,
+             |  CAST(len(sources_arr) AS BIGINT) AS n_sources_arr,
              |  n_sources,
-             |  list_contains(sources, 'src1') AS has_src1
+             |  list_contains(sources_arr, 'src1') AS has_src1
              |FROM (
              |  SELECT lang,
-             |    list_sort(list(DISTINCT source)) AS sources,
+             |    list_sort(list(DISTINCT source)) AS sources_arr,
              |    COUNT(DISTINCT source) AS n_sources
              |  FROM documents GROUP BY 1) t
              |ORDER BY lang""".stripMargin)),

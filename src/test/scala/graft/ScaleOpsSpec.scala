@@ -46,6 +46,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() === li.count())
   }
 
+  test("SF-scaled tables carry no broadcast hint, yet the planner still " +
+      "picks BroadcastHashJoin at small SF (q10/q11/q14)") {
+    // customer/part grow linearly with SF — a forced broadcast() hint
+    // would OOM at the 100 TB design point. Only region/nation (fixed 5 /
+    // 25 rows) may be hinted. At tiny SF the planner must still end up
+    // broadcasting via size stats / AQE — proving the hint removal costs
+    // nothing where broadcast is right.
+    for (name <- Seq("q10_star_join", "q14_range_join")) {
+      val df = queries.QueryRegistry.byName(name).run(spark, dir)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$name must not force a broadcast hint:\n$analyzed")
+      df.collect() // materialize so AQE finalizes the physical plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: planner should still broadcast at sf0.001:\n$plan")
+    }
+    val q11 = queries.QueryRegistry.byName("q11_snowflake_join").run(spark, dir)
+    val hints = "ResolvedHint".r.findAllIn(q11.queryExecution.analyzed.toString).size
+    assert(hints == 2, s"q11 may hint only region+nation, saw $hints hints")
+    q11.collect()
+    assert(q11.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("salted skew join equals the plain join, deterministic across runs") {
     // fact with an extreme hot key: 90% of rows share key 1
     val fact = spark.range(2000)
