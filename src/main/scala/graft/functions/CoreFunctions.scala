@@ -47,26 +47,49 @@ object CoreFunctions {
       fallbacks: Column*): Column =
     coalesce(jsonPaths.map(p => get_json_object(payload, p)) ++ fallbacks: _*)
 
+  /** Default parsing region for national-format numbers, the engine's
+    * equivalent of the reference's DEFAULT_PHONE_REGION env knob
+    * (phone.js:7). Read once at class-load from the same-named variable;
+    * falls back to US like the reference. */
+  val defaultPhoneRegion: String =
+    sys.env.getOrElse("DEFAULT_PHONE_REGION", "US").toUpperCase
+
   /** E.164 phone normalization (reference phone.js:15-29 semantics,
     * engine-defined edge behavior — see SURVEY §7 "hard parts").
-    * Deterministic, pure-SQL-expressible rules with default region US:
+    * Deterministic, pure-SQL-expressible rules parameterized by region
+    * (reference `normalizePhone(phoneInput, region)`):
     *   - keep digits (and a leading '+') only
-    *   - '+' prefixed and 8..15 digits        → '+' ++ digits
-    *   - bare 10 digits (US national)         → '+1' ++ digits
-    *   - bare 11 digits starting with '1'     → '+'  ++ digits
-    *   - anything else                        → null
+    *   - '+' prefixed and 8..15 digits → '+' ++ digits  (region-independent)
+    *   - else region-specific national rules:
+    *     US: bare 10 digits → '+1' ++ digits;
+    *         bare 11 digits starting '1' → '+' ++ digits
+    *     GB: bare 10-11 digits with trunk '0' → '+44' ++ digits minus the 0;
+    *         bare 9-10 digits without trunk '0' → '+44' ++ digits
+    *   - unknown region or no rule match → null
+    * (The reference delegates to libphonenumber; these are the documented
+    * engine-defined subset of its US/GB national rules.)
     */
-  def normalizePhone(phone: Column): Column = {
+  def normalizePhone(phone: Column,
+      region: String = defaultPhoneRegion): Column = {
     val cleaned = regexp_replace(phone, "[^0-9+]", "")
     val hasPlus = startswith(cleaned, lit("+"))
     val digits = regexp_replace(cleaned, "[^0-9]", "")
     val n = length(digits)
-    when(phone.isNull, lit(null).cast("string"))
+    val intl = when(phone.isNull, lit(null).cast("string"))
       .when(hasPlus && n.between(8, 15), concat(lit("+"), digits))
-      .when(!hasPlus && n === 10, concat(lit("+1"), digits))
-      .when(!hasPlus && n === 11 && startswith(digits, lit("1")),
-        concat(lit("+"), digits))
-      .otherwise(lit(null).cast("string"))
+    val withNational = region.toUpperCase match {
+      case "US" => intl
+        .when(!hasPlus && n === 10, concat(lit("+1"), digits))
+        .when(!hasPlus && n === 11 && startswith(digits, lit("1")),
+          concat(lit("+"), digits))
+      case "GB" => intl
+        .when(!hasPlus && n.between(10, 11) && startswith(digits, lit("0")),
+          concat(lit("+44"), digits.substr(lit(2), lit(14))))
+        .when(!hasPlus && n.between(9, 10) && !startswith(digits, lit("0")),
+          concat(lit("+44"), digits))
+      case _ => intl // unknown region: international format only
+    }
+    withNational.otherwise(lit(null).cast("string"))
   }
 
   /** Error categorization (reference handler.js:16-32) as a routing

@@ -25,17 +25,30 @@ object DlqReplay {
   /** Route a DLQ table: rows with attempts >= maxAttempts go to the
     * parking lot (with x-parked-reason / x-final-attempt-count); the rest
     * are stamped with an incremented counter for re-publication
-    * (replay-dlq-job.js:36-46, 76-92). */
+    * (replay-dlq-job.js:36-46, 76-92). Both routes carry
+    * x_original_message_id and x_replay_timestamp (reconstructMessage,
+    * replay-dlq-job.js:36-38), and ordering_key — when the source has
+    * one — survives untouched on every output row (js:49-51).
+    *
+    * @param replayTimestamp fixed stamp for deterministic tests; None =
+    *   current_timestamp() (the reference's `new Date().toISOString()`).
+    */
   def route(dlq: DataFrame, maxAttempts: Int = 3,
-      attemptsCol: String = "replay_attempts"): Routed = {
+      attemptsCol: String = "replay_attempts",
+      replayTimestamp: Option[java.sql.Timestamp] = None): Routed = {
     val attempts = col(attemptsCol)
+    val stamp = replayTimestamp.map(ts => lit(ts).cast("timestamp"))
+      .getOrElse(current_timestamp())
     val base =
-      if (dlq.columns.contains("message_id"))
+      (if (dlq.columns.contains("message_id"))
         dlq.withColumn("x_original_message_id", col("message_id"))
-      else dlq.withColumn("x_original_message_id", lit(null).cast("string"))
+      else dlq.withColumn("x_original_message_id", lit(null).cast("string")))
+        .withColumn("x_replay_timestamp", stamp)
+    // the reference counts the parking pass itself: x-final-attempt-count
+    // = currentAttempts + 1 (reconstructMessage, replay-dlq-job.js:25,44)
     val parked = base.filter(attempts >= maxAttempts)
       .withColumn("x_parked_reason", lit("max-replay-attempts-exceeded"))
-      .withColumn("x_final_attempt_count", attempts)
+      .withColumn("x_final_attempt_count", attempts + 1)
     val replay = base.filter(attempts < maxAttempts)
       .withColumn(attemptsCol, attempts + 1)
     Routed(replay, parked)

@@ -17,12 +17,16 @@ import graft.functions.CoreFunctions._
   */
 object IngestPipeline {
 
-  /** Pipeline configuration (reference env vars, README.md:160-168). */
+  /** Pipeline configuration (reference env vars, README.md:160-168).
+    * defaultRegion mirrors DEFAULT_PHONE_REGION (phone.js:7). */
   final case class Config(
       auditRate: Double = 1.0,
-      defaultRegion: String = "US",
+      defaultRegion: String = CoreFunctionsDefaultRegion,
       /** Fixed ingest timestamp for deterministic tests; None = now(). */
       receivedAt: Option[java.sql.Timestamp] = None)
+
+  private def CoreFunctionsDefaultRegion =
+    graft.functions.CoreFunctions.defaultPhoneRegion
 
   /** Typed view of the known payload fields (load-test.js:35-47,
     * scripts/01_smoke_publish.js:71-77); unknown fields survive inside
@@ -90,7 +94,7 @@ object IngestPipeline {
   /** A9 — normalize the four phone fields inside the payload JSON
     * (phone.js:36-56) via a typed struct round-trip; untouched fields and
     * nested metadata survive. */
-  def phoneNormalized(df: DataFrame): DataFrame = {
+  def phoneNormalized(df: DataFrame, region: String = "US"): DataFrame = {
     // parse once, rebuild the struct flat: a withField fold over from_json
     // re-embeds the parse (and the regex-heavy normalizer) per field and
     // blows up the codegen'd expression tree
@@ -100,7 +104,7 @@ object IngestPipeline {
     val phoneFields = Set("caller", "callee", "from_phone", "to_phone")
     val rebuilt = struct(payloadSchema.fields.toIndexedSeq.map { f =>
       val v = p.getField(f.name)
-      (if (phoneFields(f.name)) normalizePhone(v) else v).as(f.name)
+      (if (phoneFields(f.name)) normalizePhone(v, region) else v).as(f.name)
     }: _*)
     parsed.withColumn("payload_normalized", to_json(rebuilt))
   }
@@ -130,22 +134,38 @@ object IngestPipeline {
   final case class IngestResult(events: DataFrame, dlq: DataFrame,
       sampledOut: DataFrame)
 
-  /** Full pipeline: raw push bodies → (events, dlq, sampled-out).
+  /** Shared front half of the pipeline: decode → validate → sample. All
+    * three outputs ([[split]]) derive from this one frame — callers that
+    * need more than one output should persist it so the fused
+    * decode/validate expression tree is compiled and executed once. */
+  def prepare(raw: DataFrame, cfg: Config = Config()): DataFrame =
+    sampled(validated(decoded(raw)), cfg)
+
+  /** Back half: route a prepared frame into (events, dlq, sampled-out).
     * A12's dedup: events are dropDuplicates on idempotency_key — stronger
     * than the reference's best-effort BigQuery insertId (SURVEY A12). */
-  def run(raw: DataFrame, cfg: Config = Config()): IngestResult = {
-    val v = sampled(validated(decoded(raw)), cfg)
+  def split(v: DataFrame, cfg: Config = Config()): IngestResult = {
     val valid = v.filter(col("is_valid"))
-    val events = projected(phoneNormalized(valid.filter(col("sampled"))), cfg)
+    val events = projected(
+        phoneNormalized(valid.filter(col("sampled")), cfg.defaultRegion), cfg)
       .dropDuplicates("idempotency_key")
     // A13/A14 — terminal errors route to the DLQ with an HTTP-status
     // taxonomy (handler.js:16-32); transient (5xx) rows stay re-playable.
+    // Transport attributes (message_id, ordering_key) ride along when the
+    // source carries them, so replay can reconstruct the message
+    // (replay-dlq-job.js:36-51).
+    val transport = Seq("message_id", "ordering_key").filter(v.columns.contains)
     val dlq = v.filter(!col("is_valid"))
       .withColumn("http_status", categorizeError(col("error_type")))
       .withColumn("replay_attempts", lit(0))
-      .select("data", "error_type", "http_status", "replay_attempts")
+      .select(("data" +: transport ++: Seq("error_type", "http_status",
+        "replay_attempts")).map(col): _*)
     val sampledOut = v.filter(col("is_valid") && !col("sampled"))
       .select("idempotency_key", "tenant_id", "event_type")
     IngestResult(events, dlq, sampledOut)
   }
+
+  /** Full pipeline: raw push bodies → (events, dlq, sampled-out). */
+  def run(raw: DataFrame, cfg: Config = Config()): IngestResult =
+    split(prepare(raw, cfg), cfg)
 }

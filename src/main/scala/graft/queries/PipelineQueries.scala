@@ -181,19 +181,19 @@ object PipelineQueries {
               |ORDER BY dup_key""".stripMargin)),
 
     // A15 — DLQ replay routing (replay-dlq-job.js:76-92): attempts >= max
-    // → parking lot, else increment and republish.
+    // → parking lot, else republish; either way the pass increments the
+    // count (reconstructMessage, js:25 — parking stamps it as
+    // x-final-attempt-count, replay as x-replay-attempts).
     EngineQuery("q36_dlq_replay_route",
       (s, dir) => Tables.events(s, dir)
         .select(col("event_id"), (col("event_id") % 5).as("attempts"))
         .withColumn("route",
           when(col("attempts") >= 3, lit("park")).otherwise(lit("replay")))
-        .withColumn("new_attempts",
-          when(col("attempts") >= 3, col("attempts"))
-            .otherwise(col("attempts") + 1))
+        .withColumn("new_attempts", col("attempts") + 1)
         .orderBy("event_id"),
       Some("""SELECT event_id, attempts,
              |  CASE WHEN attempts >= 3 THEN 'park' ELSE 'replay' END AS route,
-             |  CASE WHEN attempts >= 3 THEN attempts ELSE attempts + 1 END AS new_attempts
+             |  attempts + 1 AS new_attempts
              |FROM (SELECT event_id, event_id % 5 AS attempts FROM events) t
              |ORDER BY event_id""".stripMargin)),
 
