@@ -18,6 +18,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.chunkBase64String.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -32,19 +33,30 @@ object Bench {
     try SparkEntry.queries("q06_counts_by_user_type")(spark, sfDir).count()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // 3 timed passes per query, report the per-query MIN: environmental
+    // noise (page-cache eviction, CPU contention) only ever inflates a
+    // wall-clock sample, so the min is the stable engine-cost estimate.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to runs).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = samples.map(_(name)).filter(_ >= 0)
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    graft.queries.OperatorQueries.reset(spark)
     spark.stop()
   }
 }

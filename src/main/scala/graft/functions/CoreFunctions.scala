@@ -65,9 +65,16 @@ object CoreFunctions {
     *         bare 11 digits starting '1' → '+' ++ digits
     *     GB: bare 10-11 digits with trunk '0' → '+44' ++ digits minus the 0;
     *         bare 9-10 digits without trunk '0' → '+44' ++ digits
+    *     DE: bare 8-12 digits with trunk '0' → '+49' ++ digits minus the 0
+    *         (German NSNs are variable-length, always trunk-prefixed
+    *         nationally)
+    *     FR: bare 10 digits with trunk '0' → '+33' ++ digits minus the 0
+    *         (French national format is exactly 0 + 9 digits)
+    *     IN: bare 10 digits starting 6-9 → '+91' ++ digits (mobile);
+    *         bare 11 digits with trunk '0' → '+91' ++ digits minus the 0
     *   - unknown region or no rule match → null
     * (The reference delegates to libphonenumber; these are the documented
-    * engine-defined subset of its US/GB national rules.)
+    * engine-defined subset of its national rules for the listed regions.)
     */
   def normalizePhone(phone: Column,
       region: String = defaultPhoneRegion): Column = {
@@ -87,6 +94,18 @@ object CoreFunctions {
           concat(lit("+44"), digits.substr(lit(2), lit(14))))
         .when(!hasPlus && n.between(9, 10) && !startswith(digits, lit("0")),
           concat(lit("+44"), digits))
+      case "DE" => intl
+        .when(!hasPlus && n.between(8, 12) && startswith(digits, lit("0")),
+          concat(lit("+49"), digits.substr(lit(2), lit(14))))
+      case "FR" => intl
+        .when(!hasPlus && n === 10 && startswith(digits, lit("0")),
+          concat(lit("+33"), digits.substr(lit(2), lit(14))))
+      case "IN" => intl
+        .when(!hasPlus && n === 10 && digits.substr(lit(1), lit(1))
+            .isin("6", "7", "8", "9"),
+          concat(lit("+91"), digits))
+        .when(!hasPlus && n === 11 && startswith(digits, lit("0")),
+          concat(lit("+91"), digits.substr(lit(2), lit(14))))
       case _ => intl // unknown region: international format only
     }
     withNational.otherwise(lit(null).cast("string"))

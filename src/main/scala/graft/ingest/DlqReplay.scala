@@ -47,7 +47,8 @@ object DlqReplay {
     // the reference counts the parking pass itself: x-final-attempt-count
     // = currentAttempts + 1 (reconstructMessage, replay-dlq-job.js:25,44)
     val parked = base.filter(attempts >= maxAttempts)
-      .withColumn("x_parked_reason", lit("max-replay-attempts-exceeded"))
+      .withColumn("x_parked_reason",
+        lit(s"Exceeded max replay attempts ($maxAttempts)"))
       .withColumn("x_final_attempt_count", attempts + 1)
     val replay = base.filter(attempts < maxAttempts)
       .withColumn(attemptsCol, attempts + 1)

@@ -94,7 +94,9 @@ object IngestPipeline {
   /** A9 — normalize the four phone fields inside the payload JSON
     * (phone.js:36-56) via a typed struct round-trip; untouched fields and
     * nested metadata survive. */
-  def phoneNormalized(df: DataFrame, region: String = "US"): DataFrame = {
+  def phoneNormalized(df: DataFrame,
+      region: String = graft.functions.CoreFunctions.defaultPhoneRegion)
+      : DataFrame = {
     // parse once, rebuild the struct flat: a withField fold over from_json
     // re-embeds the parse (and the regex-heavy normalizer) per field and
     // blows up the codegen'd expression tree

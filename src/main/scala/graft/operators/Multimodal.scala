@@ -26,10 +26,16 @@ object Multimodal {
       embedding: Array[Float])
 
   /** STUB decode — replace with a real codec in production. Deterministic
-    * in the content bytes so tests and retries agree. */
+    * in the content bytes so tests and retries agree, and derived from a
+    * sha256 prefix (== CAST('0x' || substr(sha256(c), 1, 8) AS BIGINT))
+    * so an external SQL oracle can hash-check every metadata field. */
   private[operators] def stubDecode(row: MediaRow): MediaFeatures = {
     val n = row.content.length
-    val h = java.util.Arrays.hashCode(row.content)
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(row.content)
+    // uint32 of the first 4 digest bytes (non-negative, no abs needed)
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     val dim = 16
     val emb = Array.tabulate(dim) { i =>
       // cheap keyed hash → [-1, 1): fake embedding, stable per content
@@ -38,9 +44,9 @@ object Multimodal {
     }
     val isVideo = row.mime.startsWith("video/")
     MediaFeatures(row.media_id, row.mime, n,
-      width = if (n == 0) 0 else 64 + math.abs(h % 577),
-      height = if (n == 0) 0 else 64 + math.abs((h / 7) % 433),
-      n_frames = if (isVideo) 1 + math.abs(h % 240) else 1,
+      width = if (n == 0) 0 else (64 + h % 577).toInt,
+      height = if (n == 0) 0 else (64 + (h / 7) % 433).toInt,
+      n_frames = if (isVideo) (1 + h % 240).toInt else 1,
       embedding = emb)
   }
 

@@ -29,13 +29,25 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact top-k cosine neighbours for a query subset. Brute force —
-    * correct baseline; at scale restrict `queries` or switch to
-    * [[lshNearNeighbours]]. */
-  def topKCosine(embeddings: DataFrame, queryPredicate: Column, k: Int)
-      : DataFrame = {
+    * the correct exactness baseline, but each query row scans every
+    * vector, so the operator REFUSES unbounded query sides: more than
+    * `maxQueries` query rows throws instead of silently launching a
+    * cartesian that cannot finish at the 100 TB design point. Scale
+    * paths: [[ivfTopK]] (probe fewer lists) or [[lshNearNeighbours]]
+    * (signature buckets).
+    *
+    * The guard costs one bounded job: `limit(maxQueries + 1).count()`
+    * stops scanning as soon as the cap is provably exceeded. */
+  def topKCosine(embeddings: DataFrame, queryPredicate: Column, k: Int,
+      maxQueries: Int = 1000): DataFrame = {
     val e = prepared(embeddings)
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qnrm")).filter(queryPredicate)
+    val nQ = q.limit(maxQueries + 1).count()
+    require(nQ <= maxQueries,
+      s"topKCosine is a brute-force baseline: query side has > $maxQueries " +
+        s"rows; narrow the predicate or use Similarity.ivfTopK / " +
+        s"lshNearNeighbours for the scale path")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     q.join(e, col("vec_id") =!= col("q_id"))

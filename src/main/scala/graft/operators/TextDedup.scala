@@ -75,9 +75,17 @@ object TextDedup {
     * (Measured: recomputing the cheap shingle explode per consumer beats
     * persisting the distinct gram set — no cache here on purpose.) */
   def jaccard(grams: DataFrame, pairs: DataFrame): DataFrame = {
-    val gset = grams.select("doc_id", "gram").distinct()
-    val sizes = gset.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val cand = pairs.select("doc_a", "doc_b").distinct()
+    // Semi-join prune FIRST: only grams of docs that appear in a
+    // candidate pair enter the two big joins. At 100 TB candidates are a
+    // sliver of the corpus, so this is the difference between shuffling
+    // all grams and shuffling candidates' grams (the semi-join side is
+    // small → AQE broadcasts it).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val gset = grams.select("doc_id", "gram").distinct()
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = gset.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = cand
       .join(gset.toDF("doc_a", "gram"), Seq("doc_a"))
       .join(gset.toDF("doc_b", "gram"), Seq("doc_b", "gram"))

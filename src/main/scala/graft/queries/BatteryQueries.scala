@@ -160,23 +160,22 @@ object BatteryQueries {
              |GROUP BY nk
              |ORDER BY op, nk""".stripMargin)),
 
-    // Q58 — approximate quantiles (GK sketch): rows-only (the sketch
-    // differs from DuckDB's); the test suite bounds it against the exact
-    // quantile. Quartiles are exploded to one scalar row per (flag, q)
-    // so the driver gate can sort the output (arrays crash its compare).
+    // Q58 — approximate quantiles: rows-only (the GK sketch differs from
+    // DuckDB's); the test suite bounds it against an exact quantile at
+    // test SF. ONLY the mergeable sketch runs here — exact percentile
+    // buffers every group value in one aggregation buffer, which is
+    // unbounded memory at the 100 TB design point. Quartiles are exploded
+    // to one scalar row per (flag, q) so the driver gate can sort the
+    // output (arrays crash its compare).
     EngineQuery("q58_approx_quantile",
       (s, dir) => Tables.table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-            .as("approx_quartiles"),
-          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-            .as("exact_quartiles"))
-        .select(col("l_returnflag"),
-          posexplode(arrays_zip(col("approx_quartiles"), col("exact_quartiles"))))
+            .as("approx_quartiles"))
+        .select(col("l_returnflag"), posexplode(col("approx_quartiles")))
         .select(col("l_returnflag"),
           ((col("pos") + 1).cast("double") * lit(0.25)).as("quantile"),
-          col("col.approx_quartiles").as("approx"),
-          col("col.exact_quartiles").as("exact"))
+          col("col").as("approx"))
         .orderBy("l_returnflag", "quantile"),
       None),
 

@@ -31,13 +31,20 @@ object OperatorQueries {
     * per verify/bench run instead of once per query (~1/4 of round-2
     * bench time was exactly this recompilation). */
   private val shared =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, IngestPipeline.IngestResult]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (org.apache.spark.sql.DataFrame, IngestPipeline.IngestResult)]
   private def pipeline(s: SparkSession): IngestPipeline.IngestResult =
     shared.getOrElseUpdate(s, {
       val v = IngestPipeline.prepare(SyntheticData.envelopes(s, 2000), cfg)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      IngestPipeline.split(v, cfg)
-    })
+      (v, IngestPipeline.split(v, cfg))
+    })._2
+
+  /** Unpersist + evict the shared pipeline frame for a session (or all
+    * sessions). Verify/Bench call this when done so no persisted RDDs —
+    * or strong references to stopped sessions — outlive the run. */
+  def reset(s: SparkSession): Unit =
+    shared.remove(s).foreach { case (df, _) => df.unpersist(blocking = false) }
+  def resetAll(): Unit = shared.keys.foreach(reset)
 
   /** Shared oracle front half: regenerate the synthetic corpus + envelope
     * JSON in DuckDB SQL (same sha256-derived fields as SyntheticData). */
@@ -140,7 +147,8 @@ object OperatorQueries {
           .select(col("data"), col("ordering_key"), col("error_type"),
             col("replay_attempts"), col("route"), col("x_original_message_id"),
             col("x_replay_timestamp").cast("timestamp_ntz")
-              .as("x_replay_timestamp"))
+              .as("x_replay_timestamp"),
+            col("x_parked_reason"))
           .orderBy("data", "route")
       },
       Some(s"""WITH $genSql,
@@ -151,11 +159,15 @@ object OperatorQueries {
               |  CAST(a + 1 AS INT) AS replay_attempts,
               |  CASE WHEN a >= 3 THEN 'park' ELSE 'replay' END AS route,
               |  'msg-' || CAST(i AS VARCHAR) AS x_original_message_id,
-              |  TIMESTAMP '2026-01-01 00:00:00' AS x_replay_timestamp
+              |  TIMESTAMP '2026-01-01 00:00:00' AS x_replay_timestamp,
+              |  CASE WHEN a >= 3 THEN 'Exceeded max replay attempts (3)' END AS x_parked_reason
               |FROM attempts ORDER BY data, route""".stripMargin)),
 
     // EXT — multimodal binary pipeline: bytes → partition-batched stub
-    // decode → flat feature rows.
+    // decode → flat feature rows. The stub's metadata derives from a
+    // sha256-prefix uint32 of the content bytes, so the whole pipeline is
+    // hash-checked against the DuckDB twin (embedding surfaces as its
+    // dimension — the vector itself is float-seeded, not SQL-portable).
     EngineQuery("q44_multimodal_pipeline",
       (s, dir) => {
         implicit val sp = s
@@ -167,6 +179,19 @@ object OperatorQueries {
             size(col("embedding")).as("embedding_dim"))
           .orderBy("media_id")
       },
-      None)
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             |         ELSE 'video/mp4' END AS mime,
+             |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |    CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS h
+             |  FROM documents)
+             |SELECT media_id, mime, n_bytes,
+             |  CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + h % 577 END AS INT) AS width,
+             |  CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + (h // 7) % 433 END AS INT) AS height,
+             |  CAST(CASE WHEN mime = 'video/mp4' THEN 1 + h % 240 ELSE 1 END AS INT) AS n_frames,
+             |  CAST(16 AS INT) AS embedding_dim
+             |FROM m ORDER BY media_id""".stripMargin))
   )
 }

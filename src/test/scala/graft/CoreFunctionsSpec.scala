@@ -13,6 +13,7 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.chunkBase64String.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
@@ -95,6 +96,36 @@ class CoreFunctionsSpec extends AnyFunSuite {
       .select(normalizePhone(col("raw")).as("got"), col("expected"))
       .collect()
     got.foreach(r => assert(r.get(0) === r.get(1)))
+  }
+
+  test("phone normalization: regional national rules (GB/DE/FR/IN trunk handling)") {
+    def check(region: String, cases: Seq[(String, String)]): Unit = {
+      val got = cases.toDF("raw", "expected")
+        .select(normalizePhone(col("raw"), region).as("got"), col("expected"))
+        .collect()
+      got.foreach(r => assert(r.get(0) === r.get(1), s"region=$region"))
+    }
+    check("GB", Seq(
+      ("020 7123 4567", "+442071234567"),   // trunk 0 dropped
+      ("20 7123 4567", "+442071234567"),    // no trunk
+      ("+1 415 555 0001", "+14155550001"))) // intl wins regardless of region
+    check("DE", Seq(
+      ("030 901820", "+4930901820"),        // Berlin, short NSN
+      ("0151 12345678", "+4915112345678"),  // mobile, long NSN
+      ("151 12345678", null)))              // no trunk 0 → no national rule
+    check("FR", Seq(
+      ("01 42 68 53 00", "+33142685300"),
+      ("06 12 34 56 78", "+33612345678"),
+      ("1 42 68 53 00", null),              // 9 digits, no trunk
+      ("01 42 68 53 001", null)))           // 11 digits → not national
+    check("IN", Seq(
+      ("98765 43210", "+919876543210"),     // 10-digit mobile (starts 9)
+      ("09876543210", "+919876543210"),     // trunk-0 variant
+      ("12345 43210", null)))               // starts 1 → not a mobile
+    // unknown region: international only
+    check("ZZ", Seq(
+      ("+44 20 7123 4567", "+442071234567"),
+      ("020 7123 4567", null)))
   }
 
   test("error categorization taxonomy (handler.js:16-32)") {

@@ -146,9 +146,10 @@ class IngestPipelineSpec extends AnyFunSuite {
     val parked = routed.parked.select("data", "x_final_attempt_count")
       .as[(String, Int)].collect().toMap
     assert(replay === Map("d1" -> 1, "d2" -> 3))
-    assert(parked === Map("d3" -> 3, "d4" -> 7))
+    // the parking pass counts itself (replay-dlq-job.js:23-24,45)
+    assert(parked === Map("d3" -> 4, "d4" -> 8))
     assert(routed.parked.select("x_parked_reason").distinct()
-      .as[String].collect().toSeq === Seq("max-replay-attempts-exceeded"))
+      .as[String].collect().toSeq === Seq("Exceeded max replay attempts (3)"))
   }
 
   test("replay attribute hygiene strips googclient_* and the counter (replay-dlq-job.js:31-34)") {

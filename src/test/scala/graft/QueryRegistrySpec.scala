@@ -27,13 +27,23 @@ class QueryRegistrySpec extends AnyFunSuite {
   }
 
   test("percentile_approx stays within 5% of exact quartiles (q58 self-check)") {
+    import org.apache.spark.sql.functions._
     val rows = QueryRegistry.byName("q58_approx_quantile")
       .run(spark, dir).collect()
     assert(rows.length % 3 === 0) // three quartile rows per flag
+    // exact percentile runs ONLY here at test SF — it buffers whole
+    // groups in memory, so it must never ride in the registry query
+    val exact = Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eq"))
+      .select(col("l_returnflag"), posexplode(col("eq")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
     rows.foreach { r =>
       val a = r.getAs[Double]("approx")
-      val e = r.getAs[Double]("exact")
-      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+      val q = r.getAs[Double]("quantile")
+      val e = exact((r.getAs[String]("l_returnflag"), (q / 0.25).round.toInt - 1))
+      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e at q=$q")
     }
   }
 

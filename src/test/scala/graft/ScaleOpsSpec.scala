@@ -70,6 +70,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q11.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("topKCosine refuses an unbounded query side (100 TB guard)") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      operators.Similarity.topKCosine(emb, lit(true), k = 5, maxQueries = 10)
+    }
+    assert(ex.getMessage.contains("brute-force"))
+    // a bounded query side still works
+    assert(operators.Similarity
+      .topKCosine(emb, col("q_id") < 3, k = 2, maxQueries = 10).count() === 6)
+  }
+
   test("salted skew join equals the plain join, deterministic across runs") {
     // fact with an extreme hot key: 90% of rows share key 1
     val fact = spark.range(2000)
