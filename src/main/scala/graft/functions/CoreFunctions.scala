@@ -74,7 +74,12 @@ object CoreFunctions {
     *         bare 11 digits with trunk '0' → '+91' ++ digits minus the 0
     *   - unknown region or no rule match → null
     * (The reference delegates to libphonenumber; these are the documented
-    * engine-defined subset of its national rules for the listed regions.)
+    * engine-defined subset of its national rules for the listed regions.
+    * NANP digit-validity — area code/exchange must not start 0/1 — is
+    * deliberately NOT enforced: the reference's own published goldens
+    * accept `555.123.4567` (01_smoke_publish.js:159), which real NANP
+    * validation rejects, and the engine matches the reference's
+    * documented behavior over the stricter standard.)
     */
   def normalizePhone(phone: Column,
       region: String = defaultPhoneRegion): Column = {

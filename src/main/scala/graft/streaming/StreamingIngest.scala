@@ -25,7 +25,13 @@ object StreamingIngest {
 
   /** Transform a streaming (message_id, data) frame into warehouse rows
     * with watermarked streaming dedup on the idempotency key (A12).
-    * The chain is identical to the batch pipeline — one codegen stage. */
+    * The chain is identical to the batch pipeline — one codegen stage.
+    *
+    * Dedup state is BOUNDED: `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the watermark passes it, matching the reference
+    * sink's best-effort insertId window (bq.js:49) rather than keeping
+    * every key ever seen — plain `dropDuplicates` on a key subset never
+    * evicts, which is unbounded state on an infinite stream. */
   def eventsStream(raw: DataFrame, cfg: IngestPipeline.Config,
       watermark: String = "10 minutes"): DataFrame = {
     val v = IngestPipeline.sampled(
@@ -33,7 +39,7 @@ object StreamingIngest {
     val valid = v.filter(col("is_valid") && col("sampled"))
     IngestPipeline.projected(IngestPipeline.phoneNormalized(valid), cfg)
       .withWatermark("received_at", watermark)
-      .dropDuplicates("idempotency_key")
+      .dropDuplicatesWithinWatermark("idempotency_key")
   }
 
   /** DLQ side output of the same stream (terminal errors only). */
