@@ -26,6 +26,13 @@ object CoreFunctions {
     GraftColumnBridge.column(
       HexPrefixToLongExpr(GraftColumnBridge.expression(hex), 15))
 
+  /** Optimizer inline-barrier: identity on the value, but stops predicate
+    * pushdown / project collapse from re-embedding the column's defining
+    * tree at every reference (see [[NoInlineExpr]]). For expensive derived
+    * columns with many downstream consumers. */
+  def noInline(c: Column): Column =
+    GraftColumnBridge.column(NoInlineExpr(GraftColumnBridge.expression(c)))
+
   /** Deterministic SHA-256 hash bucket in [0, 1].
     * Mirrors reference sampling.js:15-24: sha256(key) hex, first 8 hex
     * chars as uint32, divided by 0xffffffff. */

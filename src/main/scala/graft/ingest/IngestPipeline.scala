@@ -50,9 +50,15 @@ object IngestPipeline {
   def decoded(raw: DataFrame, dataCol: String = "data"): DataFrame = {
     val json = col("__raw_json")
     // try_to_binary: malformed base64 yields null (→ invalid_json route)
-    // instead of an ANSI execution error
+    // instead of an ANSI execution error.
+    // noInline: downstream validation filters reference the decoded JSON
+    // ~12×; without the barrier, predicate pushdown re-embeds the whole
+    // decode-of-source tree per reference — recomputed per row AND (with
+    // an expression-defined source like the synthetic generator) a fused
+    // stage past the JVM's 64 KB codegen limit. Decode once, reference
+    // many.
     raw.withColumn("__raw_json",
-        expr(s"cast(try_to_binary($dataCol, 'base64') as string)"))
+        noInline(expr(s"cast(try_to_binary($dataCol, 'base64') as string)")))
       .withColumn("envelope_version", get_json_object(json, "$.envelope_version"))
       .withColumn("event_type", get_json_object(json, "$.event_type"))
       .withColumn("schema_version", get_json_object(json, "$.schema_version"))
@@ -145,11 +151,25 @@ object IngestPipeline {
 
   /** Back half: route a prepared frame into (events, dlq, sampled-out).
     * A12's dedup: events are dropDuplicates on idempotency_key — stronger
-    * than the reference's best-effort BigQuery insertId (SURVEY A12). */
+    * than the reference's best-effort BigQuery insertId (SURVEY A12).
+    * IngestPipelineSpec asserts the whole path stays inside whole-stage
+    * codegen with spark.sql.codegen.fallback=false. */
   def split(v: DataFrame, cfg: Config = Config()): IngestResult = {
     val valid = v.filter(col("is_valid"))
+    // The explicit repartition IS the dedup's shuffle (hashpartitioning on
+    // the key satisfies the aggregate's distribution — EnsureRequirements
+    // adds no second exchange). Placing it between the heavy
+    // decode→normalize→project tree and the dedup aggregate cuts the
+    // codegen stage there: the map side carries the column work (a plain
+    // projection, which codegens fine), the reduce side aggregates 11
+    // already-materialized attributes. Fused into one stage, the
+    // aggregate's generated doAggregateWithKeys() re-embeds every
+    // upstream column tree per first() expr and exceeds the JVM's 64 KB
+    // method limit — a silent fall-back off whole-stage codegen for the
+    // hot ingest stage.
     val events = projected(
         phoneNormalized(valid.filter(col("sampled")), cfg.defaultRegion), cfg)
+      .repartition(col("idempotency_key"))
       .dropDuplicates("idempotency_key")
     // A13/A14 — terminal errors route to the DLQ with an HTTP-status
     // taxonomy (handler.js:16-32); transient (5xx) rows stay re-playable.

@@ -101,6 +101,22 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(res2.events.count() === kept)
   }
 
+  test("ingest dedup aggregate stays inside whole-stage codegen (no 64KB fallback)") {
+    // With fallback disabled, a generated method blowing the JVM's 64 KB
+    // limit fails the job instead of silently dropping to interpreted
+    // execution — this pins the noInline decode barrier plus the
+    // repartition stage-cut before the dedup aggregate (without them,
+    // pushdown re-embedded the decode tree ~12× into one fused stage and
+    // logged `ERROR CodeGenerator ... Code grows beyond 64 KB`).
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val res = IngestPipeline.run(SyntheticData.envelopes(spark, 2000),
+        IngestPipeline.Config(auditRate = 0.8, receivedAt = Some(fixedTs)))
+      assert(res.events.count() > 1400)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("synthetic generator: deterministic, with planted invalid slices (load-test.js:22-55)") {
     val a = SyntheticData.envelopes(spark, 500).collect()
     val b = SyntheticData.envelopes(spark, 500).collect()
