@@ -78,7 +78,9 @@ object CoreFunctions {
     *     FR: bare 10 digits with trunk '0' → '+33' ++ digits minus the 0
     *         (French national format is exactly 0 + 9 digits)
     *     IN: bare 10 digits starting 6-9 → '+91' ++ digits (mobile);
-    *         bare 11 digits with trunk '0' → '+91' ++ digits minus the 0
+    *         bare 11 digits with trunk '0' and post-trunk digit 6-9 →
+    *         '+91' ++ digits minus the 0 (same mobile-prefix validity
+    *         either way)
     *   - unknown region or no rule match → null
     * (The reference delegates to libphonenumber; these are the documented
     * engine-defined subset of its national rules for the listed regions.
@@ -116,7 +118,11 @@ object CoreFunctions {
         .when(!hasPlus && n === 10 && digits.substr(lit(1), lit(1))
             .isin("6", "7", "8", "9"),
           concat(lit("+91"), digits))
-        .when(!hasPlus && n === 11 && startswith(digits, lit("0")),
+        // trunk-0 form gets the SAME 6-9 mobile-prefix check on the
+        // post-trunk digits: '01234543210' must not normalize when
+        // '1234543210' would be rejected
+        .when(!hasPlus && n === 11 && startswith(digits, lit("0")) &&
+            digits.substr(lit(2), lit(1)).isin("6", "7", "8", "9"),
           concat(lit("+91"), digits.substr(lit(2), lit(14))))
       case _ => intl // unknown region: international format only
     }

@@ -37,13 +37,17 @@ object Similarity {
     * (signature buckets).
     *
     * The guard costs one bounded job: `limit(maxQueries + 1).count()`
-    * stops scanning as soon as the cap is provably exceeded. */
+    * stops scanning as soon as the cap is provably exceeded, and counts a
+    * q_id-only projection so column pruning drops the normalize/sqrt work
+    * from the guard scan (unless the predicate itself references qv/qnrm).
+    * The default cap is deliberate API: callers that need a larger EXACT
+    * scan must raise `maxQueries` explicitly and own the cost. */
   def topKCosine(embeddings: DataFrame, queryPredicate: Column, k: Int,
       maxQueries: Int = 1000): DataFrame = {
     val e = prepared(embeddings)
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qnrm")).filter(queryPredicate)
-    val nQ = q.limit(maxQueries + 1).count()
+    val nQ = q.select("q_id").limit(maxQueries + 1).count()
     require(nQ <= maxQueries,
       s"topKCosine is a brute-force baseline: query side has > $maxQueries " +
         s"rows; narrow the predicate or use Similarity.ivfTopK / " +

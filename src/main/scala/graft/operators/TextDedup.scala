@@ -56,49 +56,89 @@ object TextDedup {
     * Implemented as ONE pass over the signatures — group each bucket,
     * collect its member list, explode the pairs — instead of a self-join,
     * which would compute the whole signature pipeline twice (Spark does
-    * not reuse the exchange across the join's two sides here). Bucket
-    * member lists are bounded by bucket population; a pathological
-    * mega-bucket (every doc identical) is exactly the case where exact
-    * dedup should run first. */
-  def candidatePairs(sigs: DataFrame): DataFrame =
+    * not reuse the exchange across the join's two sides here).
+    *
+    * Degenerate-corpus guard: a bucket's member list lives in one task,
+    * so a mega-bucket (millions of near-identical docs sharing a band
+    * value — the case exact dedup should have removed first) would OOM
+    * that task. Buckets are therefore capped at `maxBucketSize` members
+    * (deterministically: the sorted-smallest ids are kept), and every run
+    * reports `minhash_lsh_buckets` observed metrics (n_overflow_buckets,
+    * max_bucket_size) — watch them via a QueryExecutionListener; nonzero
+    * overflow means candidates were dropped and exact dedup should run
+    * first. */
+  def candidatePairs(sigs: DataFrame, maxBucketSize: Int = 4096): DataFrame =
     sigs.groupBy("band", "minhash")
       .agg(collect_list(col(sigs.columns.head)).as("docs"))
       .filter(size(col("docs")) > 1)
-      .select(col("band"), explode(col("docs")).as("doc_a"), col("docs"))
-      .select(col("band"), col("doc_a"), explode(col("docs")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_bucket", size(col("docs")))
+      // sort once per bucket: the slice caps deterministically (smallest
+      // ids kept) and lets the pair generator below emit each unordered
+      // pair exactly once
+      .withColumn("docs", slice(array_sort(col("docs")), 1, maxBucketSize))
+      .observe("minhash_lsh_buckets",
+        sum(when(col("n_bucket") > maxBucketSize, 1L).otherwise(0L))
+          .as("n_overflow_buckets"),
+        max(col("n_bucket")).as("max_bucket_size"))
+      // ordered-pair generation: doc_a at position pos pairs with the
+      // array's tail only — emits n·(n-1)/2 rows instead of n² rows
+      // filtered in half
+      .select(col("band"), col("docs"), posexplode(col("docs")))
+      .select(col("band"), col("col").as("doc_a"),
+        explode(expr("slice(docs, pos + 2, size(docs))")).as("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(countDistinct(col("band")).as("n_shared_bands"))
+      // a doc holds ONE minhash per band, so a pair meets at most once
+      // per band: plain count == countDistinct(band) without the
+      // distinct-aggregate Expand over every exploded row
+      .agg(count(lit(1)).as("n_shared_bands"))
 
   /** Exact n-gram Jaccard for candidate pairs: integer intersection and
     * set sizes (no float drift), ratio surfaced as double.
     * (Measured: recomputing the cheap shingle explode per consumer beats
-    * persisting the distinct gram set — no cache here on purpose.) */
+    * persisting the distinct gram set — no cache here on purpose.)
+    *
+    * Grams enter the distinct/joins as xxhash64 longs, not raw strings:
+    * the distinct + two intersection joins shuffle the gram column three
+    * times, and a fixed 8-byte long halves the shuffle width vs
+    * variable-length UTF8 strings while making join comparisons
+    * branch-free. The hash never reaches the output — only per-pair
+    * COUNTS do — so any injective-on-the-pair's-grams hash yields
+    * identical results (collision odds ~1e-11 for 10k-gram docs) and the
+    * oracle twin can keep raw grams; that frees Spark to use the cheap
+    * codegen'd xxhash64 instead of an oracle-portable sha256. */
   def jaccard(grams: DataFrame, pairs: DataFrame): DataFrame = {
     val cand = pairs.select("doc_a", "doc_b").distinct()
     // Semi-join prune FIRST: only grams of docs that appear in a
-    // candidate pair enter the two big joins. At 100 TB candidates are a
-    // sliver of the corpus, so this is the difference between shuffling
-    // all grams and shuffling candidates' grams (the semi-join side is
-    // small → AQE broadcasts it).
+    // candidate pair survive. At 100 TB candidates are a sliver of the
+    // corpus, so this is the difference between shuffling all grams and
+    // shuffling candidates' grams (the semi-join side is small → AQE
+    // broadcasts it).
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val gset = grams.select("doc_id", "gram").distinct()
+    val gset = grams
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .distinct()
       .join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = gset.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val inter = cand
-      .join(gset.toDF("doc_a", "gram"), Seq("doc_a"))
-      .join(gset.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"),
-        col("nb"),
-        (col("n_inter").cast("double") /
+    // One gram-set array per doc (bounded by the doc's own length — the
+    // same per-document bound every dedup stage already assumes), then a
+    // single codegen'd array_intersect per candidate pair. This replaces
+    // the gram-level intersection join whose pre-aggregation row count is
+    // Σ_pairs |a ∩ b| — the dominant cost when candidates are dense —
+    // with work proportional to |pairs| + |candidate docs' grams|.
+    val gArr = gset.groupBy("doc_id")
+      .agg(collect_list(col("gram")).as("grams"))
+    cand
+      .join(gArr.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
+        Seq("doc_a"))
+      .join(gArr.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        size(col("ga")).cast("long").as("na"),
+        size(col("gb")).cast("long").as("nb"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double"))
-          .as("jaccard"))
   }
 
   /** 60-bit SimHash fingerprints from a (doc_id, tok) token frame. */
@@ -117,17 +157,28 @@ object TextDedup {
 
   /** SimHash near-dup pairs via 15-bit chunk banding (4 chunks), Hamming
     * distance filter on candidates only. Same one-pass bucket-explode
-    * shape as [[candidatePairs]] — no self-join recomputation. */
-  def simhashNearDups(fingerprints: DataFrame, maxHamming: Int): DataFrame =
+    * shape as [[candidatePairs]], including the deterministic
+    * `maxBucketSize` cap and the `simhash_lsh_buckets` observed overflow
+    * metrics — no self-join recomputation. */
+  def simhashNearDups(fingerprints: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = 4096): DataFrame =
     fingerprints.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val", expr("(simhash >> (chunk * 15)) & 32767"))
       .groupBy("chunk", "chunk_val")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
       .filter(size(col("docs")) > 1)
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("n_bucket", size(col("docs")))
+      // struct sort orders by doc_id (unique per bucket) — deterministic
+      // cap + strictly ordered pair generation, as in candidatePairs
+      .withColumn("docs", slice(array_sort(col("docs")), 1, maxBucketSize))
+      .observe("simhash_lsh_buckets",
+        sum(when(col("n_bucket") > maxBucketSize, 1L).otherwise(0L))
+          .as("n_overflow_buckets"),
+        max(col("n_bucket")).as("max_bucket_size"))
+      .select(col("docs"), posexplode(col("docs")))
+      .select(col("col").as("a"),
+        explode(expr("slice(docs, pos + 2, size(docs))")).as("b"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
       .distinct()

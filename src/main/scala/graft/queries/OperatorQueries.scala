@@ -22,6 +22,10 @@ import graft.operators.Multimodal
 object OperatorQueries {
 
   private val fixedTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** Shared replay cap for q43 — interpolated into BOTH the engine call
+    * and the oracle SQL so the two can't silently diverge. */
+  private val dlqMaxAttempts = 3
   private def cfg = IngestPipeline.Config(auditRate = 0.8,
     receivedAt = Some(fixedTs))
 
@@ -137,7 +141,7 @@ object OperatorQueries {
       (s, _) => {
         val dlq = pipeline(s).dlq.withColumn("replay_attempts",
           pmod(hexPrefixToLong(sha2(col("data"), 256)), lit(5)).cast("int"))
-        val routed = DlqReplay.route(dlq, maxAttempts = 3,
+        val routed = DlqReplay.route(dlq, maxAttempts = dlqMaxAttempts,
           replayTimestamp = Some(fixedTs))
         routed.replay.withColumn("route", lit("replay"))
           .unionByName(routed.parked
@@ -157,10 +161,10 @@ object OperatorQueries {
               |  FROM dlq0)
               |SELECT data, tenant AS ordering_key, error_type,
               |  CAST(a + 1 AS INT) AS replay_attempts,
-              |  CASE WHEN a >= 3 THEN 'park' ELSE 'replay' END AS route,
+              |  CASE WHEN a >= $dlqMaxAttempts THEN 'park' ELSE 'replay' END AS route,
               |  'msg-' || CAST(i AS VARCHAR) AS x_original_message_id,
               |  TIMESTAMP '2026-01-01 00:00:00' AS x_replay_timestamp,
-              |  CASE WHEN a >= 3 THEN 'Exceeded max replay attempts (3)' END AS x_parked_reason
+              |  CASE WHEN a >= $dlqMaxAttempts THEN 'Exceeded max replay attempts ($dlqMaxAttempts)' END AS x_parked_reason
               |FROM attempts ORDER BY data, route""".stripMargin)),
 
     // EXT — multimodal binary pipeline: bytes → partition-batched stub

@@ -121,7 +121,8 @@ class CoreFunctionsSpec extends AnyFunSuite {
     check("IN", Seq(
       ("98765 43210", "+919876543210"),     // 10-digit mobile (starts 9)
       ("09876543210", "+919876543210"),     // trunk-0 variant
-      ("12345 43210", null)))               // starts 1 → not a mobile
+      ("12345 43210", null),                // starts 1 → not a mobile
+      ("01234543210", null)))               // trunk-0 of a non-mobile → null too
     // unknown region: international only
     check("ZZ", Seq(
       ("+44 20 7123 4567", "+442071234567"),

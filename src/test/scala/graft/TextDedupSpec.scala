@@ -63,6 +63,53 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.get((0L, 2L)).exists(_ <= 10))
   }
 
+  test("LSH bucket cap bounds a degenerate mega-bucket deterministically") {
+    // 6 identical docs → every (band, minhash) bucket holds all 6 ids.
+    // With maxBucketSize=3 only the 3 smallest ids survive per bucket, so
+    // pairs come from {0,1,2} only — the task-side member list is bounded
+    // no matter how degenerate the corpus is.
+    val clones = (0L to 5L).map((_, base)).toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(TextDedup.shingles(clones))
+    val pairs = TextDedup.candidatePairs(sigs, maxBucketSize = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // same guard on the simhash path
+    val tokens = clones.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val fp = TextDedup.simhashFingerprints(tokens)
+    val sPairs = TextDedup.simhashNearDups(fp, maxHamming = 59, maxBucketSize = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sPairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("LSH bucket overflow is observable via Dataset metrics") {
+    // The operator reports overflow through observe(); a production
+    // QueryExecutionListener is how ops watch it. Register one, run an
+    // action, and read the metrics row it captured.
+    val clones = (0L to 5L).map((_, base)).toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(TextDedup.shingles(clones))
+    @volatile var metrics: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        qe.observedMetrics.get("minhash_lsh_buckets").foreach(r => metrics = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      TextDedup.candidatePairs(sigs, maxBucketSize = 3).count()
+      // listener delivery is async; bounded spin-wait
+      val deadline = System.currentTimeMillis() + 30000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(metrics.isDefined, "observed metrics never fired")
+      val m = metrics.get
+      assert(m.getAs[Long]("n_overflow_buckets") > 0L)
+      assert(m.getAs[Int]("max_bucket_size") === 6)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("IVF probe search recalls most of the exact top-k (q48 vs q27 shape)") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5)
