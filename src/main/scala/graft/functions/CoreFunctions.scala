@@ -26,6 +26,19 @@ object CoreFunctions {
     GraftColumnBridge.column(
       HexPrefixToLongExpr(GraftColumnBridge.expression(hex), 15))
 
+  /** Fused sha256 → first 8 hex chars as uint32 Long: one thread-local
+    * digest, no intermediate hex string (see [[Sha256PrefixLongExpr]]).
+    * Bit-identical to `hexPrefixToLong(sha2(c, 256))` and to the DuckDB
+    * twin CAST('0x' || substr(sha256(c), 1, 8) AS BIGINT). */
+  def sha256PrefixLong(c: Column): Column =
+    GraftColumnBridge.column(
+      Sha256PrefixLongExpr(GraftColumnBridge.expression(c), 8))
+
+  /** Fused sha256 → first 15 hex chars as 60-bit Long. */
+  def sha256PrefixLong15(c: Column): Column =
+    GraftColumnBridge.column(
+      Sha256PrefixLongExpr(GraftColumnBridge.expression(c), 15))
+
   /** Optimizer inline-barrier: identity on the value, but stops predicate
     * pushdown / project collapse from re-embedding the column's defining
     * tree at every reference (see [[NoInlineExpr]]). For expensive derived
@@ -37,7 +50,7 @@ object CoreFunctions {
     * Mirrors reference sampling.js:15-24: sha256(key) hex, first 8 hex
     * chars as uint32, divided by 0xffffffff. */
   def hashBucket(key: Column): Column =
-    hexPrefixToLong(sha2(key, 256)) / lit(4294967295.0)
+    sha256PrefixLong(key) / lit(4294967295.0)
 
   /** Deterministic sampling decision (reference sampling.js shouldSample):
     * rate >= 1 keeps all, rate <= 0 drops all, else hash-bucket compare.

@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.CoreFunctions.hexPrefixToLong15
+import graft.functions.CoreFunctions.sha256PrefixLong15
 
 /** A18 — distributed synthetic envelope generator (reference
   * load-test.js:22-55 / scripts/04_step_load_test.js:28-62): seeded,
@@ -32,8 +32,8 @@ object SyntheticData {
     // 60-bit non-negative hash both engines can compute:
     //   CAST('0x' || substr(sha256('syn:' || i || ':' || seed), 1, 15) AS BIGINT)
     val base = spark.range(n).select(col("id"),
-      hexPrefixToLong15(sha2(concat(lit("syn:"), col("id").cast("string"),
-        lit(s":$seed")), 256)).as("h"))
+      sha256PrefixLong15(concat(lit("syn:"), col("id").cast("string"),
+        lit(s":$seed"))).as("h"))
     val h = col("h")
     val tenant = pick(h, Seq("tenant-a", "tenant-b", "tenant-c"))
     // integer div (not /: true division would go through double and lose

@@ -43,7 +43,7 @@ object TextDedup {
         lit(4294967296L)).as(s"m$b"))
     val stackArgs = (0 until bands).map(b => s"$b, m$b").mkString(", ")
     grams
-      .withColumn("h", hexPrefixToLong(sha2(col("gram"), 256)))
+      .withColumn("h", sha256PrefixLong(col("gram")))
       .groupBy(idCol)
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
@@ -144,7 +144,7 @@ object TextDedup {
   /** 60-bit SimHash fingerprints from a (doc_id, tok) token frame. */
   def simhashFingerprints(tokens: DataFrame): DataFrame =
     tokens
-      .select(col("doc_id"), hexPrefixToLong15(sha2(col("tok"), 256)).as("h"))
+      .select(col("doc_id"), sha256PrefixLong15(col("tok")).as("h"))
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(59))).as("bit"))
       .groupBy("doc_id", "bit")

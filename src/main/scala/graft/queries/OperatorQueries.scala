@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.ingest.{DlqReplay, IngestPipeline, SyntheticData}
-import graft.functions.CoreFunctions.hexPrefixToLong
+import graft.functions.CoreFunctions.sha256PrefixLong
 import graft.operators.Multimodal
 
 /** Library-operator queries (SURVEY §2A A2–A15, A18 + multimodal EXT):
@@ -140,7 +140,7 @@ object OperatorQueries {
     EngineQuery("q43_dlq_replay_routed",
       (s, _) => {
         val dlq = pipeline(s).dlq.withColumn("replay_attempts",
-          pmod(hexPrefixToLong(sha2(col("data"), 256)), lit(5)).cast("int"))
+          pmod(sha256PrefixLong(col("data")), lit(5)).cast("int"))
         val routed = DlqReplay.route(dlq, maxAttempts = dlqMaxAttempts,
           replayTimestamp = Some(fixedTs))
         routed.replay.withColumn("route", lit("replay"))

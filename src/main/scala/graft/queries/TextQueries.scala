@@ -39,7 +39,7 @@ object TextQueries {
     * sha256 per gram instead of one per (gram, band): 8× fewer digest
     * calls on the hot path, identical algebra in DuckDB. */
   private def bandHash(band: Column, gram: Column): Column = {
-    val h = hexPrefixToLong(sha2(gram, 256))
+    val h = sha256PrefixLong(gram)
     (h * (band * 2 + 1) + band * lit(2654435761L)) % lit(4294967296L)
   }
 

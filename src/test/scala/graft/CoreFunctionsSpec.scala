@@ -49,6 +49,23 @@ class CoreFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused sha256_prefix_long is bit-identical to hex_prefix_long(sha2(s))") {
+    // exercises both nHex parities (8: whole bytes, 15: trailing nibble)
+    // over unicode, empty, long, and random ASCII strings
+    val gen = Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const("héllo wörld ✓"), Gen.const("x" * 5000))
+    val samples = (1 to 200).flatMap(_ => gen.sample) :+ "syn:42:42"
+    val df = samples.toDF("s").select(
+      sha256PrefixLong(col("s")).as("fused8"),
+      hexPrefixToLong(sha2(col("s"), 256)).as("chain8"),
+      sha256PrefixLong15(col("s")).as("fused15"),
+      hexPrefixToLong15(sha2(col("s"), 256)).as("chain15"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("shouldSample: rate >= 1 keeps all, rate <= 0 drops all (sampling.js:16-17)") {
     val df = samplingVectors.map(_._1).toDF("key")
     assert(df.filter(shouldSample(col("key"), 1.0)).count() === 6)
