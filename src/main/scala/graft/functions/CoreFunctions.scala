@@ -94,6 +94,15 @@ object CoreFunctions {
     *         bare 11 digits with trunk '0' and post-trunk digit 6-9 →
     *         '+91' ++ digits minus the 0 (same mobile-prefix validity
     *         either way)
+    *     BR: bare 10 digits (2-digit area + 8) or 11 digits with 9-led
+    *         NSN (mobile), area never 0-led → '+55' ++ digits
+    *     AU: bare 10 digits with trunk '0' → '+61' ++ digits minus the 0
+    *     ES: bare 9 digits starting 6-9 → '+34' ++ digits (no trunk)
+    *     IT: bare 9-11 digits starting '0' (the 0 is part of the number —
+    *         no trunk drop) or 9-10 digits starting '3' (mobile)
+    *         → '+39' ++ digits
+    *     JP: bare 10-11 digits with trunk '0' → '+81' ++ digits minus
+    *         the 0
     *   - unknown region or no rule match → null
     * (The reference delegates to libphonenumber; these are the documented
     * engine-defined subset of its national rules for the listed regions.
@@ -137,6 +146,34 @@ object CoreFunctions {
         .when(!hasPlus && n === 11 && startswith(digits, lit("0")) &&
             digits.substr(lit(2), lit(1)).isin("6", "7", "8", "9"),
           concat(lit("+91"), digits.substr(lit(2), lit(14))))
+      case "BR" => intl
+        // area code (2 digits, never 0-leading) + 8-digit landline or
+        // 9-digit mobile whose NSN starts with 9
+        .when(!hasPlus && n === 10 && !startswith(digits, lit("0")),
+          concat(lit("+55"), digits))
+        .when(!hasPlus && n === 11 && !startswith(digits, lit("0")) &&
+            digits.substr(lit(3), lit(1)) === "9",
+          concat(lit("+55"), digits))
+      case "AU" => intl
+        // national format is always trunk 0 + 9 digits
+        .when(!hasPlus && n === 10 && startswith(digits, lit("0")),
+          concat(lit("+61"), digits.substr(lit(2), lit(14))))
+      case "ES" => intl
+        // 9 digits, no trunk prefix; 6/7 mobile, 8/9 landline
+        .when(!hasPlus && n === 9 && digits.substr(lit(1), lit(1))
+            .isin("6", "7", "8", "9"),
+          concat(lit("+34"), digits))
+      case "IT" => intl
+        // leading 0 is PART of Italian landline numbers (no trunk drop);
+        // mobiles are 9-10 digits starting 3
+        .when(!hasPlus && n.between(9, 11) && startswith(digits, lit("0")),
+          concat(lit("+39"), digits))
+        .when(!hasPlus && n.between(9, 10) && startswith(digits, lit("3")),
+          concat(lit("+39"), digits))
+      case "JP" => intl
+        // national format is trunk 0 + 9-10 digits
+        .when(!hasPlus && n.between(10, 11) && startswith(digits, lit("0")),
+          concat(lit("+81"), digits.substr(lit(2), lit(14))))
       case _ => intl // unknown region: international format only
     }
     withNational.otherwise(lit(null).cast("string"))

@@ -140,6 +140,27 @@ class CoreFunctionsSpec extends AnyFunSuite {
       ("09876543210", "+919876543210"),     // trunk-0 variant
       ("12345 43210", null),                // starts 1 → not a mobile
       ("01234543210", null)))               // trunk-0 of a non-mobile → null too
+    check("BR", Seq(
+      ("11 98765-4321", "+5511987654321"),  // mobile: area 11, NSN starts 9
+      ("11 3456-7890", "+551134567890"),    // 10-digit landline
+      ("11 88765-4321", null),              // 11 digits, NSN not 9-led
+      ("011 3456-7890", null)))             // 0-led area → not national
+    check("AU", Seq(
+      ("02 9374 4000", "+61293744000"),     // trunk 0 dropped
+      ("0412 345 678", "+61412345678"),     // mobile
+      ("2 9374 4000", null)))               // no trunk → no rule
+    check("ES", Seq(
+      ("612 34 56 78", "+34612345678"),     // mobile
+      ("917 70 10 00", "+34917701000"),     // landline
+      ("512 34 56 78", null)))              // 5-led → no rule
+    check("IT", Seq(
+      ("06 6982 0001", "+390669820001"),    // landline keeps the 0
+      ("347 123 4567", "+393471234567"),    // mobile
+      ("47 123 4567", null)))               // neither 0- nor 3-led
+    check("JP", Seq(
+      ("03-1234-5678", "+81312345678"),     // Tokyo, trunk 0 dropped
+      ("090-1234-5678", "+819012345678"),   // mobile
+      ("3-1234-5678", null)))               // no trunk → no rule
     // unknown region: international only
     check("ZZ", Seq(
       ("+44 20 7123 4567", "+442071234567"),
