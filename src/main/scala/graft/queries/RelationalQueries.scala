@@ -327,6 +327,23 @@ object RelationalQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
              |FROM lineitem
              |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // Q62 — explicit salt-based skew-safe join (SkewJoin.saltedInnerJoin,
+    // plan-asserted in ScaleOpsSpec): the fact side's key is salted on
+    // the per-row event id, the dimension is replicated; row-identical to
+    // the plain inner join, which is exactly what the oracle runs.
+    EngineQuery("q62_salted_join",
+      (s, dir) => graft.operators.SkewJoin.saltedInnerJoin(
+          Tables.events(s, dir),
+          t(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          key = "user_id",
+          saltSource = col("event_id"), saltFactor = 8)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, c_mktsegment
+             |FROM events JOIN customer ON c_custkey = user_id
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -384,7 +384,110 @@ object TextQueries {
               |  COUNT(DISTINCT wmin) AS n_fingerprints,
               |  MIN(h) AS min_gram_hash
               |FROM winnowed WHERE i >= 4
-              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q61 — the full corpus-curation pipeline a training-data run actually
+    // executes, composed from the engine's own operators: exact dedup
+    // (keep min doc_id per content hash) → SimHash near-dup removal
+    // (drop the larger id of every hamming<=12 pair) → quality floor →
+    // per-doc language + token metadata. Every stage is the shuffle-on-
+    // key/banded shape proven scale-safe by its standalone entry
+    // (q25/q29/q30/q32-q34).
+    EngineQuery("q61_corpus_curation",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val keepers = d.groupBy(sha2(col("text"), 256).as("text_hash"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val kept = d.join(keepers, Seq("doc_id"), "left_semi")
+        val toks = kept.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val nearDupDrop = TextDedup.simhashNearDups(
+            TextDedup.simhashFingerprints(toks), maxHamming = 12)
+          .select(col("doc_b").as("doc_id")).distinct()
+        def hits(ws: Seq[String]) =
+          sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L))
+        val metrics = toks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(length(col("tok"))).as("sum_len"),
+            sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+              .as("n_stop"),
+            hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
+            hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
+          .select(col("doc_id"), col("n_tokens"),
+            (least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.3 +
+              (lit(1.0) - col("n_stop").cast("double") /
+                col("n_tokens").cast("double")) * 0.4 +
+              least(lit(1.0), (col("sum_len").cast("double") /
+                col("n_tokens").cast("double")) / 8.0) * 0.3)
+              .as("quality_score"),
+            when(col("en_hits") >= col("es_hits") &&
+              col("en_hits") >= col("de_hits") &&
+              col("en_hits") >= col("fr_hits"), lit("en"))
+              .when(col("es_hits") >= col("de_hits") &&
+                col("es_hits") >= col("fr_hits"), lit("es"))
+              .when(col("de_hits") >= col("fr_hits"), lit("de"))
+              .otherwise(lit("fr")).as("predicted_lang"))
+        kept.join(nearDupDrop, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+          .join(metrics, Seq("doc_id"))
+          .filter(col("quality_score") >= 0.5)
+          .select(col("doc_id"), col("predicted_lang"),
+            round(col("quality_score"), 6).as("quality_score"),
+            col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH keepers AS (
+              |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+              |kept AS (
+              |  SELECT d.doc_id, d.text FROM documents d
+              |  JOIN keepers k ON k.doc_id = d.doc_id),
+              |toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM kept),
+              |th AS (
+              |  SELECT doc_id, $tokHash60Sql AS h FROM toks),
+              |bits AS (
+              |  SELECT doc_id, bit,
+              |    CAST(SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_score
+              |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+              |  GROUP BY doc_id, bit),
+              |fp AS (
+              |  SELECT doc_id,
+              |    CAST(SUM(CASE WHEN bit_score > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+              |  FROM bits GROUP BY doc_id),
+              |chunks AS (
+              |  SELECT doc_id, simhash, chunk, ((simhash >> (chunk * 15)) & 32767) AS chunk_val
+              |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c),
+              |near_dup_drop AS (
+              |  SELECT DISTINCT b.doc_id
+              |  FROM chunks a JOIN chunks b
+              |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+              |    AND a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+              |metrics AS (
+              |  SELECT doc_id, n_tokens,
+              |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+              |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+              |    + least(1.0, (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.3 AS quality_score,
+              |    CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+              |         WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+              |         WHEN de_hits >= fr_hits THEN 'de'
+              |         ELSE 'fr' END AS predicted_lang
+              |  FROM (
+              |    SELECT doc_id, COUNT(*) AS n_tokens,
+              |      CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+              |      CAST(SUM(CASE WHEN tok IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+              |      CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.en)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+              |      CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.es)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+              |      CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.de)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+              |      CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.fr)}) THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+              |    FROM toks GROUP BY doc_id) t)
+              |SELECT k.doc_id, m.predicted_lang,
+              |  round(m.quality_score, 6) AS quality_score, m.n_tokens
+              |FROM kept k
+              |JOIN metrics m ON m.doc_id = k.doc_id
+              |WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dup_drop)
+              |  AND m.quality_score >= 0.5
+              |ORDER BY k.doc_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
