@@ -141,19 +141,24 @@ object TextDedup {
           (col("na") + col("nb") - col("n_inter")).cast("double"))
   }
 
-  /** 60-bit SimHash fingerprints from a (doc_id, tok) token frame. */
-  def simhashFingerprints(tokens: DataFrame): DataFrame =
+  /** 60-bit SimHash fingerprints from a (doc_id, tok) token frame.
+    *
+    * The per-bit ±1 scores fold map-side as 60 conditional sum-aggregates
+    * over the token hash — NOT via a 60× bit-explode, whose 60·|tokens|
+    * rows would all cross the shuffle. Same algebra, shuffle volume
+    * |docs| rows of 60 longs. */
+  def simhashFingerprints(tokens: DataFrame): DataFrame = {
+    val bitScores = (0 until 60).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
     tokens
       .select(col("doc_id"), sha256PrefixLong15(col("tok")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L))
-        .as("bit_score"))
       .groupBy("doc_id")
-      .agg(sum(when(col("bit_score") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitScores.head, bitScores.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs via 15-bit chunk banding (4 chunks), Hamming
     * distance filter on candidates only. Same one-pass bucket-explode
