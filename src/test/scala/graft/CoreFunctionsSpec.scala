@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.chunkBase64String.enabled", "false")
+      // strict codegen: a generated method failing to compile (e.g. the
+      // 64 KB JVM limit) fails the test instead of silently dropping the
+      // stage to interpreted execution — every suite is a codegen check
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
