@@ -61,6 +61,26 @@ object Multimodal {
     }
   }
 
+  /** Resize planning: target dimensions that fit a `maxW`×`maxH` box
+    * preserving aspect ratio (never upscaled, floor 1px). Pure column
+    * arithmetic over the decoded metadata — the pixel resample itself
+    * belongs behind the codec seam ([[stubDecode]]); this computes the
+    * plan every real resampler needs, identically in SQL for the oracle. */
+  def resizePlan(features: DataFrame, maxW: Int = 224, maxH: Int = 224)
+      : DataFrame = {
+    val zero = col("width") === 0 || col("height") === 0
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    features
+      .withColumn("scale", when(zero, lit(0.0)).otherwise(scale))
+      .withColumn("out_w", when(zero, lit(0))
+        .otherwise(greatest(lit(1), round(col("width") * col("scale"))
+          .cast("int"))))
+      .withColumn("out_h", when(zero, lit(0))
+        .otherwise(greatest(lit(1), round(col("height") * col("scale"))
+          .cast("int"))))
+  }
+
   /** Frame sampling for video rows: every `stride`-th synthetic frame
     * index (the real implementation would seek in the container). */
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int = 30)(

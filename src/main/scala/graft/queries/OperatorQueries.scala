@@ -26,6 +26,24 @@ object OperatorQueries {
   /** Shared replay cap for q43 — interpolated into BOTH the engine call
     * and the oracle SQL so the two can't silently diverge. */
   private val dlqMaxAttempts = 3
+
+  /** Oracle twin of Multimodal.{mediaFromDocuments, stubDecode} metadata
+    * — shared by q44/q63/q64. */
+  private val mediaMetaSql =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |    CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS h
+      |  FROM documents),
+      |meta AS (
+      |  SELECT media_id, mime, n_bytes,
+      |    CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + h % 577 END AS INT) AS width,
+      |    CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + (h // 7) % 433 END AS INT) AS height,
+      |    CAST(CASE WHEN mime = 'video/mp4' THEN 1 + h % 240 ELSE 1 END AS INT) AS n_frames
+      |  FROM m)""".stripMargin
   private def cfg = IngestPipeline.Config(auditRate = 0.8,
     receivedAt = Some(fixedTs))
 
@@ -183,19 +201,53 @@ object OperatorQueries {
             size(col("embedding")).as("embedding_dim"))
           .orderBy("media_id")
       },
-      Some("""WITH m AS (
-             |  SELECT doc_id AS media_id,
-             |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-             |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-             |         ELSE 'video/mp4' END AS mime,
-             |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             |    CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS h
-             |  FROM documents)
-             |SELECT media_id, mime, n_bytes,
-             |  CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + h % 577 END AS INT) AS width,
-             |  CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE 64 + (h // 7) % 433 END AS INT) AS height,
-             |  CAST(CASE WHEN mime = 'video/mp4' THEN 1 + h % 240 ELSE 1 END AS INT) AS n_frames,
-             |  CAST(16 AS INT) AS embedding_dim
-             |FROM m ORDER BY media_id""".stripMargin))
+      Some(s"""WITH $mediaMetaSql
+              |SELECT media_id, mime, n_bytes, width, height, n_frames,
+              |  CAST(16 AS INT) AS embedding_dim
+              |FROM meta ORDER BY media_id""".stripMargin)),
+
+    // EXT — resize planning over the decoded metadata: fit a 224×224 box
+    // preserving aspect ratio, never upscale, floor 1px. The pixel
+    // resample lives behind the codec seam; the plan arithmetic is
+    // hash-checked.
+    EngineQuery("q63_multimodal_resize",
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.resizePlan(
+            Multimodal.extractFeatures(
+              Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents")))
+            .toDF())
+          .select(col("media_id"), col("width"), col("height"),
+            col("out_w"), col("out_h"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $mediaMetaSql,
+              |scaled AS (
+              |  SELECT media_id, width, height,
+              |    CASE WHEN width = 0 OR height = 0 THEN 0.0
+              |         ELSE least(224.0 / width, 224.0 / height, 1.0) END AS scale
+              |  FROM meta)
+              |SELECT media_id, width, height,
+              |  CASE WHEN scale = 0.0 THEN 0
+              |       ELSE greatest(1, CAST(round(width * scale) AS INT)) END AS out_w,
+              |  CASE WHEN scale = 0.0 THEN 0
+              |       ELSE greatest(1, CAST(round(height * scale) AS INT)) END AS out_h
+              |FROM scaled ORDER BY media_id""".stripMargin)),
+
+    // EXT — frame sampling: every 30th synthetic frame index per media
+    // row (videos contribute n_frames, stills exactly frame 0).
+    EngineQuery("q64_frame_sample",
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.sampleFrames(
+            Multimodal.extractFeatures(
+              Multimodal.mediaFromDocuments(Tables.table(s, dir, "documents"))),
+            stride = 30)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some(s"""WITH $mediaMetaSql
+              |SELECT media_id, mime,
+              |  CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS INT) AS frame_idx
+              |FROM meta ORDER BY media_id, frame_idx""".stripMargin))
   )
 }
