@@ -59,8 +59,22 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalFirst = firsts.collect { case (_, v) if v >= 0 => v }.sum
+    // Flagship ingest throughput: a fresh (unpersisted) end-to-end run of
+    // the full decode→validate→sample→normalize→dedup chain over 200k
+    // synthetic envelopes — comparable to the reference's msgs/min
+    // step-load numbers (BASELINE.md).
+    val envThroughput = try {
+      val n = 200000L
+      val t0 = System.nanoTime()
+      val kept = graft.ingest.IngestPipeline
+        .run(graft.ingest.SyntheticData.envelopes(spark, n)).events.count()
+      if (kept > 0) n / ((System.nanoTime() - t0) / 1e9) else -1.0
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
+      -1.0
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round}}"""
     println(line)
     // stdout tail-capture truncates long lines — keep a self-describing
     // copy on disk (path overridable via SPARK_GRAFT_BENCH_OUT)
