@@ -54,7 +54,9 @@ object Bench {
     }
     // pass-1 times ride along so warm-min and cold-ish costs are both on
     // record (pass 1 pays one-time compile/pipeline cost the min excludes)
-    val firsts = ordered.map { case (name, _) => name -> samples.head(name) }
+    val firsts = ordered.map { case (name, _) =>
+      name -> samples.headOption.fold(-1.0)(_(name))
+    }
     def jsonMap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

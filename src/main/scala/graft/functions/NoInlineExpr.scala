@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.DataType
   * Use on derived columns that (a) feed multiple downstream consumers or
   * filters and (b) can never become source-pushable scan predicates
   * anyway. Do NOT use on raw source columns: it would block legitimate
-  * parquet filter pushdown.
+  * parquet filter pushdown. Side effect to plan around: the pushdown
+  * rules test ALL fields of a Project, so one barrier column stops
+  * predicates on its SIBLING pass-through columns from crossing that
+  * Project too — apply filters on raw source columns BEFORE the
+  * projection that introduces the barrier (as IngestPipeline documents
+  * for `decoded`).
   */
 case class NoInlineExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType

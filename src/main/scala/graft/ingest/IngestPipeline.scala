@@ -56,7 +56,10 @@ object IngestPipeline {
     // decode-of-source tree per reference — recomputed per row AND (with
     // an expression-defined source like the synthetic generator) a fused
     // stage past the JVM's 64 KB codegen limit. Decode once, reference
-    // many.
+    // many. The barrier also stops predicates on SIBLING columns from
+    // crossing this projection (Catalyst tests all fields of a Project),
+    // so apply source-column filters — partition pruning, attribute
+    // predicates — to `raw` BEFORE calling decoded().
     raw.withColumn("__raw_json",
         noInline(expr(s"cast(try_to_binary($dataCol, 'base64') as string)")))
       .withColumn("envelope_version", get_json_object(json, "$.envelope_version"))

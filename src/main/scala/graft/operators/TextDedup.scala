@@ -16,6 +16,11 @@ import graft.functions.CoreFunctions._
   */
 object TextDedup {
 
+  /** Default LSH bucket cap — interpolated into the DuckDB oracle twins
+    * (TextQueries) so engine and oracle stay row-identical even when a
+    * degenerate corpus actually overflows a bucket. */
+  val DefaultMaxBucketSize = 4096
+
   /** Character k-shingles with positions: (id, i, gram). */
   def shingles(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
@@ -67,7 +72,8 @@ object TextDedup {
     * max_bucket_size) — watch them via a QueryExecutionListener; nonzero
     * overflow means candidates were dropped and exact dedup should run
     * first. */
-  def candidatePairs(sigs: DataFrame, maxBucketSize: Int = 4096): DataFrame =
+  def candidatePairs(sigs: DataFrame,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     sigs.groupBy("band", "minhash")
       .agg(collect_list(col(sigs.columns.head)).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -166,7 +172,7 @@ object TextDedup {
     * `maxBucketSize` cap and the `simhash_lsh_buckets` observed overflow
     * metrics — no self-join recomputation. */
   def simhashNearDups(fingerprints: DataFrame, maxHamming: Int,
-      maxBucketSize: Int = 4096): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     fingerprints.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val", expr("(simhash >> (chunk * 15)) & 32767"))
@@ -186,6 +192,10 @@ object TextDedup {
         explode(expr("slice(docs, pos + 2, size(docs))")).as("b"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct's shuffle: hamming is a pure function
+      // of the pair, and most chunk-collision pairs fail the threshold
+      // (random 60-bit pairs average hamming ~30), so the dedup shuffle
+      // carries only survivors
       .filter(col("hamming") <= maxHamming)
+      .distinct()
 }

@@ -63,7 +63,13 @@ object TextQueries {
        |  FROM grams),
        |sigs_wide AS (
        |  SELECT doc_id, $mins FROM hashed_grams GROUP BY doc_id),
-       |sigs AS ($unions)""".stripMargin
+       |sigs AS ($unions),
+       |sigs_capped AS (
+       |  SELECT doc_id, band, minhash FROM (
+       |    SELECT doc_id, band, minhash,
+       |      row_number() OVER (PARTITION BY band, minhash ORDER BY doc_id) AS bucket_rk
+       |    FROM sigs) t
+       |  WHERE bucket_rk <= ${TextDedup.DefaultMaxBucketSize})""".stripMargin
   }
 
   /** 60-bit token hash (15 hex chars — stays positive in a signed long). */
@@ -100,7 +106,7 @@ object TextQueries {
               |$minhashSigsSql
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |  COUNT(DISTINCT a.band) AS n_shared_bands
-              |FROM sigs a JOIN sigs b
+              |FROM sigs_capped a JOIN sigs_capped b
               |  ON a.band = b.band AND a.minhash = b.minhash
               |  AND a.doc_id < b.doc_id
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
@@ -165,10 +171,16 @@ object TextQueries {
               |  FROM bits GROUP BY doc_id),
               |chunks AS (
               |  SELECT doc_id, simhash, chunk, ((simhash >> (chunk * 15)) & 32767) AS chunk_val
-              |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c)
+              |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c),
+              |chunks_capped AS (
+              |  SELECT doc_id, simhash, chunk, chunk_val FROM (
+              |    SELECT doc_id, simhash, chunk, chunk_val,
+              |      row_number() OVER (PARTITION BY chunk, chunk_val ORDER BY doc_id) AS bucket_rk
+              |    FROM chunks) t
+              |  WHERE bucket_rk <= ${TextDedup.DefaultMaxBucketSize})
               |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-              |FROM chunks a JOIN chunks b
+              |FROM chunks_capped a JOIN chunks_capped b
               |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
               |  AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
@@ -186,7 +198,7 @@ object TextQueries {
               |$minhashSigsSql,
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sigs a JOIN sigs b
+              |  FROM sigs_capped a JOIN sigs_capped b
               |    ON a.band = b.band AND a.minhash = b.minhash
               |    AND a.doc_id < b.doc_id),
               |inter AS (
@@ -409,8 +421,7 @@ object TextQueries {
         val metrics = toks.groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             sum(length(col("tok"))).as("sum_len"),
-            sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
-              .as("n_stop"),
+            hits(stopwords).as("n_stop"),
             hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
             hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
           .select(col("doc_id"), col("n_tokens"),
@@ -457,9 +468,15 @@ object TextQueries {
               |chunks AS (
               |  SELECT doc_id, simhash, chunk, ((simhash >> (chunk * 15)) & 32767) AS chunk_val
               |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c),
+              |chunks_capped AS (
+              |  SELECT doc_id, simhash, chunk, chunk_val FROM (
+              |    SELECT doc_id, simhash, chunk, chunk_val,
+              |      row_number() OVER (PARTITION BY chunk, chunk_val ORDER BY doc_id) AS bucket_rk
+              |    FROM chunks) t
+              |  WHERE bucket_rk <= ${TextDedup.DefaultMaxBucketSize}),
               |near_dup_drop AS (
               |  SELECT DISTINCT b.doc_id
-              |  FROM chunks a JOIN chunks b
+              |  FROM chunks_capped a JOIN chunks_capped b
               |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
               |    AND a.doc_id < b.doc_id
               |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
