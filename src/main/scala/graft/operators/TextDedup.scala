@@ -71,7 +71,9 @@ object TextDedup {
     * reports `minhash_lsh_buckets` observed metrics (n_overflow_buckets,
     * max_bucket_size) — watch them via a QueryExecutionListener; nonzero
     * overflow means candidates were dropped and exact dedup should run
-    * first. */
+    * first. (Observed-metric names must be unique within one query plan:
+    * compose at most one candidatePairs call per action, or run the
+    * second as its own action.) */
   def candidatePairs(sigs: DataFrame,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     sigs.groupBy("band", "minhash")
