@@ -159,6 +159,24 @@ object WindowQueries {
              |        THEN 1 ELSE 0 END AS new_session
              |    FROM events) flags) sessions
              |GROUP BY user_id, session_id
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Q65 — stream-stream interval join (click→purchase attribution).
+    // The SAME StreamingAnalytics.clickAttribution dataflow runs here on
+    // the batch frame (withWatermark is a no-op in batch); in streaming
+    // the watermarks + the bounded event-time gap give Spark a state
+    // eviction horizon on both sides.
+    EngineQuery("q65_stream_join",
+      (s, dir) => graft.streaming.StreamingAnalytics
+        .clickAttribution(Tables.events(s, dir))
+        .orderBy("purchase_id", "click_id"),
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+             |  p.value AS purchase_value
+             |FROM events c JOIN events p
+             |  ON p.user_id = c.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+             |ORDER BY purchase_id, click_id""".stripMargin))
   )
 }

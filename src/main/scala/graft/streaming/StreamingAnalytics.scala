@@ -66,4 +66,30 @@ object StreamingAnalytics {
       .select(col("user_id"),
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"))
+
+  /** Stream-stream interval join: attribute each 'purchase' to the same
+    * user's 'click's in the preceding `joinWindow`. Both sides carry
+    * watermarks AND the join condition bounds the event-time gap, so
+    * Spark derives a state eviction horizon for each side — join state is
+    * bounded, the requirement for any stream-stream join at 100 TB/day.
+    * Works identically on a batch frame (the q65 oracle twin runs exactly
+    * this shape as SQL). */
+  def clickAttribution(events: DataFrame, watermark: String = "1 hour",
+      joinWindow: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
 }

@@ -70,6 +70,37 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "the late event must not re-open the finalized window")
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks (Q65 twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamingAnalytics.clickAttribution(events,
+      watermark = "30 minutes", joinWindow = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-attrib").toString)
+      .start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "purchase", 9.5), // in window
+      (3L, ts("2024-01-01 11:30:00"), 7L, "purchase", 1.0), // outside window
+      (4L, ts("2024-01-01 10:10:00"), 8L, "purchase", 2.0)) // other user
+    q.processAllAvailable()
+    // push the watermark past everything so the join state finalizes
+    input.addData((9L, ts("2024-01-01 15:00:00"), 9L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attrib_out")
+      .select("purchase_id", "click_id", "user_id", "purchase_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out === Set((2L, 1L, 7L, 9.5)),
+      "exactly the in-window same-user purchase must attribute")
+  }
+
   test("streaming session windows agree with the batch twin q24 on finalized sessions") {
     val stream = StreamingAnalytics.eventsStream(spark, dir)
     val agg = StreamingAnalytics.sessionCounts(stream, watermark = "1 hour")
