@@ -98,7 +98,12 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"),
+    // spread on the id before the per-row decode: a single-split corpus
+    // would otherwise run every decode on one core — the whole point of
+    // the mapPartitions shape is one decoder per task (explicit count so
+    // AQE doesn't coalesce the small exchange back to one partition)
+    docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, lit("image/png"))
           .when(col("doc_id") % 3 === 1, lit("audio/wav"))
           .otherwise(lit("video/mp4")).as("mime"),

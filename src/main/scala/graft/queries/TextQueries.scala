@@ -21,9 +21,23 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
+  /** Docs pre-spread on doc_id for the ~300×-amplifying shingle/token
+    * explodes: the corpus often scans as ONE small parquet split (single
+    * row group — byte ranges can't cut it), which would run the whole
+    * explode + per-gram hash stage on one core. The shuffle moves only
+    * the raw doc text (tiny relative to the amplified work), and the
+    * hashpartitioning(doc_id) it leaves behind is exactly what the
+    * per-doc aggregations downstream (minhash mins, simhash folds, token
+    * stats) require — they plan NO second exchange. The partition count
+    * is EXPLICIT: AQE would otherwise coalesce the few-hundred-KB
+    * exchange back to one partition (it optimizes shuffle bytes, not the
+    * amplified CPU downstream). */
+  private def docsSpread(s: SparkSession, dir: String) =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** 8-char shingles at every position (1-based), as (doc_id, i, gram). */
   private def gramsDf(s: SparkSession, dir: String) =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 7)).as("i"),
         col("text"))
@@ -77,7 +91,7 @@ object TextQueries {
     "CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT)"
 
   private def tokens(s: SparkSession, dir: String) =
-    docs(s, dir).select(col("doc_id"), col("lang"),
+    docsSpread(s, dir).select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
 
   private val tokensSql =
@@ -410,7 +424,11 @@ object TextQueries {
         val d = docs(s, dir)
         val keepers = d.groupBy(sha2(col("text"), 256).as("text_hash"))
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        // spread survivors before the token explode (same rationale as
+        // docsSpread); the per-doc metric/fingerprint groupBys reuse the
+        // partitioning
         val kept = d.join(keepers, Seq("doc_id"), "left_semi")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         val toks = kept.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         val nearDupDrop = TextDedup.simhashNearDups(
