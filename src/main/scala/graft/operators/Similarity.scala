@@ -22,10 +22,20 @@ object Similarity {
 
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Normalize an embeddings table to (idCol, v: double[], nrm). */
+  /** Normalize an embeddings table to (idCol, v: double[], nrm).
+    *
+    * Spread on the id first: a small single-split embeddings file scans
+    * as one partition, putting every per-row cast/dot/sqrt — and the
+    * centroid assignments and window ranks downstream — on one core.
+    * The count is explicit so AQE doesn't coalesce the sub-MB exchange
+    * away, and the hashpartitioning(id) is reused by the per-vector
+    * windows (no second exchange). */
   def prepared(embeddings: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol), toDoubleArray(col(embCol)).as("v"))
+    embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol), toDoubleArray(col(embCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact top-k cosine neighbours for a query subset. Brute force —
