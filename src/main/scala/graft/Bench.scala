@@ -66,19 +66,23 @@ object Bench {
     // synthetic envelopes — comparable to the reference's msgs/min
     // step-load numbers (BASELINE.md). Best-of-`runs` passes, same
     // environmental-noise rationale as the per-query mins.
-    val envThroughput = try {
+    val envThroughput = {
       val n = 200000L
-      val secs = (1 to math.max(runs, 1)).map { _ =>
-        val t0 = System.nanoTime()
-        val kept = graft.ingest.IngestPipeline
-          .run(graft.ingest.SyntheticData.envelopes(spark, n)).events.count()
-        require(kept > 0, "ingest produced no rows")
-        (System.nanoTime() - t0) / 1e9
+      // per-pass failures tolerated, like the per-query timings: the best
+      // surviving sample is the estimate
+      val secs = (1 to math.max(runs, 1)).flatMap { _ =>
+        try {
+          val t0 = System.nanoTime()
+          val kept = graft.ingest.IngestPipeline
+            .run(graft.ingest.SyntheticData.envelopes(spark, n)).events.count()
+          require(kept > 0, "ingest produced no rows")
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ingest throughput pass failed: ${e.getMessage}")
+          None
+        }
       }
-      n / secs.min
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
-      -1.0
+      if (secs.nonEmpty) n / secs.min else -1.0
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round}}"""

@@ -24,18 +24,27 @@ object Similarity {
 
   /** Normalize an embeddings table to (idCol, v: double[], nrm).
     *
-    * Spread on the id first: a small single-split embeddings file scans
-    * as one partition, putting every per-row cast/dot/sqrt — and the
-    * centroid assignments and window ranks downstream — on one core.
-    * The count is explicit so AQE doesn't coalesce the sub-MB exchange
-    * away, and the hashpartitioning(id) is reused by the per-vector
-    * windows (no second exchange). */
+    * Spread on the id first when the input scans narrower than the
+    * cluster: a small single-split embeddings file scans as one
+    * partition, putting every per-row cast/dot/sqrt — and the centroid
+    * assignments and window ranks downstream — on one core. The count is
+    * explicit so AQE doesn't coalesce the sub-MB exchange away, the
+    * hashpartitioning(id) is reused by the per-vector windows (no second
+    * exchange), and inputs already wider than the cluster keep their
+    * natural splits. */
   def prepared(embeddings: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame =
-    embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
-      .select(col(idCol), toDoubleArray(col(embCol)).as("v"))
+      embCol: String = "embedding"): DataFrame = {
+    val p = embeddings.sparkSession.sparkContext.defaultParallelism
+    val spread = if (embeddings.rdd.getNumPartitions < p)
+      embeddings.repartition(p, col(idCol)) else embeddings
+    normalized(spread, idCol, embCol)
+  }
+
+  /** prepared() without the spread exchange — for bounded guard scans
+    * that must keep `limit` pushable to the source. */
+  private def normalized(embeddings: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    embeddings.select(col(idCol), toDoubleArray(col(embCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact top-k cosine neighbours for a query subset. Brute force —
@@ -57,7 +66,13 @@ object Similarity {
     val e = prepared(embeddings)
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qnrm")).filter(queryPredicate)
-    val nQ = q.select("q_id").limit(maxQueries + 1).count()
+    // guard on the UNSPREAD frame: prepared()'s repartition exchange
+    // would sit under the limit (LimitPushDown has no repartition rule),
+    // turning the bounded early-stop scan into a full scan + shuffle
+    val nQ = normalized(embeddings, "vec_id", "embedding")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).filter(queryPredicate)
+      .select("q_id").limit(maxQueries + 1).count()
     require(nQ <= maxQueries,
       s"topKCosine is a brute-force baseline: query side has > $maxQueries " +
         s"rows; narrow the predicate or use Similarity.ivfTopK / " +

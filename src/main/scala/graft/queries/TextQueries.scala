@@ -31,9 +31,13 @@ object TextQueries {
     * stats) require — they plan NO second exchange. The partition count
     * is EXPLICIT: AQE would otherwise coalesce the few-hundred-KB
     * exchange back to one partition (it optimizes shuffle bytes, not the
-    * amplified CPU downstream). */
-  private def docsSpread(s: SparkSession, dir: String) =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    * amplified CPU downstream). Gated: a corpus that already scans wider
+    * than the cluster's parallelism is left on its natural splits. */
+  private def docsSpread(s: SparkSession, dir: String) = {
+    val d = docs(s, dir)
+    val p = s.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < p) d.repartition(p, col("doc_id")) else d
+  }
 
   /** 8-char shingles at every position (1-based), as (doc_id, i, gram). */
   private def gramsDf(s: SparkSession, dir: String) =
@@ -421,14 +425,13 @@ object TextQueries {
     // (q25/q29/q30/q32-q34).
     EngineQuery("q61_corpus_curation",
       (s, dir) => {
-        val d = docs(s, dir)
+        // spread the scan once (docsSpread): the semi-join keys on doc_id
+        // so the survivors inherit usable partitioning for the token
+        // explode and every per-doc groupBy after it
+        val d = docsSpread(s, dir)
         val keepers = d.groupBy(sha2(col("text"), 256).as("text_hash"))
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        // spread survivors before the token explode (same rationale as
-        // docsSpread); the per-doc metric/fingerprint groupBys reuse the
-        // partitioning
         val kept = d.join(keepers, Seq("doc_id"), "left_semi")
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         val toks = kept.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         val nearDupDrop = TextDedup.simhashNearDups(
