@@ -81,6 +81,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       .topKCosine(emb, col("q_id") < 3, k = 2, maxQueries = 10).count() === 6)
   }
 
+  test("prepared() spreads single-split inputs but keeps wide inputs' splits") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val p = spark.sparkContext.defaultParallelism
+    // single parquet split → spread to cluster parallelism
+    val narrow = operators.Similarity.prepared(emb)
+    assert(narrow.rdd.getNumPartitions === p,
+      "a one-split scan must spread to defaultParallelism")
+    // an input already wider than the cluster keeps its natural splits
+    val wide = operators.Similarity.prepared(emb.repartition(p * 4))
+    assert(wide.rdd.getNumPartitions === p * 4,
+      "already-wide inputs must not be re-shuffled")
+  }
+
   test("salted skew join equals the plain join, deterministic across runs") {
     // fact with an extreme hot key: 90% of rows share key 1
     val fact = spark.range(2000)
