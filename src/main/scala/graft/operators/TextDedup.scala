@@ -155,18 +155,23 @@ object TextDedup {
     * over the token hash — NOT via a 60× bit-explode, whose 60·|tokens|
     * rows would all cross the shuffle. Same algebra, shuffle volume
     * |docs| rows of 60 longs. */
-  def simhashFingerprints(tokens: DataFrame): DataFrame = {
-    val bitScores = (0 until 60).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+  def simhashFingerprints(tokens: DataFrame): DataFrame =
     tokens
       .select(col("doc_id"), sha256PrefixLong15(col("tok")).as("h"))
       .groupBy("doc_id")
-      .agg(bitScores.head, bitScores.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+      .agg(simhashBitScoreAggs.head, simhashBitScoreAggs.tail: _*)
+      .select(col("doc_id"), simhashFromScores.as("simhash"))
+
+  /** The 60 per-bit ±1 sum aggregates over a 60-bit token-hash column
+    * `h` — exposed so composite pipelines (q61) can fuse them into a
+    * wider groupBy(doc_id) pass alongside other per-doc aggregates. */
+  def simhashBitScoreAggs: Seq[Column] = (0 until 60).map(b =>
+    sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+
+  /** Reassemble the fingerprint from the s0..s59 bit-score columns. */
+  def simhashFromScores: Column =
+    (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
 
   /** SimHash near-dup pairs via 15-bit chunk banding (4 chunks), Hamming
     * distance filter on candidates only. Same one-pass bucket-explode

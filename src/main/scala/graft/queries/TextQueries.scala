@@ -434,17 +434,27 @@ object TextQueries {
         val kept = d.join(keepers, Seq("doc_id"), "left_semi")
         val toks = kept.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
-        val nearDupDrop = TextDedup.simhashNearDups(
-            TextDedup.simhashFingerprints(toks), maxHamming = 12)
-          .select(col("doc_b").as("doc_id")).distinct()
         def hits(ws: Seq[String]) =
           sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L))
-        val metrics = toks.groupBy("doc_id")
+        // ONE pass over the token explode: the quality/lang metrics and
+        // the 60 SimHash bit scores are all groupBy(doc_id) aggregates,
+        // so they fuse into a single explode + shuffle instead of
+        // re-running the amplified scan per consumer
+        val perDoc = toks
+          .withColumn("h", sha256PrefixLong15(col("tok")))
+          .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            sum(length(col("tok"))).as("sum_len"),
-            hits(stopwords).as("n_stop"),
-            hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
-            hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
+            (Seq(sum(length(col("tok"))).as("sum_len"),
+              hits(stopwords).as("n_stop"),
+              hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
+              hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
+              ++ TextDedup.simhashBitScoreAggs): _*)
+        val fingerprints = perDoc.select(col("doc_id"),
+          TextDedup.simhashFromScores.as("simhash"))
+        val nearDupDrop = TextDedup.simhashNearDups(fingerprints,
+            maxHamming = 12)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val metrics = perDoc
           .select(col("doc_id"), col("n_tokens"),
             (least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.3 +
               (lit(1.0) - col("n_stop").cast("double") /
