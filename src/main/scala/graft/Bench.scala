@@ -77,7 +77,9 @@ object Bench {
             .run(graft.ingest.SyntheticData.envelopes(spark, n)).events.count()
           require(kept > 0, "ingest produced no rows")
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
+          // fatal JVM errors (OOM, interrupts) propagate — retrying 200k
+          // envelopes on a broken JVM only masks the death
           System.err.println(s"[bench] ingest throughput pass failed: ${e.getMessage}")
           None
         }

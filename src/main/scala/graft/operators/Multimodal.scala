@@ -98,16 +98,10 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    // spread on the id before the per-row decode when the input scans
-    // narrower than the cluster: a single-split corpus would otherwise
-    // run every decode on one core — the whole point of the mapPartitions
-    // shape is one decoder per task (explicit count so AQE doesn't
-    // coalesce the small exchange back to one partition; already-wide
-    // inputs keep their natural splits)
-    val p = spark.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < p)
-      docs.repartition(p, col("doc_id")) else docs
-    spread
+    // Spread.byKey before the per-row decode: a single-split corpus
+    // would otherwise run every decode on one core — the whole point of
+    // the mapPartitions shape is one decoder per task
+    Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, lit("image/png"))
           .when(col("doc_id") % 3 === 1, lit("audio/wav"))

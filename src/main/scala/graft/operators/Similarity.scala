@@ -24,21 +24,13 @@ object Similarity {
 
   /** Normalize an embeddings table to (idCol, v: double[], nrm).
     *
-    * Spread on the id first when the input scans narrower than the
-    * cluster: a small single-split embeddings file scans as one
-    * partition, putting every per-row cast/dot/sqrt — and the centroid
-    * assignments and window ranks downstream — on one core. The count is
-    * explicit so AQE doesn't coalesce the sub-MB exchange away, the
-    * hashpartitioning(id) is reused by the per-vector windows (no second
-    * exchange), and inputs already wider than the cluster keep their
-    * natural splits. */
+    * [[Spread.byKey]] on the id first: the per-row cast/dot/sqrt — and
+    * the centroid fan-out and per-vector window ranks downstream — need
+    * cluster-wide parallelism AND hashpartitioning(id), which the
+    * windows otherwise recreate by shuffling the amplified frame. */
   def prepared(embeddings: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val p = embeddings.sparkSession.sparkContext.defaultParallelism
-    val spread = if (embeddings.rdd.getNumPartitions < p)
-      embeddings.repartition(p, col(idCol)) else embeddings
-    normalized(spread, idCol, embCol)
-  }
+      embCol: String = "embedding"): DataFrame =
+    normalized(Spread.byKey(embeddings, col(idCol)), idCol, embCol)
 
   /** prepared() without the spread exchange — for bounded guard scans
     * that must keep `limit` pushable to the source. */
@@ -63,15 +55,17 @@ object Similarity {
     * scan must raise `maxQueries` explicitly and own the cost. */
   def topKCosine(embeddings: DataFrame, queryPredicate: Column, k: Int,
       maxQueries: Int = 1000): DataFrame = {
-    val e = prepared(embeddings)
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qnrm")).filter(queryPredicate)
-    // guard on the UNSPREAD frame: prepared()'s repartition exchange
-    // would sit under the limit (LimitPushDown has no repartition rule),
-    // turning the bounded early-stop scan into a full scan + shuffle
-    val nQ = normalized(embeddings, "vec_id", "embedding")
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+    // one definition of the query side, applied to the spread frame (for
+    // the join) and the unspread frame (for the guard — prepared()'s
+    // repartition exchange would sit under the limit, where LimitPushDown
+    // has no repartition rule, turning the bounded early-stop scan into a
+    // full scan + shuffle)
+    def querySide(base: DataFrame) =
+      base.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")).filter(queryPredicate)
+    val e = prepared(embeddings)
+    val q = querySide(e)
+    val nQ = querySide(normalized(embeddings, "vec_id", "embedding"))
       .select("q_id").limit(maxQueries + 1).count()
     require(nQ <= maxQueries,
       s"topKCosine is a brute-force baseline: query side has > $maxQueries " +

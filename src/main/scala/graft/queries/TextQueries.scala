@@ -22,22 +22,12 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
   /** Docs pre-spread on doc_id for the ~300×-amplifying shingle/token
-    * explodes: the corpus often scans as ONE small parquet split (single
-    * row group — byte ranges can't cut it), which would run the whole
-    * explode + per-gram hash stage on one core. The shuffle moves only
-    * the raw doc text (tiny relative to the amplified work), and the
-    * hashpartitioning(doc_id) it leaves behind is exactly what the
-    * per-doc aggregations downstream (minhash mins, simhash folds, token
-    * stats) require — they plan NO second exchange. The partition count
-    * is EXPLICIT: AQE would otherwise coalesce the few-hundred-KB
-    * exchange back to one partition (it optimizes shuffle bytes, not the
-    * amplified CPU downstream). Gated: a corpus that already scans wider
-    * than the cluster's parallelism is left on its natural splits. */
-  private def docsSpread(s: SparkSession, dir: String) = {
-    val d = docs(s, dir)
-    val p = s.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < p) d.repartition(p, col("doc_id")) else d
-  }
+    * explodes ([[graft.operators.Spread.byKey]]): the shuffle moves raw
+    * doc text (narrowest point), and the hashpartitioning(doc_id) it
+    * leaves behind is what every per-doc aggregation and window
+    * downstream requires — they plan NO second exchange. */
+  private def docsSpread(s: SparkSession, dir: String) =
+    graft.operators.Spread.byKey(docs(s, dir), col("doc_id"))
 
   /** 8-char shingles at every position (1-based), as (doc_id, i, gram). */
   private def gramsDf(s: SparkSession, dir: String) =

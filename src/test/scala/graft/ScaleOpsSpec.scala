@@ -81,17 +81,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       .topKCosine(emb, col("q_id") < 3, k = 2, maxQueries = 10).count() === 6)
   }
 
-  test("prepared() spreads single-split inputs but keeps wide inputs' splits") {
+  test("prepared() spreads narrow scans and never shrinks wide inputs") {
     val emb = Tables.table(spark, dir, "embeddings")
     val p = spark.sparkContext.defaultParallelism
     // single parquet split → spread to cluster parallelism
     val narrow = operators.Similarity.prepared(emb)
     assert(narrow.rdd.getNumPartitions === p,
       "a one-split scan must spread to defaultParallelism")
-    // an input already wider than the cluster keeps its natural splits
+    // an input already wider than the cluster keeps its width (the keyed
+    // exchange re-keys it for the downstream windows without coalescing)
     val wide = operators.Similarity.prepared(emb.repartition(p * 4))
     assert(wide.rdd.getNumPartitions === p * 4,
-      "already-wide inputs must not be re-shuffled")
+      "already-wide inputs must keep their width")
   }
 
   test("salted skew join equals the plain join, deterministic across runs") {
