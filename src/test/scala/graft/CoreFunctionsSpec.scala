@@ -171,6 +171,31 @@ class CoreFunctionsSpec extends AnyFunSuite {
       ("020 7123 4567", null)))
   }
 
+  test("normalizePhone output is always null or well-formed E.164, and idempotent") {
+    val inputs = (1 to 300).flatMap(_ => Gen.oneOf(
+      Gen.asciiPrintableStr, Gen.numStr,
+      Gen.chooseNum(0L, 999999999999999L).map("+" + _),
+      Gen.chooseNum(0L, 99999999999L).map("0" + _)).sample) ++
+      Seq("", "+", "++44", "abc", "(415) 555-0001", null)
+    for (region <- Seq("US", "GB", "DE", "FR", "IN", "BR", "AU", "ES", "IT", "JP", "ZZ")) {
+      val rows = inputs.toDF("raw")
+        .select(col("raw"), normalizePhone(col("raw"), region).as("e164"),
+          normalizePhone(normalizePhone(col("raw"), region), region)
+            .as("twice"))
+        .collect()
+      rows.foreach { r =>
+        val out = r.getAs[String]("e164")
+        if (out != null) {
+          assert(out.matches("^\\+[0-9]{8,15}$"),
+            s"region=$region raw='${r.get(0)}' produced malformed '$out'")
+          // a normalized number re-normalizes to itself (intl rule)
+          assert(r.getAs[String]("twice") === out,
+            s"region=$region not idempotent on '${r.get(0)}'")
+        }
+      }
+    }
+  }
+
   test("error categorization taxonomy (handler.js:16-32)") {
     val rows = Seq(
       ("invalid_json", 422), ("malformed_envelope", 422),
