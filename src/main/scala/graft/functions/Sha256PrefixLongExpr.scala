@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused `hex_prefix_long(sha2(s, 256), nHex)`: SHA-256 the UTF8 bytes of
@@ -24,6 +25,15 @@ case class Sha256PrefixLongExpr(child: Expression, nHex: Int)
     extends UnaryExpression {
   require(nHex >= 1 && nHex <= 15,
     "nHex must fit a positive signed long (1..15 hex chars)")
+
+  // Analysis-time input typing (ExpectsInputTypes' AbstractDataType is
+  // private[sql], so the check is spelled out): a non-string child must
+  // fail resolution like the sha2(...) chain this expression replaced,
+  // not surface as a runtime ClassCastException or codegen compile error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got ${child.dataType.sql}")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

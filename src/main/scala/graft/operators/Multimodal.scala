@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Resize target box shared by [[resizePlan]]'s defaults and the q63
+    * oracle SQL — interpolated into both so changing it cannot desync
+    * engine and oracle. */
+  val DefaultResizeBox = 224
+
   /** A media row: opaque bytes + metadata (mime drives the decode path). */
   final case class MediaRow(media_id: Long, mime: String, content: Array[Byte])
 
@@ -66,8 +71,8 @@ object Multimodal {
     * arithmetic over the decoded metadata — the pixel resample itself
     * belongs behind the codec seam ([[stubDecode]]); this computes the
     * plan every real resampler needs, identically in SQL for the oracle. */
-  def resizePlan(features: DataFrame, maxW: Int = 224, maxH: Int = 224)
-      : DataFrame = {
+  def resizePlan(features: DataFrame, maxW: Int = DefaultResizeBox,
+      maxH: Int = DefaultResizeBox): DataFrame = {
     val zero = col("width") === 0 || col("height") === 0
     val scale = least(lit(maxW.toDouble) / col("width"),
       lit(maxH.toDouble) / col("height"), lit(1.0))

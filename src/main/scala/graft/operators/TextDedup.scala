@@ -78,16 +78,25 @@ object TextDedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     sigs.groupBy("band", "minhash")
       .agg(collect_list(col(sigs.columns.head)).as("docs"))
-      .filter(size(col("docs")) > 1)
       .withColumn("n_bucket", size(col("docs")))
+      // observe BEFORE the multi-member filter, with coalesce'd aggregates
+      // so zero input rows surface (0, 0) instead of nulls. Known caveat
+      // (verified against Spark 4.1): when the query yields ZERO candidate
+      // pairs, AQE's empty-relation propagation replaces the downstream
+      // plan — including the already-executed stage holding this
+      // CollectMetrics node — so the metrics never reach the listener.
+      // That absence is itself conclusive: zero pairs ⇒ every bucket had
+      // ≤1 member ⇒ no overflow. Treat "no metrics" as healthy, or run
+      // [[bucketStats]] for guaranteed delivery.
+      .observe("minhash_lsh_buckets",
+        coalesce(sum(when(col("n_bucket") > maxBucketSize, 1L)
+          .otherwise(0L)), lit(0L)).as("n_overflow_buckets"),
+        coalesce(max(col("n_bucket")), lit(0)).as("max_bucket_size"))
+      .filter(size(col("docs")) > 1)
       // sort once per bucket: the slice caps deterministically (smallest
       // ids kept) and lets the pair generator below emit each unordered
       // pair exactly once
       .withColumn("docs", slice(array_sort(col("docs")), 1, maxBucketSize))
-      .observe("minhash_lsh_buckets",
-        sum(when(col("n_bucket") > maxBucketSize, 1L).otherwise(0L))
-          .as("n_overflow_buckets"),
-        max(col("n_bucket")).as("max_bucket_size"))
       // ordered-pair generation: doc_a at position pos pairs with the
       // array's tail only — emits n·(n-1)/2 rows instead of n² rows
       // filtered in half
@@ -99,6 +108,30 @@ object TextDedup {
       // per band: plain count == countDistinct(band) without the
       // distinct-aggregate Expand over every exploded row
       .agg(count(lit(1)).as("n_shared_bands"))
+
+  /** Guaranteed-delivery LSH bucket diagnostics: one row per band with
+    * bucket count, multi-member count, max population, and overflow count
+    * vs `maxBucketSize`. Unlike the best-effort observed metrics on
+    * [[candidatePairs]]/[[simhashNearDups]] (which AQE drops when the
+    * candidate result is empty — see the observe comment there), this is
+    * its own aggregation query and ALWAYS produces a row per band.
+    *
+    * Cost shape: bucket sizes come from `count(1)` per (band, value) key —
+    * partial aggregation folds map-side and no member lists are ever
+    * collected, so it is strictly cheaper than the candidate query it
+    * monitors. Works for MinHash signatures (band, minhash) and SimHash
+    * chunks (chunk, chunk_val) via the column-name parameters. */
+  def bucketStats(sigs: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize,
+      bandCol: String = "band", valCol: String = "minhash"): DataFrame =
+    sigs.groupBy(bandCol, valCol)
+      .agg(count(lit(1)).as("n_bucket"))
+      .groupBy(col(bandCol).as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("n_bucket") > 1, 1L).otherwise(0L))
+          .as("n_multi_buckets"),
+        max(col("n_bucket")).as("max_bucket_size"),
+        sum(when(col("n_bucket") > maxBucketSize, 1L).otherwise(0L))
+          .as("n_overflow_buckets"))
 
   /** Exact n-gram Jaccard for candidate pairs: integer intersection and
     * set sizes (no float drift), ratio surfaced as double.
@@ -185,15 +218,18 @@ object TextDedup {
       .withColumn("chunk_val", expr("(simhash >> (chunk * 15)) & 32767"))
       .groupBy("chunk", "chunk_val")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
-      .filter(size(col("docs")) > 1)
       .withColumn("n_bucket", size(col("docs")))
+      // pre-filter observe + coalesce, as in candidatePairs — including
+      // its AQE caveat: a zero-pair result drops the metrics entirely
+      // (empty-relation propagation), which is conclusively healthy
+      .observe("simhash_lsh_buckets",
+        coalesce(sum(when(col("n_bucket") > maxBucketSize, 1L)
+          .otherwise(0L)), lit(0L)).as("n_overflow_buckets"),
+        coalesce(max(col("n_bucket")), lit(0)).as("max_bucket_size"))
+      .filter(size(col("docs")) > 1)
       // struct sort orders by doc_id (unique per bucket) — deterministic
       // cap + strictly ordered pair generation, as in candidatePairs
       .withColumn("docs", slice(array_sort(col("docs")), 1, maxBucketSize))
-      .observe("simhash_lsh_buckets",
-        sum(when(col("n_bucket") > maxBucketSize, 1L).otherwise(0L))
-          .as("n_overflow_buckets"),
-        max(col("n_bucket")).as("max_bucket_size"))
       .select(col("docs"), posexplode(col("docs")))
       .select(col("col").as("a"),
         explode(expr("slice(docs, pos + 2, size(docs))")).as("b"))

@@ -225,7 +225,7 @@ object OperatorQueries {
               |scaled AS (
               |  SELECT media_id, width, height,
               |    CASE WHEN width = 0 OR height = 0 THEN 0.0
-              |         ELSE least(224.0 / width, 224.0 / height, 1.0) END AS scale
+              |         ELSE least(${Multimodal.DefaultResizeBox}.0 / width, ${Multimodal.DefaultResizeBox}.0 / height, 1.0) END AS scale
               |  FROM meta)
               |SELECT media_id, width, height,
               |  CASE WHEN scale = 0.0 THEN 0

@@ -525,7 +525,27 @@ object TextQueries {
               |JOIN metrics m ON m.doc_id = k.doc_id
               |WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dup_drop)
               |  AND m.quality_score >= 0.5
-              |ORDER BY k.doc_id""".stripMargin))
+              |ORDER BY k.doc_id""".stripMargin)),
+
+    // Q66 — guaranteed-delivery LSH bucket diagnostics (the operability
+    // side of q26's candidate generation): per-band bucket census with
+    // overflow counts vs the cap. Unlike the best-effort observed metrics
+    // on the candidate query (dropped by AQE when the result is empty),
+    // this is its own always-delivering aggregate — and strictly cheaper
+    // than the query it monitors (count-per-key, no member lists).
+    EngineQuery("q66_lsh_bucket_stats",
+      (s, dir) => TextDedup.bucketStats(minhashSigs(s, dir))
+        .orderBy("band"),
+      Some(s"""WITH grams AS ($gramsSql),
+              |$minhashSigsSql
+              |SELECT band, COUNT(*) AS n_buckets,
+              |  CAST(SUM(CASE WHEN n_bucket > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+              |  MAX(n_bucket) AS max_bucket_size,
+              |  CAST(SUM(CASE WHEN n_bucket > ${TextDedup.DefaultMaxBucketSize} THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_buckets
+              |FROM (
+              |  SELECT band, minhash, COUNT(*) AS n_bucket
+              |  FROM sigs GROUP BY 1, 2) b
+              |GROUP BY band ORDER BY band""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

@@ -170,13 +170,13 @@ object WindowQueries {
       (s, dir) => graft.streaming.StreamingAnalytics
         .clickAttribution(Tables.events(s, dir))
         .orderBy("purchase_id", "click_id"),
-      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-             |  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
-             |  p.value AS purchase_value
-             |FROM events c JOIN events p
-             |  ON p.user_id = c.user_id
-             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
-             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-             |ORDER BY purchase_id, click_id""".stripMargin))
+      Some(s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              |  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+              |  p.value AS purchase_value
+              |FROM events c JOIN events p
+              |  ON p.user_id = c.user_id
+              |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+              |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL ${graft.streaming.StreamingAnalytics.DefaultJoinWindowMinutes} MINUTE
+              |ORDER BY purchase_id, click_id""".stripMargin))
   )
 }

@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingAnalytics {
 
+  /** Attribution lookback shared by [[clickAttribution]]'s default and the
+    * q65 oracle SQL — interpolated into both so changing it cannot desync
+    * engine and oracle. */
+  val DefaultJoinWindowMinutes = 30
+
   /** Stream the events table: ns-timestamp read as long (the same fix
     * Tables.events applies) surfaced as a microsecond timestamp_ntz. */
   def eventsStream(spark: SparkSession, dir: String,
@@ -75,7 +80,7 @@ object StreamingAnalytics {
     * Works identically on a batch frame (the q65 oracle twin runs exactly
     * this shape as SQL). */
   def clickAttribution(events: DataFrame, watermark: String = "1 hour",
-      joinWindow: String = "30 minutes"): DataFrame = {
+      joinWindow: String = s"$DefaultJoinWindowMinutes minutes"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))

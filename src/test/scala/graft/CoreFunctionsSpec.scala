@@ -70,6 +70,16 @@ class CoreFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sha256_prefix_long rejects a non-string child at analysis time") {
+    // the type error must surface at resolution (like the sha2 chain it
+    // replaced), not as a runtime ClassCastException in generated code
+    val df = Seq(1L, 2L).toDF("n")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(sha256PrefixLong(col("n"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+
   test("shouldSample: rate >= 1 keeps all, rate <= 0 drops all (sampling.js:16-17)") {
     val df = samplingVectors.map(_._1).toDF("key")
     assert(df.filter(shouldSample(col("key"), 1.0)).count() === 6)

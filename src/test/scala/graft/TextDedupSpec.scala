@@ -110,6 +110,68 @@ class TextDedupSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("healthy no-overflow corpus reports (0, n) bucket metrics — never null") {
+    // two identical docs collide in every band (candidates exist, so AQE
+    // keeps the metrics stage — see the observe comment in TextDedup);
+    // no bucket exceeds the cap, so the healthy reading is exactly
+    // (n_overflow = 0, max = 2) with NO null fields (the coalesce)
+    val docs = Seq((0L, "a" * 60), (1L, "a" * 60), (2L, "b" * 60))
+      .toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(TextDedup.shingles(docs))
+    @volatile var metrics: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        qe.observedMetrics.get("minhash_lsh_buckets").foreach(r => metrics = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = TextDedup.candidatePairs(sigs)
+      assert(pairs.count() === 1L)
+      val deadline = System.currentTimeMillis() + 30000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(metrics.isDefined, "observed metrics never fired")
+      assert(metrics.get.getAs[Long]("n_overflow_buckets") === 0L)
+      assert(metrics.get.getAs[Int]("max_bucket_size") === 2)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("zero-candidate corpus: AQE drops observed metrics; bucketStats always delivers") {
+    // disjoint gram sets → every bucket has one member → zero pairs.
+    // Verified behavior (DebugObserve): AQE's empty-relation propagation
+    // replaces the downstream plan INCLUDING the executed CollectMetrics
+    // stage, so the listener never sees the metrics — which is itself
+    // conclusive (zero pairs ⇒ no bucket ≥ 2 ⇒ no overflow). The
+    // guaranteed-delivery path is TextDedup.bucketStats: its own
+    // aggregate, one row per band, regardless of candidate emptiness.
+    val unique = (0L to 3L).map(i =>
+      (i, ("" + ('a' + i.toInt).toChar) * 60)).toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(TextDedup.shingles(unique))
+    assert(TextDedup.candidatePairs(sigs).count() === 0L)
+    val stats = TextDedup.bucketStats(sigs).collect()
+    assert(stats.length === 8) // one row per band
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_overflow_buckets") === 0L)
+      assert(r.getAs[Long]("n_multi_buckets") === 0L)
+      assert(r.getAs[Long]("max_bucket_size") === 1L)
+      assert(r.getAs[Long]("n_buckets") === 4L) // 4 docs, all unique
+    }
+    // with AQE off the same zero-candidate query DOES deliver metrics:
+    // the pre-filter observe sees every size-1 bucket, reading (0, 1)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = TextDedup.candidatePairs(sigs)
+      pairs.collect()
+      val m = pairs.queryExecution.observedMetrics("minhash_lsh_buckets")
+      assert(m.getAs[Long]("n_overflow_buckets") === 0L)
+      assert(m.getAs[Int]("max_bucket_size") === 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("IVF probe search recalls most of the exact top-k (q48 vs q27 shape)") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5)
