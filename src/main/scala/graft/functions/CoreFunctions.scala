@@ -60,6 +60,16 @@ object CoreFunctions {
     else if (rate <= 0.0) lit(false)
     else hashBucket(key) < lit(rate)
 
+  /** Stratified deterministic sampling: a per-ROW rate column (e.g. one
+    * rate per language or source stratum) against the same sha256 hash
+    * bucket as [[shouldSample]] — the decision stays reproducible across
+    * runs and engines, unlike `sampleBy`. For in-(0,1) rates this equals
+    * shouldSample at the row's rate; rate <= 0 drops all, and rate >= 1
+    * keeps all but the single max-hash key (the bucket compare is strict —
+    * pass literal-true upstream if an exact keep-all stratum is needed). */
+  def stratifiedSample(key: Column, rate: Column): Column =
+    hashBucket(key) < rate
+
   /** Idempotency-key derivation (reference validation.js:33-42):
     * coalesce of payload call_id, payload message_id, envelope trace_id.
     * Generalized: coalesce over JSON extracts then fallback columns. */

@@ -545,7 +545,130 @@ object TextQueries {
               |FROM (
               |  SELECT band, minhash, COUNT(*) AS n_bucket
               |  FROM sigs GROUP BY 1, 2) b
-              |GROUP BY band ORDER BY band""".stripMargin))
+              |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // Q67 — TF-IDF term weighting: term frequency per (doc, term), document
+    // frequency per term, idf = ln((N+1)/(df+1)) + 1. Scale shape: tf is a
+    // shuffle on (doc_id, tok) with map-side partial counts; df reuses the
+    // tf frame (one more shuffle on tok); the 1-row corpus count joins as
+    // a broadcast. At 100 TB the tf frame would be checkpointed instead of
+    // recomputed for the df branch — here the token explode is cheap
+    // relative to one materialization. Scores are round(·, 6) so the two
+    // engines' ln() agree on the hash.
+    EngineQuery("q67_tfidf",
+      (s, dir) => {
+        val tf = tokens(s, dir).groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(dfreq, Seq("tok"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            round(col("tf").cast("double") *
+              (log((col("n_docs").cast("double") + 1.0) /
+                (col("df").cast("double") + 1.0)) + 1.0), 6).as("tfidf"))
+          .orderBy("doc_id", "tok")
+      },
+      Some(s"""WITH toks AS ($tokensSql),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+              |SELECT doc_id, tok, tf, df,
+              |  round(CAST(tf AS DOUBLE) *
+              |    (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+              |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+              |ORDER BY doc_id, tok""".stripMargin)),
+
+    // Q68 — stratified deterministic sampling: one sampling rate per
+    // language stratum (en is over-represented in the corpus, so it gets
+    // the lower rate), decided by the same sha256 hash bucket as the
+    // reference's sampling.js — reproducible across runs AND engines,
+    // which `sampleBy`'s RNG is not. Pure column expr: the filter reaches
+    // the scan and no shuffle happens at all.
+    EngineQuery("q68_stratified_sample",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          hashBucket(concat(lit("doc-"), col("doc_id"))).as("hash_bucket"))
+        .filter(col("hash_bucket") <
+          when(col("lang") === "en", 0.1).otherwise(0.3))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, hash_bucket FROM (
+             |  SELECT doc_id, lang,
+             |    CAST('0x' || substr(sha256('doc-' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967295.0 AS hash_bucket
+             |  FROM documents) t
+             |WHERE hash_bucket < CASE WHEN lang = 'en' THEN 0.1 ELSE 0.3 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q69 — benchmark-contamination check (decontamination pass of a
+    // training-data pipeline): per corpus document, how many of its
+    // distinct 8-grams appear anywhere in the held-out benchmark slice
+    // (doc_id % 20 == 0 here). Candidate shape: distinct grams semi-join
+    // the benchmark gram set on a 64-bit hash — the benchmark side is
+    // small so AQE broadcasts it; at 100 TB it becomes a shuffle join on
+    // the hash, never an explosion. Same counts-only xxhash64 trick as
+    // q31 (the oracle intersects raw grams; a collision needs two distinct
+    // grams of one doc to collide in 64 bits, ~1e-11).
+    EngineQuery("q69_contamination",
+      (s, dir) => {
+        val g = gramsDf(s, dir)
+          .select(col("doc_id"), xxhash64(col("gram")).as("g")).distinct()
+        val bench = g.filter(col("doc_id") % 20 === 0)
+          .select("g").distinct()
+        val corpus = g.filter(col("doc_id") % 20 =!= 0)
+        val hits = corpus.join(bench, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_grams").cast("double"), 6).as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |g AS (SELECT DISTINCT doc_id, gram FROM grams),
+              |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+              |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+              |hits AS (
+              |  SELECT doc_id, COUNT(*) AS n_hit FROM corpus
+              |  WHERE gram IN (SELECT gram FROM bench) GROUP BY 1),
+              |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1)
+              |SELECT t.doc_id, t.n_grams,
+              |  COALESCE(h.n_hit, 0) AS n_hit,
+              |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6) AS contamination
+              |FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    // Q70 — per-source reputation: the aggregate a web-corpus curator
+    // ranks domains by — volume, language spread, exact-duplicate share
+    // (docs whose content hash repeats anywhere in the corpus), average
+    // length. One hash shuffle for dup groups + one groupBy(source).
+    EngineQuery("q70_source_reputation",
+      (s, dir) => {
+        val hashed = docs(s, dir).select(col("doc_id"), col("source"),
+          col("lang"), col("n_chars"), sha2(col("text"), 256).as("text_hash"))
+        val dup = hashed.groupBy("text_hash")
+          .agg(count(lit(1)).as("n_copies"))
+        hashed.join(dup, Seq("text_hash"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L))
+              .as("n_dup_docs"),
+            round(sum(col("n_chars")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH hashed AS (
+             |  SELECT doc_id, source, lang, n_chars, sha256(text) AS text_hash
+             |  FROM documents),
+             |dup AS (SELECT text_hash, COUNT(*) AS n_copies FROM hashed GROUP BY 1)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT lang) AS n_langs,
+             |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chars
+             |FROM hashed JOIN dup USING (text_hash)
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

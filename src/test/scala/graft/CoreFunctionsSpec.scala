@@ -80,6 +80,30 @@ class CoreFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("string"))
   }
 
+  test("stratifiedSample: constant rate matches shouldSample; strata sample independently") {
+    val df = samplingVectors.map(_._1).toDF("key")
+    // constant in-(0,1) rate ⇒ identical decisions to the scalar path
+    for (rate <- Seq(0.25, 0.5, 0.75)) {
+      val scalar = df.filter(shouldSample(col("key"), rate))
+        .collect().map(_.getString(0)).toSet
+      val strat = df.filter(stratifiedSample(col("key"), lit(rate)))
+        .collect().map(_.getString(0)).toSet
+      assert(strat === scalar, s"rate=$rate")
+    }
+    // per-stratum rates: a row's decision depends only on its own stratum's
+    // rate, so the union of two single-rate runs equals one stratified run
+    val strata = df.withColumn("stratum",
+      when(length(col("key")) % 2 === 0, "even").otherwise("odd"))
+    val rateCol = when(col("stratum") === "even", 0.25).otherwise(0.75)
+    val stratified = strata.filter(stratifiedSample(col("key"), rateCol))
+      .collect().map(_.getString(0)).toSet
+    val manual = strata
+      .filter((col("stratum") === "even" && shouldSample(col("key"), 0.25)) ||
+        (col("stratum") === "odd" && shouldSample(col("key"), 0.75)))
+      .collect().map(_.getString(0)).toSet
+    assert(stratified === manual)
+  }
+
   test("shouldSample: rate >= 1 keeps all, rate <= 0 drops all (sampling.js:16-17)") {
     val df = samplingVectors.map(_._1).toDF("key")
     assert(df.filter(shouldSample(col("key"), 1.0)).count() === 6)
