@@ -122,6 +122,73 @@ object SimilarityQueries {
              |  sha256(text) AS content_hash,
              |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
              |  CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q71 — per-label centroid diagnostics: each vector's cosine to its
+    // own label's centroid (embedding-space cluster cohesion, the check a
+    // curator runs before trusting labels).
+    //
+    // Cross-engine float discipline: the CENTROID is a cross-ROW mean,
+    // and float sums over shuffled rows are order-dependent — so elements
+    // are fixed-point scaled (round(x·1e6) as long) first. The scaled
+    // sums stay exact integers (≤ ~5e9 per component, far under 2^53),
+    // making the mean deterministic in both engines; the per-vector dot
+    // products are in-order array folds (the q27 precedent) and the
+    // result is round(·, 6).
+    //
+    // Scale shape: component sums shuffle (label, pos) partials map-side;
+    // the centroid table is |labels| rows → broadcast join; the per-row
+    // cosine is a codegen'd array fold. No per-vector shuffle other than
+    // the component aggregation.
+    EngineQuery("q71_label_centroids",
+      (s, dir) => {
+        val scaled = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1e6).cast("long")).as("sv"))
+        val comp = scaled
+          .select(col("label"), posexplode(col("sv")))
+          .groupBy("label", "pos")
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("s").cast("double") / col("n").cast("double")).as("c"))
+        val cents = comp.groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+            .as("pc"))
+          .select(col("label"),
+            transform(col("pc"), p => p.getField("c")).as("cent"))
+        val svd = transform(col("sv"), x => x.cast("double"))
+        scaled.join(broadcast(cents), Seq("label"))
+          .select(col("vec_id"), col("label"),
+            round(Similarity.dot(svd, col("cent")) /
+              (sqrt(Similarity.dot(svd, svd)) *
+                sqrt(Similarity.dot(col("cent"), col("cent")))), 6)
+              .as("cos_to_centroid"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH sv AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |comps AS (
+             |  SELECT label, unnest(sv) AS s,
+             |    unnest(range(1, len(sv) + 1)) AS pos
+             |  FROM sv),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM comps GROUP BY 1, 2),
+             |centl AS (
+             |  SELECT label, list(c ORDER BY pos) AS cent FROM cent
+             |  GROUP BY label)
+             |SELECT v.vec_id, v.label,
+             |  round(
+             |    list_dot_product(list_transform(v.sv, x -> CAST(x AS DOUBLE)), c.cent)
+             |    / (sqrt(list_dot_product(list_transform(v.sv, x -> CAST(x AS DOUBLE)),
+             |                             list_transform(v.sv, x -> CAST(x AS DOUBLE))))
+             |       * sqrt(list_dot_product(c.cent, c.cent))), 6) AS cos_to_centroid
+             |FROM sv v JOIN centl c USING (label)
+             |ORDER BY v.vec_id""".stripMargin))
   )
 }

@@ -70,6 +70,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q11.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("curation queries keep their scale shapes: semi-join prune, broadcast singletons") {
+    // q69: corpus grams must prune against the benchmark set via a
+    // LeftSemi join — a refactor to inner-join + distinct would multiply
+    // rows before the count
+    val q69 = queries.QueryRegistry.byName("q69_contamination").run(spark, dir)
+    assert(q69.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "q69 must semi-join the benchmark gram set")
+    // q67: the 1-row corpus count joins every (doc, term) row as a
+    // broadcast — never a shuffled cartesian
+    val q67 = queries.QueryRegistry.byName("q67_tfidf").run(spark, dir)
+    q67.collect()
+    val p67 = q67.queryExecution.executedPlan.toString
+    assert(p67.contains("BroadcastNestedLoopJoin"),
+      s"q67 corpus count must broadcast:\n$p67")
+    assert(!p67.contains("CartesianProduct"),
+      "q67 must not plan a shuffled cartesian")
+    // q71: the |labels|-row centroid table broadcasts to the vector side
+    val q71 = queries.QueryRegistry.byName("q71_label_centroids").run(spark, dir)
+    q71.collect()
+    assert(q71.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "q71 centroids must broadcast-join the vectors")
+  }
+
   test("topKCosine refuses an unbounded query side (100 TB guard)") {
     val emb = Tables.table(spark, dir, "embeddings")
     val ex = intercept[IllegalArgumentException] {
