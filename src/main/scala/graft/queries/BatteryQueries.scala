@@ -135,6 +135,32 @@ object BatteryQueries {
              |              WHERE o.o_custkey = c_custkey AND o.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Q72 — LATERAL correlated subquery (Catalyst's lateral-join /
+    // DecorrelateInnerQuery surface, distinct from q56's predicate
+    // subqueries): per nation, the top-2 customers by account balance.
+    // Identical text runs in both engines; the tie-break on c_custkey
+    // makes the LIMIT deterministic. Semantically the same answer as a
+    // rank-window top-k (q15) — the point here is the SQL path: Spark
+    // plans the decorrelated lateral as a ranked join, not a per-row
+    // re-execution.
+    EngineQuery("q72_lateral_topk",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""
+          |SELECT n.n_name, c.c_custkey, c.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |ORDER BY n.n_name, c.c_custkey""".stripMargin)
+      },
+      Some("""SELECT n.n_name, c.c_custkey, c.c_acctbal
+             |FROM nation n, LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  WHERE c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+             |ORDER BY n.n_name, c.c_custkey""".stripMargin)),
+
     // Q57 — multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL
     // keep duplicate multiplicities.
     EngineQuery("q57_multiset_ops",
