@@ -52,6 +52,28 @@ object WarehouseWriter {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Keyed upsert — the batch generalization of the sink's idempotent
+    * insert (A12, reference `bq.js:49` insertId): merge `updates` into
+    * `existing`, keeping per key the row with the greatest `ts` (updates
+    * win ties, so a replayed batch is a no-op and a corrected batch
+    * overwrites). Pure DataFrame merge: union + one window over the key —
+    * a single shuffle on the merge key, no driver-side diffing, which is
+    * the shape a 100 TB MERGE compiles to anyway.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, key: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // updates outrank existing rows at equal (ts) — the replay contract
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).desc, col("__src").desc)
+    tagged
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__src")
+  }
+
   /** Partition expiration (README.md:88 — 1-year default): drop partition
     * directories strictly older than the cutoff. Returns dropped dates. */
   def expirePartitions(spark: SparkSession, path: String,

@@ -20,6 +20,16 @@ object StreamingAnalytics {
     * engine and oracle. */
   val DefaultJoinWindowMinutes = 30
 
+  /** Stream-static enrichment join: each micro-batch left-joins the
+    * (small) static dimension, broadcast so the stream side never
+    * shuffles. State-free — no watermark needed — and a file-backed
+    * dimension is re-scanned per batch, so dimension updates flow into
+    * later batches. The scale contract mirrors the relational layer: only
+    * true fixed-cardinality dimensions belong here; a growing dim belongs
+    * in a stream-stream join with watermarks ([[clickAttribution]]). */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream the events table: ns-timestamp read as long (the same fix
     * Tables.events applies) surfaced as a microsecond timestamp_ntz. */
   def eventsStream(spark: SparkSession, dir: String,

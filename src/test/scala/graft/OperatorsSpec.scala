@@ -59,6 +59,27 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("keyed upsert: newest ts wins, updates win ties, replay is a no-op (A12 batch merge)") {
+    val existing = Seq(
+      ("k1", "v1", 100L), ("k2", "v2", 200L)).toDF("key", "value", "ts")
+    val updates = Seq(
+      ("k2", "v2-new", 300L), // newer → replaces
+      ("k1", "v1-tie", 100L), // equal ts → update wins (replay contract)
+      ("k3", "v3", 50L)) // new key → inserted
+      .toDF("key", "value", "ts")
+    val merged = WarehouseWriter.upsert(existing, updates, "key", "ts")
+    val got = merged.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("k1", "v1-tie", 100L), ("k2", "v2-new", 300L), ("k3", "v3", 50L)))
+    assert(merged.columns.toSeq === existing.columns.toSeq,
+      "merge bookkeeping columns must not leak")
+    // replaying the same updates against the merged state changes nothing
+    val replay = WarehouseWriter.upsert(merged, updates, "key", "ts")
+    assert(replay.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet === got)
+  }
+
   test("warehouse layout: date partitions, clustered rows, retention drop (B6)") {
     val out = Files.createTempDirectory("graft-warehouse").toString
     val events = IngestPipeline.run(SyntheticData.envelopes(spark, 500), cfg).events

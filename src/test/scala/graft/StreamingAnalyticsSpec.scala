@@ -101,6 +101,30 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "exactly the in-window same-user purchase must attribute")
   }
 
+  test("stream-static enrichment joins each batch against the broadcast dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "trial")).toDF("user_id", "segment")
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "value")
+    val q = StreamingAnalytics.enriched(events, dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-enrich").toString)
+      .start()
+    input.addData((1L, 7L, 1.0), (2L, 9L, 2.0))
+    q.processAllAvailable()
+    input.addData((3L, 8L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched_out")
+      .select("event_id", "segment")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // left join: unknown user survives with a null segment, across batches
+    assert(out === Map(1L -> Some("gold"), 2L -> None, 3L -> Some("trial")))
+  }
+
   test("streaming session windows agree with the batch twin q24 on finalized sessions") {
     val stream = StreamingAnalytics.eventsStream(spark, dir)
     val agg = StreamingAnalytics.sessionCounts(stream, watermark = "1 hour")
