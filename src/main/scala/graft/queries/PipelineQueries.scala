@@ -285,6 +285,75 @@ object PipelineQueries {
               |    CAST(SUM(CASE WHEN CAST('0x' || substr(sha256($keySql), 1, 8) AS BIGINT) / 4294967295.0 < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
               |    COUNT(*) AS total
               |  FROM events GROUP BY 1) t
-              |ORDER BY event_type""".stripMargin))
+              |ORDER BY event_type""".stripMargin)),
+
+    // Q73 — funnel analysis: per user, the earliest view → first click at
+    // or after it → first purchase at or after that. Staged conditional
+    // mins, one user-keyed aggregation per stage (each a single shuffle on
+    // user_id) with the stage frontier joined back — no window over the
+    // full event history and no per-user event sorting, so a hot user
+    // costs one aggregate row per stage, not a sort.
+    EngineQuery("q73_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") >= col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") >= col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"),
+            col("t_purchase"),
+            (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+              when(col("t_purchase").isNotNull, 1).otherwise(0))
+              .as("stages"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+             |  JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+             |  JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+             |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+             |  1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+             |    + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS stages
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |LEFT JOIN p ON p.user_id = v.user_id
+             |ORDER BY v.user_id""".stripMargin)),
+
+    // Q74 — portable table checksum: an order-independent fingerprint
+    // (exact-decimal SUM of a 60-bit content hash per row) for verifying
+    // a migration copied every row — the operation this engine's own
+    // oracle gate performs, packaged as a query. Sum is commutative so
+    // partition order never matters; decimal(38,0) keeps the sum exact in
+    // both engines; one map-side-foldable aggregation per group.
+    EngineQuery("q74_table_checksum",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          sha256PrefixLong15(concat_ws("|", col("event_id"), col("user_id"),
+            col("event_type"))).as("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).as("checksum"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n_rows,
+             |  SUM(CAST(CAST('0x' || substr(sha256(
+             |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+             |      || '|' || event_type), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }
