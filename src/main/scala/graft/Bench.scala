@@ -100,6 +100,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     graft.queries.OperatorQueries.reset(spark)
+    graft.queries.TextQueries.reset(spark)
     spark.stop()
   }
 }

@@ -51,6 +51,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.OperatorQueries.reset(spark)
+    graft.queries.TextQueries.reset(spark)
     spark.stop()
   }
 }

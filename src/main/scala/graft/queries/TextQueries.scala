@@ -55,9 +55,29 @@ object TextQueries {
     s"((CAST('0x' || substr(sha256($gram), 1, 8) AS BIGINT) * ($band * 2 + 1) + $band * 2654435761) % 4294967296)"
 
   /** MinHash signatures (graft.operators.TextDedup.minhashSignatures):
-    * band mins fold map-side, shuffle is |docs| rows. */
+    * band mins fold map-side, shuffle is |docs| rows.
+    *
+    * One shared materialization per (session, table dir): candidate
+    * generation (q26), Jaccard verification (q31) and the bucket census
+    * (q66) all consume the same signature frame — in a real curation run
+    * signatures are computed once (at 100 TB: a checkpointed table) and
+    * fanned out, so the gram explode + sha256 pipeline executes once per
+    * verify/bench run here too (the q41–q43 shared-ingest-cache pattern,
+    * `OperatorQueries.pipeline`). The frame is |docs|×bands rows — tiny
+    * relative to what it derives from. Verify/Bench call [[reset]] on
+    * teardown. */
+  private val sharedSigs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashSignatures(gramsDf(s, dir))
+    sharedSigs.getOrElseUpdate((s, dir),
+      TextDedup.minhashSignatures(gramsDf(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist + evict the shared signature frames for a session, as
+    * OperatorQueries.reset does for the ingest pipeline frame. */
+  def reset(s: SparkSession): Unit =
+    sharedSigs.keys.filter(_._1 eq s).foreach(k =>
+      sharedSigs.remove(k).foreach(_.unpersist(blocking = false)))
 
   private val minhashSigsSql = {
     val mins = (0 until 8).map(b =>
