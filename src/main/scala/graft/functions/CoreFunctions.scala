@@ -39,6 +39,13 @@ object CoreFunctions {
     GraftColumnBridge.column(
       Sha256PrefixLongExpr(GraftColumnBridge.expression(c), 15))
 
+  /** Two-pointer `size(array_intersect(a, b))` for SORTED distinct long
+    * arrays — no per-row hash-set build, no materialized intersection
+    * array (see [[SortedIntersectCountExpr]] for the contract). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Optimizer inline-barrier: identity on the value, but stops predicate
     * pushdown / project collapse from re-embedding the column's defining
     * tree at every reference (see [[NoInlineExpr]]). For expensive derived

@@ -161,20 +161,23 @@ object TextDedup {
       .distinct()
       .join(candDocs, Seq("doc_id"), "left_semi")
     // One gram-set array per doc (bounded by the doc's own length — the
-    // same per-document bound every dedup stage already assumes), then a
-    // single codegen'd array_intersect per candidate pair. This replaces
-    // the gram-level intersection join whose pre-aggregation row count is
-    // Σ_pairs |a ∩ b| — the dominant cost when candidates are dense —
-    // with work proportional to |pairs| + |candidate docs' grams|.
+    // same per-document bound every dedup stage already assumes), SORTED
+    // once per doc so every pair it appears in runs the codegen'd
+    // two-pointer merge count ([[graft.functions.SortedIntersectCountExpr]])
+    // instead of array_intersect's per-row hash-set build + thrown-away
+    // output array. This replaces the gram-level intersection join whose
+    // pre-aggregation row count is Σ_pairs |a ∩ b| — the dominant cost
+    // when candidates are dense — with work proportional to
+    // |pairs| + |candidate docs' grams|.
     val gArr = gset.groupBy("doc_id")
-      .agg(collect_list(col("gram")).as("grams"))
+      .agg(array_sort(collect_list(col("gram"))).as("grams"))
     cand
       .join(gArr.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
         Seq("doc_a"))
       .join(gArr.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        sortedIntersectCount(col("ga"), col("gb")).cast("long").as("n_inter"),
         size(col("ga")).cast("long").as("na"),
         size(col("gb")).cast("long").as("nb"))
       .withColumn("jaccard",

@@ -80,6 +80,27 @@ class CoreFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("string"))
   }
 
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 40).map { _ =>
+      def arr() = rnd.shuffle((0L until 200L).toVector)
+        .take(rnd.nextInt(60)).distinct.sorted
+      (arr(), arr())
+    } :+ ((Vector.empty[Long], Vector(1L, 2L))) :+
+      ((Vector(5L), Vector(5L))) // boundary: empty side, full overlap
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        sortedIntersectCount(col("a"), col("b")).as("merge_n"),
+        size(array_intersect(col("a"), col("b"))).as("builtin_n"))
+    assert(df.filter(col("merge_n") =!= col("builtin_n")).count() === 0)
+    // analysis-time type check, as with the other custom expressions
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, 2L)).toDF("x", "y")
+        .select(sortedIntersectCount(col("x"), col("y"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"))
+  }
+
   test("stratifiedSample: constant rate matches shouldSample; strata sample independently") {
     val df = samplingVectors.map(_._1).toDF("key")
     // constant in-(0,1) rate ⇒ identical decisions to the scalar path
