@@ -70,6 +70,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q11.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("warehouse date partitions prune dynamically from a join-side filter (DPP)") {
+    // The SURVEY §4.1 contract: BigQuery's partition pruning maps to
+    // Spark partition pruning — including the DYNAMIC case, where the
+    // date predicate lives on a joined dimension, not the fact scan. At
+    // 100 TB this is the difference between scanning one date's directory
+    // and scanning the table.
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val dimOut = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Tables.events(spark, dir)
+      .withColumn("occurred_date", to_date(col("ts")))
+      .write.partitionBy("occurred_date").mode("overwrite").parquet(out)
+    val fact = spark.read.parquet(out)
+    // a proper date dimension with an attribute to filter on — DPP plants
+    // the runtime filter only when the dim side carries a LIKELY-SELECTIVE
+    // predicate, and Catalyst's isLikelySelective pattern list wants an
+    // attribute-vs-literal comparison: a bare boolean flag column does NOT
+    // qualify (found empirically — `=== true` boolean-simplifies away)
+    val firstDate = fact.select(min(col("occurred_date"))).head().getDate(0)
+    fact.select(col("occurred_date").as("d")).distinct()
+      .withColumn("label",
+        when(col("d") === lit(firstDate), "first").otherwise("rest"))
+      .write.mode("overwrite").parquet(dimOut)
+    val dim = spark.read.parquet(dimOut).filter(col("label") === "first")
+    val joined = fact.join(dim, col("occurred_date") === col("d"))
+    val planned = joined.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition-pruning filter:\n$planned")
+    val n = joined.count()
+    assert(n > 0)
+    // pruned result equals the statically-filtered equivalent
+    assert(n === fact.filter(col("occurred_date") === lit(firstDate)).count())
+  }
+
   test("curation queries keep their scale shapes: semi-join prune, broadcast singletons") {
     // q69: corpus grams must prune against the benchmark set via a
     // LeftSemi join — a refactor to inner-join + distinct would multiply
