@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by iterative min-label propagation —
+  * the transitive-closure stage a near-dup dedup pipeline needs between
+  * candidate pairs and "keep one document per duplicate group": A~B and
+  * B~C put A, B, C in ONE cluster even when A and C never share a bucket
+  * (the reference's dedup surface stops at pairwise duplicate audits —
+  * `/root/reference/scripts/02_idempotency_test.js:125` — so grouping is
+  * engine-original, after Kiveris et al., "Connected Components in
+  * MapReduce and Beyond").
+  *
+  * Algorithm: every node starts labeled with its own id; each round,
+  * `label(v) ← min(label(v), min over neighbours u of label(u))`; stop
+  * when a round changes nothing. Labels are monotonically non-increasing
+  * and bounded, so the loop terminates — after at most `diameter(G)`
+  * rounds, every node carries the minimum id of its component.
+  *
+  * Scale design (100 TB):
+  *   - each round is one shuffle join (edges ⋈ labels on the neighbour
+  *     id) plus one keyed min-aggregation — partial aggregation folds the
+  *     per-neighbour mins map-side, so the shuffle carries |V| rows, and
+  *     nothing ever collects to the driver (the loop reads back ONE
+  *     scalar per round: the changed-row count).
+  *   - round count is the graph DIAMETER, and LSH duplicate-candidate
+  *     graphs are unions of near-cliques (every member of a duplicate
+  *     group shares buckets with most others) — in practice 2–3 rounds.
+  *     For adversarial long-chain graphs the star-contraction variants
+  *     converge in O(log n) rounds; min-propagation is chosen because the
+  *     dedup workload never produces those chains and each round here is
+  *     one join cheaper.
+  *   - lineage is cut every [[LocalCheckpointEvery]] rounds with an eager
+  *     `localCheckpoint` (executor-local storage); without it the
+  *     iterated plan nests one join per round and analysis/codegen cost
+  *     grows superlinearly. On a real cluster with unreliable executors,
+  *     point `spark.sparkContext.setCheckpointDir` at durable storage
+  *     and swap in `checkpoint()` — the loop structure is unchanged.
+  */
+object ConnectedComponents {
+
+  /** Rounds between eager localCheckpoint lineage cuts. */
+  val LocalCheckpointEvery = 4
+
+  /** Label every node with the minimum node id in its connected
+    * component.
+    *
+    * @param edges undirected edge list; the FIRST TWO columns are the
+    *              endpoint ids (symmetrized internally, self-loops ok)
+    * @param nodes node universe; the FIRST column is the node id. Nodes
+    *              with no edges become singleton clusters labeled with
+    *              their own id.
+    * @return one row per distinct node id: (<nodes' id column>,
+    *         cluster_id) where cluster_id = min node id in the component
+    * @throws IllegalStateException if `maxIter` rounds pass without
+    *         convergence (never silently returns a partial labeling)
+    */
+  def labels(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame = {
+    val idCol = nodes.columns.head
+    val Array(srcCol, dstCol, _*) = edges.columns
+
+    val sym = edges.select(col(srcCol).as("cc_id"), col(dstCol).as("cc_nbr"))
+      .union(edges.select(col(dstCol).as("cc_id"), col(srcCol).as("cc_nbr")))
+
+    var labeled = nodes.select(col(idCol).as("cc_id")).distinct()
+      .withColumn("cc_label", col("cc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      round += 1
+      val nbrLabels = labeled
+        .select(col("cc_id").as("cc_nbr"), col("cc_label").as("cc_nbr_label"))
+      val nbrMin = sym.join(nbrLabels, "cc_nbr")
+        .groupBy("cc_id")
+        .agg(min(col("cc_nbr_label")).as("cc_nbr_min"))
+      val stepped = labeled.join(nbrMin, Seq("cc_id"), "left")
+        .select(col("cc_id"),
+          least(col("cc_label"), coalesce(col("cc_nbr_min"), col("cc_label")))
+            .as("cc_label"),
+          (coalesce(col("cc_nbr_min"), col("cc_label")) < col("cc_label"))
+            .as("cc_changed"))
+      val next =
+        if (round % LocalCheckpointEvery == 0) stepped.localCheckpoint()
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("cc_changed")).count() == 0L
+      labeled.unpersist(blocking = false)
+      labeled = next.select(col("cc_id"), col("cc_label"))
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter — raise it)")
+    labeled.select(col("cc_id").as(idCol), col("cc_label").as("cluster_id"))
+  }
+
+  /** Duplicate clusters over a candidate-pair frame: every document
+    * labeled with its cluster's minimum doc id plus the cluster size
+    * (singletons get their own id and size 1). The canonical consumer
+    * feeds [[TextDedup.candidatePairs]] (optionally Jaccard-filtered)
+    * in as `pairs`. */
+  def dupClusters(docIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val lbl = labels(pairs, docIds)
+    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sizes, "cluster_id")
+      .select(col(docIds.columns.head), col("cluster_id"), col("cluster_size"))
+  }
+}

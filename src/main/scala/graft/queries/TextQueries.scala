@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.CoreFunctions._
-import graft.operators.TextDedup
+import graft.operators.{ConnectedComponents, TextDedup}
 
 /** Training-data text operators over `documents` (SURVEY §2C Q25–Q26,
   * Q28 + the EXT battery: SimHash, n-gram Jaccard, language ID, quality
@@ -99,6 +99,29 @@ object TextQueries {
        |    FROM sigs) t
        |  WHERE bucket_rk <= ${TextDedup.DefaultMaxBucketSize})""".stripMargin
   }
+
+  /** DuckDB twin of ConnectedComponents.labels over the MinHash candidate
+    * pairs: symmetrize the edges, enumerate reachable labels with a
+    * recursive CTE (UNION-distinct delta evaluation terminates), take the
+    * per-node minimum. Appended after [[minhashSigsSql]] under a
+    * `WITH RECURSIVE` header (q75/q76). */
+  private val ccLabelsSql =
+    """cc_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sigs_capped a JOIN sigs_capped b
+      |    ON a.band = b.band AND a.minhash = b.minhash
+      |    AND a.doc_id < b.doc_id),
+      |cc_edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cc_pairs
+      |  UNION SELECT doc_b AS src, doc_a AS dst FROM cc_pairs),
+      |cc_reach AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.label
+      |  FROM cc_reach r JOIN cc_edges e ON e.src = r.id),
+      |cc_labels AS (
+      |  SELECT id AS doc_id, MIN(label) AS cluster_id
+      |  FROM cc_reach GROUP BY id)""".stripMargin
 
   /** 60-bit token hash (15 hex chars — stays positive in a signed long). */
   private val tokHash60Sql =
@@ -688,7 +711,76 @@ object TextQueries {
              |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
              |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chars
              |FROM hashed JOIN dup USING (text_hash)
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Q75 — duplicate clustering: connected components over the MinHash
+    // candidate pairs, so transitive near-dup chains (A~B, B~C) land in
+    // ONE cluster. Engine side is iterative min-label propagation
+    // (diameter-bounded rounds, one keyed shuffle each); the oracle walks
+    // the same edges with a recursive CTE.
+    EngineQuery("q75_dup_clusters",
+      (s, dir) => ConnectedComponents.dupClusters(
+          docs(s, dir).select("doc_id"),
+          TextDedup.candidatePairs(minhashSigs(s, dir))
+            .select("doc_a", "doc_b"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$ccLabelsSql
+              |SELECT l.doc_id, l.cluster_id, sz.cluster_size
+              |FROM cc_labels l
+              |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+              |      FROM cc_labels GROUP BY 1) sz USING (cluster_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Q76 — near-dup dedup keep-best: q50's quality-argmax canonical
+    // selection, but over TRANSITIVE duplicate clusters (q75's labels)
+    // instead of exact-hash groups — the full curation chain a training
+    // pipeline runs (candidates → clusters → one best doc per cluster).
+    EngineQuery("q76_cluster_keep_best",
+      (s, dir) => {
+        val quality = tokens(s, dir)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+              .as("n_stop"))
+          .select(col("doc_id"),
+            (lit(1.0) - col("n_stop").cast("double") /
+              col("n_tokens").cast("double")).as("quality"))
+        val lbl = ConnectedComponents.labels(
+          TextDedup.candidatePairs(minhashSigs(s, dir))
+            .select("doc_a", "doc_b"),
+          docs(s, dir).select("doc_id"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        lbl.join(quality, Seq("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rk") === 1, col("doc_id"))).as("keep_doc_id"),
+            round(max(when(col("rk") === 1, col("quality"))), 6)
+              .as("keep_quality"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$ccLabelsSql,
+              |quality AS (
+              |  SELECT doc_id,
+              |    1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS quality
+              |  FROM (
+              |    SELECT doc_id, COUNT(*) AS n_tokens,
+              |      CAST(SUM(CASE WHEN tok IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+              |    FROM ($tokensSql) toks GROUP BY doc_id) t),
+              |ranked AS (
+              |  SELECT l.cluster_id, l.doc_id, q.quality,
+              |    row_number() OVER (PARTITION BY l.cluster_id
+              |      ORDER BY q.quality DESC, l.doc_id) AS rk
+              |  FROM cc_labels l JOIN quality q ON q.doc_id = l.doc_id)
+              |SELECT cluster_id, COUNT(*) AS n_members,
+              |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+              |  round(MAX(CASE WHEN rk = 1 THEN quality END), 6) AS keep_quality
+              |FROM ranked GROUP BY 1 ORDER BY cluster_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+/** Semantic tests of the min-label-propagation connected components —
+  * the q75/q76 oracle gate proves cross-engine equality on the LSH
+  * candidate graph; these prove the labeling on planted graph shapes,
+  * including the long-chain case LSH never produces. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def label(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      maxIter: Int = 50): Map[Long, Long] =
+    ConnectedComponents.labels(
+        edges.toDF("src", "dst"), nodes.toDF("id"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("two components plus a singleton get their minimum ids") {
+    // {1,2,3} via 1-2, 2-3 (transitive); {10,11}; 99 isolated
+    val got = label(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq(1L, 2L, 3L, 10L, 11L, 99L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("a long chain converges to one component (diameter-bound rounds)") {
+    // path 0-1-2-...-19: worst case for min propagation, diameter 19
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val got = label(chain, 0L to 19L)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    val got = label(Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)), Seq(5L, 6L))
+    assert(got === Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("maxIter too small for the diameter throws instead of mislabeling") {
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      label(chain, 0L to 19L, maxIter = 3)
+    }
+  }
+
+  test("dupClusters sizes singletons at 1 and groups transitively") {
+    val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val got = ConnectedComponents.dupClusters(docs, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L), (3L, 3L, 1L)))
+  }
+}
