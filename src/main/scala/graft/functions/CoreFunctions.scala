@@ -196,6 +196,26 @@ object CoreFunctions {
     withNational.otherwise(lit(null).cast("string"))
   }
 
+  /** E.164 phone occurrences: '+' then 8-15 digits — the shape every
+    * number leaves [[normalizePhone]] in, matchable identically by Java
+    * regex (engine) and RE2 (oracle): no lookaround, no backreferences. */
+  val E164Pattern = "\\+\\d{8,15}"
+
+  /** PII-mask every E.164 phone embedded in a string column (the
+    * warehouse payload JSON): keep '+', the first digit and the last two,
+    * star the middle — '+14155550123' → '+1***23'. Runs AFTER
+    * normalization so one pattern covers every region; a training-data
+    * export pipeline applies this before text leaves the trust boundary.
+    * The fixed-width mask keeps the replacement expressible in both
+    * regex dialects (Java '$1***$2' / RE2 '\\1***\\2'). */
+  def maskPhones(c: Column): Column =
+    regexp_replace(c, "(\\+\\d)\\d{5,12}(\\d{2})", "$1***$2")
+
+  /** Count of E.164 phones a string column carries (pre-mask audit
+    * metric; pairs with [[maskPhones]]). */
+  def phoneCount(c: Column): Column =
+    regexp_count(c, lit(E164Pattern)).cast("long")
+
   /** Error categorization (reference handler.js:16-32) as a routing
     * expression over an error-type column: terminal 4xx vs transient 5xx. */
   def categorizeError(errorType: Column): Column =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.ingest.{DlqReplay, IngestPipeline, SyntheticData}
-import graft.functions.CoreFunctions.sha256PrefixLong
+import graft.functions.CoreFunctions.{maskPhones, phoneCount, sha256PrefixLong}
 import graft.operators.Multimodal
 
 /** Library-operator queries (SURVEY §2A A2–A15, A18 + multimodal EXT):
@@ -107,6 +107,23 @@ object OperatorQueries {
       |    CAST(CASE WHEN i % 100 = 0 THEN 422 ELSE 400 END AS INT) AS http_status
       |  FROM env WHERE i % 50 = 0)""".stripMargin
 
+  /** DuckDB twin of the warehouse-row payload JSON (Spark's to_json over
+    * the normalized struct) — shared by q41 and q77 so the two oracles
+    * cannot silently diverge. */
+  private val eventsPayloadSql =
+    """'{"call_id":"call-' || CAST(i AS VARCHAR) ||
+      |    '","caller":"' || caller_raw || '","callee":"' || callee_norm ||
+      |    '","duration":' || CAST(CAST(dur AS DOUBLE) AS VARCHAR) ||
+      |    ',"status":"' || status ||
+      |    '","metadata":{"test":"true","sequence":"' || CAST(i AS VARCHAR) || '"}}'""".stripMargin
+
+  /** DuckDB twin of the q41 events-row filter (validation pass + sampled
+    * in) — shared by q41 and q77. */
+  private val eventsRowFilterSql =
+    """i % 50 <> 0
+      |  AND CAST('0x' || substr(sha256('call-' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+      |      / 4294967295.0 < 0.8""".stripMargin
+
   val all: Seq[EngineQuery] = Seq(
 
     // A2–A12,A18 — synthetic push bodies through the full ingest chain.
@@ -129,15 +146,32 @@ object OperatorQueries {
               |  'load-test' AS source,
               |  true AS sampled,
               |  'call-' || CAST(i AS VARCHAR) AS idempotency_key,
-              |  '{"call_id":"call-' || CAST(i AS VARCHAR) ||
-              |    '","caller":"' || caller_raw || '","callee":"' || callee_norm ||
-              |    '","duration":' || CAST(CAST(dur AS DOUBLE) AS VARCHAR) ||
-              |    ',"status":"' || status ||
-              |    '","metadata":{"test":"true","sequence":"' || CAST(i AS VARCHAR) || '"}}' AS payload
+              |  $eventsPayloadSql AS payload
               |FROM fields
-              |WHERE i % 50 <> 0
-              |  AND CAST('0x' || substr(sha256('call-' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
-              |      / 4294967295.0 < 0.8
+              |WHERE $eventsRowFilterSql
+              |ORDER BY idempotency_key""".stripMargin)),
+
+    // EXT — PII masking for export: every E.164 phone in the warehouse
+    // payload masked to '+D***DD' plus a pre-mask phone-count audit
+    // column; the hygiene pass a training-data pipeline runs before text
+    // leaves the trust boundary (the reference's domain is exactly this
+    // phone-call metadata). Pure codegen'd regexp over the scan — no
+    // shuffle beyond q41's own pipeline.
+    EngineQuery("q77_pii_mask",
+      (s, _) => pipeline(s).events
+        .select(col("idempotency_key"),
+          maskPhones(col("payload")).as("payload_masked"),
+          phoneCount(col("payload")).as("n_phones"))
+        .orderBy("idempotency_key"),
+      Some(s"""WITH $genSql
+              |SELECT
+              |  'call-' || CAST(i AS VARCHAR) AS idempotency_key,
+              |  regexp_replace($eventsPayloadSql,
+              |    '(\\+\\d)\\d{5,12}(\\d{2})', '\\1***\\2', 'g') AS payload_masked,
+              |  CAST(len(regexp_extract_all($eventsPayloadSql,
+              |    '\\+\\d{8,15}')) AS BIGINT) AS n_phones
+              |FROM fields
+              |WHERE $eventsRowFilterSql
               |ORDER BY idempotency_key""".stripMargin)),
 
     // A13/A14 — DLQ side output with the HTTP-status taxonomy; transport

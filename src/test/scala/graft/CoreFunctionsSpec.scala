@@ -251,6 +251,26 @@ class CoreFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("maskPhones: E.164 masked to +D***DD, non-phones untouched, count matches") {
+    val rows = Seq(
+      // E.164 from normalizePhone: masked, keep '+', first digit, last two
+      ("""{"caller":"+14155550123","callee":"+442071838750"}""",
+        """{"caller":"+1***23","callee":"+4***50"}""", 2L),
+      // bare 8-digit minimum still matches; 7 digits after '+' does not
+      ("call +12345678 or +1234567", "call +1***78 or +1234567", 1L),
+      // digits without '+' (durations, ids, national formats) untouched
+      ("""{"duration":3600,"id":"(415) 555-0123"}""",
+        """{"duration":3600,"id":"(415) 555-0123"}""", 0L),
+      ("no phones here", "no phones here", 0L))
+      .toDF("payload", "expected", "expected_n")
+    rows.select(maskPhones(col("payload")).as("got"), col("expected"),
+        phoneCount(col("payload")).as("got_n"), col("expected_n"))
+      .collect().foreach { r =>
+        assert(r.getString(0) === r.getString(1))
+        assert(r.getLong(2) === r.getLong(3))
+      }
+  }
+
   test("error categorization taxonomy (handler.js:16-32)") {
     val rows = Seq(
       ("invalid_json", 422), ("malformed_envelope", 422),
