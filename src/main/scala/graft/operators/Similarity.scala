@@ -149,6 +149,45 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Per-vector int8 scalar quantization — the compression stage an ANN
+    * index runs before storing vectors (4× smaller than float32, 8× than
+    * the double working type): each component maps to
+    * `floor((x - mn) * 255 / (mx - mn) + 0.5)` against the VECTOR's own
+    * min/max, plus per-vector reconstruction diagnostics. Constant
+    * vectors (mx = mn) quantize to all-zero codes with zero error.
+    *
+    * Pure per-row column expressions over the scan — no shuffle, no UDF.
+    * Cross-engine float discipline: `floor(+0.5)` instead of round (one
+    * rounding dialect), and the squared-error sum is fixed-point scaled
+    * (round to 1e-12) so the fold is an exact integer sum — surfaced as
+    * `sq_err_fp` (units of 1e-12). Codes cross the gate serialized
+    * (array_join) because the driver's compare cannot sort array cells.
+    */
+  def scalarQuantize(embeddings: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val quantExpr = (x: Column) =>
+      floor((x - col("mn")) * 255.0 / (col("mx") - col("mn")) + 0.5)
+    embeddings
+      .select(col(idCol), toDoubleArray(col(embCol)).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes",
+        when(col("mx") === col("mn"), transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"), x => quantExpr(x).cast("int"))))
+      .withColumn("errs",
+        when(col("mx") === col("mn"), transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"), x =>
+            abs(x - (col("mn") + quantExpr(x) * (col("mx") - col("mn")) / 255.0)))))
+      .select(col(idCol),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        array_join(transform(col("codes"), _.cast("string")), ",")
+          .as("codes_str"),
+        round(array_max(col("errs")), 9).as("max_abs_err"),
+        aggregate(col("errs"), lit(0L),
+          (a, e) => a + floor(e * e * 1e12 + 0.5)).as("sq_err_fp"))
+  }
+
   /** Sign-LSH near-neighbour pairs: bucket by the n-bit hyperplane
     * signature, exact cosine only within buckets. */
   def lshNearNeighbours(embeddings: DataFrame, planes: Seq[Array[Double]],

@@ -19,6 +19,62 @@ object SimilarityQueries {
   private def planeSqlList(p: Array[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
+  /** Shared oracle CTEs (double-cast vectors + norms), consumed by
+    * q27/q40/q48/q79 so the twins cannot drift. */
+  private val prepSql =
+    """e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** Oracle twin of Similarity.topKCosine(q_id < 10, k = 5) as an
+    * `exact` CTE (q27, q79). */
+  private val exactTopkSql =
+    """exact AS (
+      |  SELECT q_id, vec_id, cos_sim, rn FROM (
+      |    SELECT q.vec_id AS q_id, t.vec_id AS vec_id,
+      |      round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos_sim,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) DESC,
+      |          t.vec_id) AS rn
+      |    FROM n q JOIN n t ON t.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 10) x
+      |  WHERE rn <= 5)""".stripMargin
+
+  /** Oracle twin of Similarity.ivfTopK(vec_id < 10, k = 5) as an `ivf`
+    * CTE (q48, q79). */
+  private val ivfTopkSql =
+    """cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+      |          c.cent_id) AS arn
+      |    FROM n CROSS JOIN cents c) t
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT q_id, qv, qnrm, cent_id AS list_id FROM (
+      |    SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, c.cent_id,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+      |          c.cent_id) AS prn
+      |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10) t
+      |  WHERE prn <= 4),
+      |hits AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    MAX(round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 6)) AS cos_sim
+      |  FROM probes p JOIN assigned a
+      |    ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+      |  GROUP BY 1, 2),
+      |ivf AS (
+      |  SELECT q_id, vec_id, cos_sim, rn FROM (
+      |    SELECT q_id, vec_id, cos_sim,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      |    FROM hits) x
+      |  WHERE rn <= 5)""".stripMargin
+
   val all: Seq[EngineQuery] = Seq(
 
     // Q27 — brute-force top-5 cosine neighbours for query vectors
@@ -27,19 +83,10 @@ object SimilarityQueries {
       (s, dir) => Similarity.topKCosine(
           Tables.table(s, dir, "embeddings"), col("q_id") < 10, k = 5)
         .orderBy("q_id", "rn"),
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (
-             |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-             |SELECT q_id, vec_id, cos_sim, rn FROM (
-             |  SELECT q.vec_id AS q_id, t.vec_id AS vec_id,
-             |    round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos_sim,
-             |    row_number() OVER (PARTITION BY q.vec_id
-             |      ORDER BY round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) DESC,
-             |        t.vec_id) AS rn
-             |  FROM n q JOIN n t ON t.vec_id <> q.vec_id
-             |  WHERE q.vec_id < 10) x
-             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+      Some(s"""WITH $prepSql,
+              |$exactTopkSql
+              |SELECT q_id, vec_id, cos_sim, rn FROM exact
+              |ORDER BY q_id, rn""".stripMargin)),
 
     // Q48 — IVF-style ANN: inverted lists by nearest seed centroid,
     // probe the 4 closest lists per query (the bucketed alternative to
@@ -48,39 +95,68 @@ object SimilarityQueries {
       (s, dir) => Similarity.ivfTopK(
           Tables.table(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
         .orderBy("q_id", "rn"),
+      Some(s"""WITH $prepSql,
+              |$ivfTopkSql
+              |SELECT q_id, vec_id, cos_sim, rn FROM ivf
+              |ORDER BY q_id, rn""".stripMargin)),
+
+    // Q78 — int8 scalar quantization with reconstruction diagnostics:
+    // the vector-compression stage of an ANN index (see
+    // Similarity.scalarQuantize for the float discipline).
+    EngineQuery("q78_embedding_quantize",
+      (s, dir) => Similarity.scalarQuantize(
+          Tables.table(s, dir, "embeddings"))
+        .orderBy("vec_id"),
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (
-             |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-             |cents AS (
-             |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-             |assigned AS (
-             |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
-             |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-             |      row_number() OVER (PARTITION BY n.vec_id
-             |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
-             |          c.cent_id) AS arn
-             |    FROM n CROSS JOIN cents c) t
-             |  WHERE arn = 1),
-             |probes AS (
-             |  SELECT q_id, qv, qnrm, cent_id AS list_id FROM (
-             |    SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, c.cent_id,
-             |      row_number() OVER (PARTITION BY n.vec_id
-             |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
-             |          c.cent_id) AS prn
-             |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10) t
-             |  WHERE prn <= 4),
-             |hits AS (
-             |  SELECT p.q_id, a.vec_id,
-             |    MAX(round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 6)) AS cos_sim
-             |  FROM probes p JOIN assigned a
-             |    ON a.list_id = p.list_id AND a.vec_id <> p.q_id
-             |  GROUP BY 1, 2)
-             |SELECT q_id, vec_id, cos_sim, rn FROM (
-             |  SELECT q_id, vec_id, cos_sim,
-             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
-             |  FROM hits) x
-             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+             |m AS (
+             |  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+             |c AS (
+             |  SELECT vec_id, mn, mx,
+             |    CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+             |         ELSE list_transform(v, x ->
+             |           CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT)) END AS codes,
+             |    CASE WHEN mx = mn THEN list_transform(v, x -> 0.0)
+             |         ELSE list_transform(v, x ->
+             |           abs(x - (mn + floor((x - mn) * 255.0 / (mx - mn) + 0.5) * (mx - mn) / 255.0))) END AS errs
+             |  FROM m)
+             |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+             |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_codes,
+             |  array_to_string(codes, ',') AS codes_str,
+             |  round(list_max(errs), 9) AS max_abs_err,
+             |  CAST(list_aggregate(list_transform(errs, e ->
+             |    CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS sq_err_fp
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // Q79 — ANN quality evaluation: recall@5 of the IVF probe search
+    // (q48) against the exact top-5 (q27) per query — the acceptance
+    // check a pipeline runs before swapping the exact path out for the
+    // approximate one. Composes the two operators and joins their
+    // results; both sides reuse q27/q48's plans (and the oracle reuses
+    // their CTEs verbatim).
+    EngineQuery("q79_ann_recall",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / 5.0, 6).as("recall_at_5"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $prepSql,
+              |$exactTopkSql,
+              |$ivfTopkSql
+              |SELECT e.q_id,
+              |  CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              |  round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 6) AS recall_at_5
+              |FROM exact e LEFT JOIN ivf i
+              |  ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+              |GROUP BY 1 ORDER BY e.q_id""".stripMargin)),
 
     // Q40 — LSH near-neighbour pairs: 8-bit random-hyperplane signature,
     // exact cosine only on same-signature candidates (banded; the 100 TB

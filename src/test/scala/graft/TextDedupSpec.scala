@@ -172,6 +172,29 @@ class TextDedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("scalar quantization: codes in [0,255], reconstruction error within half a step") {
+    val emb = Seq(
+      (0L, Array(-1.0f, 0.0f, 0.5f, 1.0f)),
+      (1L, Array(0.25f, 0.25f, 0.25f, 0.25f)), // constant vector edge case
+      (2L, Array(3.0f, -2.0f, 0.125f, 7.5f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.scalarQuantize(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // constant vector: zero codes, zero error
+    assert(rows(1L).getAs[String]("codes_str") === "0,0,0,0")
+    assert(rows(1L).getAs[Long]("sq_err_fp") === 0L)
+    // endpoints land exactly on codes 0 and 255
+    assert(rows(0L).getAs[String]("codes_str").split(",").head === "0")
+    assert(rows(0L).getAs[String]("codes_str").split(",").last === "255")
+    // every code fits int8-unsigned and error is within half a step
+    rows.values.foreach { r =>
+      val codes = r.getAs[String]("codes_str").split(",").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val step = (r.getAs[Double]("mx") - r.getAs[Double]("mn")) / 255.0
+      assert(r.getAs[Double]("max_abs_err") <= step / 2.0 + 1e-9)
+    }
+  }
+
   test("IVF probe search recalls most of the exact top-k (q48 vs q27 shape)") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5)
