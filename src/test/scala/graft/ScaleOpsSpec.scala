@@ -151,6 +151,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       "already-wide inputs must keep their width")
   }
 
+  test("scalar quantization plans as a pure projection — zero exchanges") {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val plan = operators.Similarity.scalarQuantize(emb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "per-vector quantization must not shuffle — it is scan-local work " +
+        s"at any SF:\n$plan")
+  }
+
   test("salted skew join equals the plain join, deterministic across runs") {
     // fact with an extreme hot key: 90% of rows share key 1
     val fact = spark.range(2000)
