@@ -780,7 +780,60 @@ object TextQueries {
               |SELECT cluster_id, COUNT(*) AS n_members,
               |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
               |  round(MAX(CASE WHEN rk = 1 THEN quality END), 6) AS keep_quality
-              |FROM ranked GROUP BY 1 ORDER BY cluster_id""".stripMargin))
+              |FROM ranked GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
+
+    // Q80 — incremental dedup: flag an INCOMING batch (doc_id % 5 = 0)
+    // against the already-ingested corpus (the rest) — the production
+    // shape is dedup-new-against-seen, not dedup-within-batch. Exact
+    // hits join on the content hash; near-dup hits semi-join the
+    // corpus's distinct (band, minhash) buckets — both shard on their
+    // key, and the corpus side arrives pre-aggregated (distinct), so at
+    // 100 TB this is |incoming| + |corpus buckets|, never all-pairs.
+    EngineQuery("q80_incremental_dedup",
+      (s, dir) => {
+        val isIncoming = col("doc_id") % 5 === 0
+        val hashes = docs(s, dir)
+          .select(col("doc_id"), sha2(col("text"), 256).as("th"))
+        val corpusHashes = hashes.filter(!isIncoming)
+          .select(col("th")).distinct().withColumn("exact_hit", lit(true))
+        val sigs = minhashSigs(s, dir)
+        val corpusBuckets = sigs.filter(!isIncoming)
+          .select("band", "minhash").distinct()
+        val shared = sigs.filter(isIncoming)
+          .join(corpusBuckets, Seq("band", "minhash"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        hashes.filter(isIncoming)
+          .join(corpusHashes, Seq("th"), "left")
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared_buckets"),
+            (coalesce(col("exact_hit"), lit(false)) ||
+              coalesce(col("n_shared"), lit(0L)) > 0).as("near_dup"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |hashes AS (SELECT doc_id, sha256(text) AS th FROM documents),
+              |corpus_th AS (
+              |  SELECT DISTINCT th, true AS exact_hit FROM hashes
+              |  WHERE doc_id % 5 <> 0),
+              |corpus_buckets AS (
+              |  SELECT DISTINCT band, minhash FROM sigs WHERE doc_id % 5 <> 0),
+              |shared AS (
+              |  SELECT s.doc_id, COUNT(*) AS n_shared
+              |  FROM sigs s JOIN corpus_buckets cb
+              |    ON cb.band = s.band AND cb.minhash = s.minhash
+              |  WHERE s.doc_id % 5 = 0 GROUP BY 1)
+              |SELECT h.doc_id,
+              |  coalesce(c.exact_hit, false) AS exact_dup,
+              |  coalesce(sh.n_shared, 0) AS n_shared_buckets,
+              |  (coalesce(c.exact_hit, false) OR coalesce(sh.n_shared, 0) > 0) AS near_dup
+              |FROM hashes h
+              |LEFT JOIN corpus_th c ON c.th = h.th
+              |LEFT JOIN shared sh ON sh.doc_id = h.doc_id
+              |WHERE h.doc_id % 5 = 0
+              |ORDER BY h.doc_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
