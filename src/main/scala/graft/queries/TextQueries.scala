@@ -100,17 +100,31 @@ object TextQueries {
        |  WHERE bucket_rk <= ${TextDedup.DefaultMaxBucketSize})""".stripMargin
   }
 
+  /** Band-agreement floor for DUP-CLUSTER edges (q75/q76): a candidate
+    * pair becomes a cluster edge only when ≥ this many of the 8 bands
+    * agree. Clustering on "shares any band" over-merges — on a dup-heavy
+    * corpus nearly every document lands in one giant cluster (sf0.1:
+    * 3.18M ≥1-band pairs vs 4.9k ≥4-band pairs over 5k docs) — and a
+    * transitive closure over a near-complete graph is quadratic in
+    * component size in ANY engine. ≥4 of 8 bands ≈ high estimated
+    * Jaccard: high-precision clusters AND diameter-bounded closure.
+    * Interpolated into BOTH the engine filter and the oracle HAVING so
+    * the twins cannot drift. */
+  private val ClusterMinBands = 4
+
   /** DuckDB twin of ConnectedComponents.labels over the MinHash candidate
     * pairs: symmetrize the edges, enumerate reachable labels with a
     * recursive CTE (UNION-distinct delta evaluation terminates), take the
     * per-node minimum. Appended after [[minhashSigsSql]] under a
     * `WITH RECURSIVE` header (q75/q76). */
   private val ccLabelsSql =
-    """cc_pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    s"""cc_pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sigs_capped a JOIN sigs_capped b
       |    ON a.band = b.band AND a.minhash = b.minhash
-      |    AND a.doc_id < b.doc_id),
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(DISTINCT a.band) >= $ClusterMinBands),
       |cc_edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM cc_pairs
       |  UNION SELECT doc_b AS src, doc_a AS dst FROM cc_pairs),
@@ -722,6 +736,7 @@ object TextQueries {
       (s, dir) => ConnectedComponents.dupClusters(
           docs(s, dir).select("doc_id"),
           TextDedup.candidatePairs(minhashSigs(s, dir))
+            .filter(col("n_shared_bands") >= ClusterMinBands)
             .select("doc_a", "doc_b"))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE grams AS ($gramsSql),
@@ -749,6 +764,7 @@ object TextQueries {
               col("n_tokens").cast("double")).as("quality"))
         val lbl = ConnectedComponents.labels(
           TextDedup.candidatePairs(minhashSigs(s, dir))
+            .filter(col("n_shared_bands") >= ClusterMinBands)
             .select("doc_a", "doc_b"),
           docs(s, dir).select("doc_id"))
         val w = Window.partitionBy(col("cluster_id"))
