@@ -53,7 +53,11 @@ object ConnectedComponents {
     *              with no edges become singleton clusters labeled with
     *              their own id.
     * @return one row per distinct node id: (<nodes' id column>,
-    *         cluster_id) where cluster_id = min node id in the component
+    *         cluster_id) where cluster_id = min node id in the component.
+    *         The frame references executor-cached state (|V| rows — the
+    *         final round's persist/localCheckpoint, which the truncated
+    *         lineage depends on); it is evicted LRU or on
+    *         `spark.catalog.clearCache()`.
     * @throws IllegalStateException if `maxIter` rounds pass without
     *         convergence (never silently returns a partial labeling)
     */
@@ -61,8 +65,12 @@ object ConnectedComponents {
     val idCol = nodes.columns.head
     val Array(srcCol, dstCol, _*) = edges.columns
 
+    // the edge frame is consumed once per round — persist it so the
+    // (possibly expensive) candidate-generation lineage above it runs
+    // once, not once per round; |E| rows, spills to disk at scale
     val sym = edges.select(col(srcCol).as("cc_id"), col(dstCol).as("cc_nbr"))
       .union(edges.select(col(dstCol).as("cc_id"), col(srcCol).as("cc_nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labeled = nodes.select(col(idCol).as("cc_id")).distinct()
       .withColumn("cc_label", col("cc_id"))
@@ -89,6 +97,7 @@ object ConnectedComponents {
       labeled.unpersist(blocking = false)
       labeled = next.select(col("cc_id"), col("cc_label"))
     }
+    sym.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter — raise it)")
