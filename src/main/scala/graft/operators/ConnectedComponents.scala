@@ -13,11 +13,15 @@ import org.apache.spark.storage.StorageLevel
   * engine-original, after Kiveris et al., "Connected Components in
   * MapReduce and Beyond").
   *
-  * Algorithm: every node starts labeled with its own id; each round,
-  * `label(v) ← min(label(v), min over neighbours u of label(u))`; stop
-  * when a round changes nothing. Labels are monotonically non-increasing
-  * and bounded, so the loop terminates — after at most `diameter(G)`
-  * rounds, every node carries the minimum id of its component.
+  * Algorithm: every node starts labeled with its own id; each round
+  * takes a neighbour step `label(v) ← min(label(v), min over neighbours
+  * u of label(u))` followed by a pointer jump
+  * `label(v) ← min(label(v), label(label(v)))` (path compression: a
+  * label is itself a node of the same component, so the lookup doubles
+  * the distance already covered); stop when a round changes nothing.
+  * Labels are monotonically non-increasing and bounded, so the loop
+  * terminates — in O(log diameter(G)) rounds every node carries the
+  * minimum id of its component.
   *
   * Scale design (100 TB):
   *   - each round is one shuffle join (edges ⋈ labels on the neighbour
@@ -25,24 +29,22 @@ import org.apache.spark.storage.StorageLevel
   *     per-neighbour mins map-side, so the shuffle carries |V| rows, and
   *     nothing ever collects to the driver (the loop reads back ONE
   *     scalar per round: the changed-row count).
-  *   - round count is the graph DIAMETER, and LSH duplicate-candidate
-  *     graphs are unions of near-cliques (every member of a duplicate
-  *     group shares buckets with most others) — in practice 2–3 rounds.
-  *     For adversarial long-chain graphs the star-contraction variants
-  *     converge in O(log n) rounds; min-propagation is chosen because the
-  *     dedup workload never produces those chains and each round here is
-  *     one join cheaper.
-  *   - lineage is cut every [[LocalCheckpointEvery]] rounds with an eager
-  *     `localCheckpoint` (executor-local storage); without it the
-  *     iterated plan nests one join per round and analysis/codegen cost
-  *     grows superlinearly. On a real cluster with unreliable executors,
-  *     point `spark.sparkContext.setCheckpointDir` at durable storage
-  *     and swap in `checkpoint()` — the loop structure is unchanged.
+  *   - round count is O(log diameter): the pointer jump doubles covered
+  *     distance each round, so even the chain-shaped components that
+  *     band-thresholded duplicate graphs produce (measured diameter ~12
+  *     at sf0.1 → 12 plain-propagation rounds) finish in ~5. The jump is
+  *     one extra keyed self-join per round — cheap against halving the
+  *     round count, since per-round fixed cost (3 shuffles + 1 action)
+  *     dominates at every scale where the loop isn't data-bound.
+  *   - lineage is cut EVERY round with an eager `localCheckpoint` at the
+  *     pre-jump labeling (executor-local storage): the jump joins that
+  *     frame with itself, so without a leaf boundary the logical plan
+  *     would DOUBLE per round — exponential driver-side analysis cost.
+  *     On a real cluster with unreliable executors, point
+  *     `spark.sparkContext.setCheckpointDir` at durable storage and swap
+  *     in `checkpoint()` — the loop structure is unchanged.
   */
 object ConnectedComponents {
-
-  /** Rounds between eager localCheckpoint lineage cuts. */
-  val LocalCheckpointEvery = 4
 
   /** Label every node with the minimum node id in its connected
     * component.
@@ -79,20 +81,41 @@ object ConnectedComponents {
     var converged = false
     while (!converged && round < maxIter) {
       round += 1
+      // 1. neighbour step: cc_mid(v) = min(label(v), min of neighbours'
+      //    labels) — advances one hop per round
       val nbrLabels = labeled
         .select(col("cc_id").as("cc_nbr"), col("cc_label").as("cc_nbr_label"))
       val nbrMin = sym.join(nbrLabels, "cc_nbr")
         .groupBy("cc_id")
         .agg(min(col("cc_nbr_label")).as("cc_nbr_min"))
-      val stepped = labeled.join(nbrMin, Seq("cc_id"), "left")
-        .select(col("cc_id"),
+      // eager localCheckpoint, not persist: the pointer jump below joins
+      // cand with ITSELF, so a plain persist doubles the logical plan
+      // every round — exponential tree growth that stalls the DRIVER in
+      // plan analysis/rendering long before any data moves. Cutting
+      // lineage to a leaf here makes every round's plan constant-size
+      // (|V| rows of executor-local storage per round, freed by the
+      // ContextCleaner as references drop).
+      val cand = labeled.join(nbrMin, Seq("cc_id"), "left")
+        .select(col("cc_id"), col("cc_label").as("cc_old"),
           least(col("cc_label"), coalesce(col("cc_nbr_min"), col("cc_label")))
+            .as("cc_mid"))
+        .localCheckpoint()
+      // 2. pointer jump: label(v) ← min(cc_mid(v), cc_mid(cc_mid(v))).
+      //    Every label IS a node id of the same component, so looking the
+      //    label up in the labeling doubles the distance already covered
+      //    — rounds drop from O(diameter) to O(log diameter), which is
+      //    what makes chain-shaped duplicate clusters (common after
+      //    band-thresholding) cheap. One extra keyed join per round.
+      val jump = cand
+        .select(col("cc_id").as("cc_jump_key"), col("cc_mid").as("cc_jump_label"))
+      val stepped = cand
+        .join(jump.withColumnRenamed("cc_jump_key", "cc_mid"), Seq("cc_mid"), "left")
+        .select(col("cc_id"),
+          least(col("cc_mid"), coalesce(col("cc_jump_label"), col("cc_mid")))
             .as("cc_label"),
-          (coalesce(col("cc_nbr_min"), col("cc_label")) < col("cc_label"))
-            .as("cc_changed"))
-      val next =
-        if (round % LocalCheckpointEvery == 0) stepped.localCheckpoint()
-        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+          (least(col("cc_mid"), coalesce(col("cc_jump_label"), col("cc_mid")))
+            < col("cc_old")).as("cc_changed"))
+      val next = stepped.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("cc_changed")).count() == 0L
       labeled.unpersist(blocking = false)
       labeled = next.select(col("cc_id"), col("cc_label"))

@@ -73,11 +73,31 @@ object TextQueries {
       TextDedup.minhashSignatures(gramsDf(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared duplicate-cluster labeling per (session, table dir),
+    * like [[minhashSigs]]: the propagation loop is a multi-job iteration
+    * whose per-round overhead dwarfs its data at test SF, and a real
+    * curation run computes cluster labels ONCE and fans them out to
+    * every consumer (q75's census and q76's keep-best here). |docs|
+    * rows, persisted; [[reset]] evicts. */
+  private val sharedLabels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame =
+    sharedLabels.getOrElseUpdate((s, dir),
+      ConnectedComponents.labels(
+          TextDedup.candidatePairs(minhashSigs(s, dir))
+            .filter(col("n_shared_bands") >= ClusterMinBands)
+            .select("doc_a", "doc_b"),
+          docs(s, dir).select("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Unpersist + evict the shared signature frames for a session, as
     * OperatorQueries.reset does for the ingest pipeline frame. */
-  def reset(s: SparkSession): Unit =
+  def reset(s: SparkSession): Unit = {
     sharedSigs.keys.filter(_._1 eq s).foreach(k =>
       sharedSigs.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedLabels.keys.filter(_._1 eq s).foreach(k =>
+      sharedLabels.remove(k).foreach(_.unpersist(blocking = false)))
+  }
 
   private val minhashSigsSql = {
     val mins = (0 until 8).map(b =>
@@ -733,12 +753,14 @@ object TextQueries {
     // (diameter-bounded rounds, one keyed shuffle each); the oracle walks
     // the same edges with a recursive CTE.
     EngineQuery("q75_dup_clusters",
-      (s, dir) => ConnectedComponents.dupClusters(
-          docs(s, dir).select("doc_id"),
-          TextDedup.candidatePairs(minhashSigs(s, dir))
-            .filter(col("n_shared_bands") >= ClusterMinBands)
-            .select("doc_a", "doc_b"))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val lbl = dupClusterLabels(s, dir)
+        val sizes = lbl.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        lbl.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
       Some(s"""WITH RECURSIVE grams AS ($gramsSql),
               |$minhashSigsSql,
               |$ccLabelsSql
@@ -762,11 +784,7 @@ object TextQueries {
           .select(col("doc_id"),
             (lit(1.0) - col("n_stop").cast("double") /
               col("n_tokens").cast("double")).as("quality"))
-        val lbl = ConnectedComponents.labels(
-          TextDedup.candidatePairs(minhashSigs(s, dir))
-            .filter(col("n_shared_bands") >= ClusterMinBands)
-            .select("doc_a", "doc_b"),
-          docs(s, dir).select("doc_id"))
+        val lbl = dupClusterLabels(s, dir)
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("quality").desc, col("doc_id"))
         lbl.join(quality, Seq("doc_id"))

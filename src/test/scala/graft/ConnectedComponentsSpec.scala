@@ -43,6 +43,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("no edges at all: every node is its own singleton cluster") {
+    val got = label(Seq.empty, Seq(7L, 8L, 9L))
+    assert(got === Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("dupClusters sizes singletons at 1 and groups transitively") {
     val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
