@@ -867,7 +867,30 @@ object TextQueries {
               |LEFT JOIN corpus_th c ON c.th = h.th
               |LEFT JOIN shared sh ON sh.doc_id = h.doc_id
               |WHERE h.doc_id % 5 = 0
-              |ORDER BY h.doc_id""".stripMargin))
+              |ORDER BY h.doc_id""".stripMargin)),
+
+    // Q81 — leakage-safe train/validation split: the split decision
+    // hashes the duplicate CLUSTER id (q75's labels), never the doc id,
+    // so a whole near-dup cluster lands in one split — otherwise a
+    // near-copy of a training document leaks into validation and the
+    // eval is contaminated. Same deterministic sha256 bucket as the
+    // sampling operators (q03/q68); 90/10 by cluster.
+    EngineQuery("q81_leakage_safe_split",
+      (s, dir) => dupClusterLabels(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          when(hashBucket(concat(lit("split:"),
+              col("cluster_id").cast("string"))) < 0.9, "train")
+            .otherwise("val").as("split"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$ccLabelsSql
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN CAST('0x' || substr(sha256('split:' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)
+              |      / 4294967295.0 < 0.9
+              |    THEN 'train' ELSE 'val' END AS split
+              |FROM cc_labels
+              |ORDER BY doc_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
