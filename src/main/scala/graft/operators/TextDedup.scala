@@ -148,7 +148,11 @@ object TextDedup {
     * oracle twin can keep raw grams; that frees Spark to use the cheap
     * codegen'd xxhash64 instead of an oracle-portable sha256. */
   def jaccard(grams: DataFrame, pairs: DataFrame): DataFrame = {
-    val cand = pairs.select("doc_a", "doc_b").distinct()
+    // keep every pairs column (e.g. candidatePairs' n_shared_bands) so a
+    // consumer can relate the LSH signal to the exact score without
+    // re-joining the pairs frame — which would duplicate its observe()
+    // metrics node in one plan (names must be unique per plan)
+    val cand = pairs.distinct()
     // Semi-join prune FIRST: only grams of docs that appear in a
     // candidate pair survive. At 100 TB candidates are a sliver of the
     // corpus, so this is the difference between shuffling all grams and
@@ -176,13 +180,14 @@ object TextDedup {
         Seq("doc_a"))
       .join(gArr.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
         Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        sortedIntersectCount(col("ga"), col("gb")).cast("long").as("n_inter"),
-        size(col("ga")).cast("long").as("na"),
-        size(col("gb")).cast("long").as("nb"))
+      .withColumn("n_inter",
+        sortedIntersectCount(col("ga"), col("gb")).cast("long"))
+      .withColumn("na", size(col("ga")).cast("long"))
+      .withColumn("nb", size(col("gb")).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .drop("ga", "gb")
   }
 
   /** 60-bit SimHash fingerprints from a (doc_id, tok) token frame.

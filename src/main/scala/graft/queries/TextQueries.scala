@@ -120,17 +120,50 @@ object TextQueries {
        |  WHERE bucket_rk <= ${TextDedup.DefaultMaxBucketSize})""".stripMargin
   }
 
-  /** Band-agreement floor for DUP-CLUSTER edges (q75/q76): a candidate
-    * pair becomes a cluster edge only when ≥ this many of the 8 bands
-    * agree. Clustering on "shares any band" over-merges — on a dup-heavy
-    * corpus nearly every document lands in one giant cluster (sf0.1:
-    * 3.18M ≥1-band pairs vs 4.9k ≥4-band pairs over 5k docs) — and a
-    * transitive closure over a near-complete graph is quadratic in
-    * component size in ANY engine. ≥4 of 8 bands ≈ high estimated
-    * Jaccard: high-precision clusters AND diameter-bounded closure.
+  /** DuckDB twin of TextDedup.jaccard over the capped candidate pairs,
+    * ending in a `jac` CTE carrying the band count alongside the exact
+    * score — shared by q31 and q82. Requires grams + [[minhashSigsSql]].
+    * (Oracle intersects raw grams; engine uses xxhash64 keys — counts
+    * only, collision odds documented in README.) */
+  private val jaccardCoreSql =
+    """gset AS (SELECT DISTINCT doc_id, gram FROM grams),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    COUNT(DISTINCT a.band) AS n_shared_bands
+      |  FROM sigs_capped a JOIN sigs_capped b
+      |    ON a.band = b.band AND a.minhash = b.minhash
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN gset ga ON ga.doc_id = c.doc_a
+      |  JOIN gset gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+      |    coalesce(i.n_inter, 0) AS n_inter, sa.n AS na, sb.n AS nb,
+      |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+      |      / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |  JOIN sizes sa ON sa.doc_id = c.doc_a
+      |  JOIN sizes sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** Band-agreement floor for DUP-CLUSTER edges (q75/q76/q81): a
+    * candidate pair becomes a cluster edge only when ≥ this many of the
+    * 8 bands agree. Clustering on "shares any band" over-merges — on a
+    * dup-heavy corpus nearly every document lands in one giant cluster
+    * (sf0.1: 3.18M ≥1-band pairs over 5k docs) — and a transitive
+    * closure over a near-complete graph is quadratic in component size
+    * in ANY engine. The floor is CALIBRATED by q82 (band agreement vs
+    * exact Jaccard): on this corpus pairs agreeing on 7–8 bands average
+    * exact Jaccard ≈ 0.98 while 4–5-band pairs average ≈ 0.07 — true
+    * near-duplicates sit at ≥ 6, everything below is bucket noise.
     * Interpolated into BOTH the engine filter and the oracle HAVING so
     * the twins cannot drift. */
-  private val ClusterMinBands = 4
+  private val ClusterMinBands = 6
 
   /** DuckDB twin of ConnectedComponents.labels over the MinHash candidate
     * pairs: symmetrize the edges, enumerate reachable labels with a
@@ -278,30 +311,38 @@ object TextQueries {
         TextDedup.candidatePairs(minhashSigs(s, dir)))
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH grams AS ($gramsSql),
-              |gset AS (SELECT DISTINCT doc_id, gram FROM grams),
-              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
               |$minhashSigsSql,
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sigs_capped a JOIN sigs_capped b
-              |    ON a.band = b.band AND a.minhash = b.minhash
-              |    AND a.doc_id < b.doc_id),
-              |inter AS (
-              |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-              |  FROM cand c
-              |  JOIN gset ga ON ga.doc_id = c.doc_a
-              |  JOIN gset gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
-              |  GROUP BY 1, 2)
-              |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-              |  coalesce(i.n_inter, 0) AS n_inter,
-              |  sa.n AS na, sb.n AS nb,
-              |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-              |    / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
-              |FROM cand c
-              |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-              |JOIN sizes sa ON sa.doc_id = c.doc_a
-              |JOIN sizes sb ON sb.doc_id = c.doc_b
-              |ORDER BY 1, 2""".stripMargin)),
+              |$jaccardCoreSql
+              |SELECT doc_a, doc_b, n_shared_bands, n_inter, na, nb, jaccard
+              |FROM jac ORDER BY 1, 2""".stripMargin)),
+
+    // EXT — band/Jaccard calibration: mean exact Jaccard per shared-band
+    // count — the curve that justifies the q75/q76 cluster threshold
+    // (ClusterMinBands) empirically instead of by folklore. The average
+    // is an exact fixed-point integer sum (the q71 float discipline), so
+    // the cross-row fold is order-independent in both engines.
+    EngineQuery("q82_band_jaccard_calibration",
+      (s, dir) => TextDedup.jaccard(gramsDf(s, dir),
+          TextDedup.candidatePairs(minhashSigs(s, dir)))
+        .groupBy("n_shared_bands")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("jaccard") * 1e6).cast("long")).as("jac_sum_fp"),
+          round(min(col("jaccard")), 6).as("min_jaccard"),
+          round(max(col("jaccard")), 6).as("max_jaccard"))
+        .select(col("n_shared_bands"), col("n_pairs"),
+          round(col("jac_sum_fp").cast("double") / 1e6 /
+            col("n_pairs").cast("double"), 6).as("avg_jaccard"),
+          col("min_jaccard"), col("max_jaccard"))
+        .orderBy("n_shared_bands"),
+      Some(s"""WITH grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$jaccardCoreSql
+              |SELECT n_shared_bands, COUNT(*) AS n_pairs,
+              |  round(CAST(SUM(CAST(round(jaccard * 1000000.0) AS BIGINT)) AS DOUBLE)
+              |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_jaccard,
+              |  round(MIN(jaccard), 6) AS min_jaccard,
+              |  round(MAX(jaccard), 6) AS max_jaccard
+              |FROM jac GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Q49 — collection aggregates: per-language sorted distinct source
     // sets (collect_set → sort_array) with membership/size checks. The
