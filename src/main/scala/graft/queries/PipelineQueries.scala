@@ -335,11 +335,13 @@ object PipelineQueries {
              |ORDER BY v.user_id""".stripMargin)),
 
     // Q74 — portable table checksum: an order-independent fingerprint
-    // (exact-decimal SUM of a 60-bit content hash per row) for verifying
-    // a migration copied every row — the operation this engine's own
-    // oracle gate performs, packaged as a query. Sum is commutative so
-    // partition order never matters; decimal(38,0) keeps the sum exact in
-    // both engines; one map-side-foldable aggregation per group.
+    // (BIGINT BIT_XOR of a 60-bit content hash per row) for verifying a
+    // migration copied every row — the operation this engine's own
+    // oracle gate performs, packaged as a query. XOR is commutative and
+    // associative so partition order never matters, folds map-side, and
+    // cannot overflow — the checksum stays a plain BIGINT with identical
+    // binary representation in every engine (a DECIMAL(38,0) sum was
+    // value-identical but hashed differently per engine at the gate).
     EngineQuery("q74_table_checksum",
       (s, dir) => Tables.events(s, dir)
         .select(col("event_type"),
@@ -347,12 +349,12 @@ object PipelineQueries {
             col("event_type"))).as("h"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast("decimal(38,0)")).as("checksum"))
+          expr("bit_xor(h)").as("checksum"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n_rows,
-             |  SUM(CAST(CAST('0x' || substr(sha256(
+             |  BIT_XOR(CAST('0x' || substr(sha256(
              |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
-             |      || '|' || event_type), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+             |      || '|' || event_type), 1, 15) AS BIGINT)) AS checksum
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin))
   )
