@@ -148,11 +148,20 @@ object TextDedup {
     * oracle twin can keep raw grams; that frees Spark to use the cheap
     * codegen'd xxhash64 instead of an oracle-portable sha256. */
   def jaccard(grams: DataFrame, pairs: DataFrame): DataFrame = {
-    // keep every pairs column (e.g. candidatePairs' n_shared_bands) so a
-    // consumer can relate the LSH signal to the exact score without
+    // One output row per (doc_a, doc_b) ENDPOINT pair, whatever the
+    // caller passes: metadata columns (e.g. candidatePairs'
+    // n_shared_bands) ride along via a max-aggregate, so a frame that
+    // repeats an endpoint pair under different metadata values still
+    // dedupes on the endpoints (a bare distinct() would not). Same
+    // one-shuffle cost as distinct; keeping the metadata in-frame avoids
     // re-joining the pairs frame — which would duplicate its observe()
-    // metrics node in one plan (names must be unique per plan)
-    val cand = pairs.distinct()
+    // metrics node in one plan (names must be unique per plan).
+    val metaCols = pairs.columns.filterNot(Set("doc_a", "doc_b"))
+    val cand =
+      if (metaCols.isEmpty) pairs.distinct()
+      else pairs.groupBy("doc_a", "doc_b").agg(
+        max(col(metaCols.head)).as(metaCols.head),
+        metaCols.tail.map(c => max(col(c)).as(c)).toIndexedSeq: _*)
     // Semi-join prune FIRST: only grams of docs that appear in a
     // candidate pair survive. At 100 TB candidates are a sliver of the
     // corpus, so this is the difference between shuffling all grams and

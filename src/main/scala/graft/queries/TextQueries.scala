@@ -90,6 +90,22 @@ object TextQueries {
           docs(s, dir).select("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared exact-Jaccard frame per (session, table dir), like
+    * [[minhashSigs]]: verification (q31) and band calibration (q82) both
+    * consume the scored candidate pairs, and the gram explode + distinct
+    * + sorted-array build + pair joins behind them are the single most
+    * expensive subplan in the engine — a real curation run scores each
+    * candidate pair ONCE and derives every report from the scored table.
+    * |candidate pairs| rows (6 small columns), persisted; [[reset]]
+    * evicts. */
+  private val sharedJaccard = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def jaccardScores(s: SparkSession, dir: String): DataFrame =
+    sharedJaccard.getOrElseUpdate((s, dir),
+      TextDedup.jaccard(gramsDf(s, dir),
+          TextDedup.candidatePairs(minhashSigs(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Unpersist + evict the shared signature frames for a session, as
     * OperatorQueries.reset does for the ingest pipeline frame. */
   def reset(s: SparkSession): Unit = {
@@ -97,6 +113,8 @@ object TextQueries {
       sharedSigs.remove(k).foreach(_.unpersist(blocking = false)))
     sharedLabels.keys.filter(_._1 eq s).foreach(k =>
       sharedLabels.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedJaccard.keys.filter(_._1 eq s).foreach(k =>
+      sharedJaccard.remove(k).foreach(_.unpersist(blocking = false)))
   }
 
   private val minhashSigsSql = {
@@ -163,7 +181,7 @@ object TextQueries {
     * near-duplicates sit at ≥ 6, everything below is bucket noise.
     * Interpolated into BOTH the engine filter and the oracle HAVING so
     * the twins cannot drift. */
-  private val ClusterMinBands = 6
+  private[graft] val ClusterMinBands = 6
 
   /** DuckDB twin of ConnectedComponents.labels over the MinHash candidate
     * pairs: symmetrize the edges, enumerate reachable labels with a
@@ -307,8 +325,7 @@ object TextQueries {
     // Q31 — exact n-gram Jaccard on the MinHash candidate pairs (integer
     // intersection/union counts: no float drift).
     EngineQuery("q31_ngram_jaccard",
-      (s, dir) => TextDedup.jaccard(gramsDf(s, dir),
-        TextDedup.candidatePairs(minhashSigs(s, dir)))
+      (s, dir) => jaccardScores(s, dir)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH grams AS ($gramsSql),
               |$minhashSigsSql,
@@ -322,8 +339,7 @@ object TextQueries {
     // is an exact fixed-point integer sum (the q71 float discipline), so
     // the cross-row fold is order-independent in both engines.
     EngineQuery("q82_band_jaccard_calibration",
-      (s, dir) => TextDedup.jaccard(gramsDf(s, dir),
-          TextDedup.candidatePairs(minhashSigs(s, dir)))
+      (s, dir) => jaccardScores(s, dir)
         .groupBy("n_shared_bands")
         .agg(count(lit(1)).as("n_pairs"),
           sum(round(col("jaccard") * 1e6).cast("long")).as("jac_sum_fp"),

@@ -3,18 +3,24 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{ConnectedComponents, TextDedup}
 
-/** Scratch profiling for the duplicate-clustering loop at sf0.1.
-  * Run: sbt "Test/runMain graft.DebugCC" */
+/** Scratch profiling for the duplicate-clustering loop.
+  * Run: sbt "Test/runMain graft.DebugCC [sfDir] [minBands]"
+  * Defaults mirror the PRODUCTION pipeline exactly: the q75 edge floor
+  * comes from TextQueries.ClusterMinBands so this harness cannot drift
+  * from the calibrated setting. */
 object DebugCC {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val minBands =
+      args.lift(1).map(_.toInt).getOrElse(queries.TextQueries.ClusterMinBands)
+    println(s"dir=$dir minBands=$minBands")
     val docs = Tables.table(spark, dir, "documents")
     val grams = TextDedup.shingles(docs)
     val sigs = TextDedup.minhashSignatures(grams)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = TextDedup.candidatePairs(sigs)
-      .filter(col("n_shared_bands") >= 4)
+      .filter(col("n_shared_bands") >= minBands)
       .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println("edges=" + pairs.count())
