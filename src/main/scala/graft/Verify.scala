@@ -52,6 +52,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
+    graft.queries.SimilarityQueries.reset(spark)
     spark.stop()
   }
 }

@@ -52,9 +52,15 @@ object Similarity {
     * q_id-only projection so column pruning drops the normalize/sqrt work
     * from the guard scan (unless the predicate itself references qv/qnrm).
     * The default cap is deliberate API: callers that need a larger EXACT
-    * scan must raise `maxQueries` explicitly and own the cost. */
+    * scan must raise `maxQueries` explicitly and own the cost.
+    *
+    * `prep`: an already-[[prepared]] (and typically persisted) frame for
+    * `embeddings` — callers running several similarity operators over the
+    * same table pass one shared frame so the cast/norm subplan is built
+    * and compiled once (the guard then counts the persisted frame, which
+    * is equally bounded). */
   def topKCosine(embeddings: DataFrame, queryPredicate: Column, k: Int,
-      maxQueries: Int = 1000): DataFrame = {
+      maxQueries: Int = 1000, prep: Option[DataFrame] = None): DataFrame = {
     // one definition of the query side, applied to the spread frame (for
     // the join) and the unspread frame (for the guard — prepared()'s
     // repartition exchange would sit under the limit, where LimitPushDown
@@ -63,9 +69,10 @@ object Similarity {
     def querySide(base: DataFrame) =
       base.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")).filter(queryPredicate)
-    val e = prepared(embeddings)
+    val e = prep.getOrElse(prepared(embeddings))
     val q = querySide(e)
-    val nQ = querySide(normalized(embeddings, "vec_id", "embedding"))
+    val nQ = querySide(
+        prep.getOrElse(normalized(embeddings, "vec_id", "embedding")))
       .select("q_id").limit(maxQueries + 1).count()
     require(nQ <= maxQueries,
       s"topKCosine is a brute-force baseline: query side has > $maxQueries " +
@@ -96,39 +103,58 @@ object Similarity {
   private def planeLit(p: Array[Double]): Column =
     array(p.map(v => lit(v)).toIndexedSeq: _*)
 
-  /** IVF-style ANN: partition vectors into inverted lists by nearest
-    * seed centroid, probe only the `nProbe` closest lists per query.
+  /** Assign every vector of a [[prepared]] frame to its nearest
+    * centroid (rounded cosine, centroid-id tie-break — reproducible
+    * cross-engine). One broadcast of the |centroids| frame; the argmax
+    * window runs on the prepared frame's keyed partitioning.
     *
-    * Centroids are the first `nCentroids` vectors of the table itself
-    * (deterministic seeding — a k-means refinement would drop in here
-    * without changing the query shape). At 100 TB the assignment is one
-    * broadcast join against the centroid set and the search shuffles on
-    * list id, so each query touches |probed lists| rather than N. */
-  def ivfTopK(embeddings: DataFrame, queryPredicate: Column, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = prepared(embeddings)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
-    // assign every vector to its nearest centroid (rounded cosine,
-    // centroid-id tie-break — reproducible cross-engine)
+    * @param cents (cent_id, cv: array<double>, cnrm) — any scaling of
+    *              cv is fine (cosine is scale-invariant)
+    * @return (vec_id, v, nrm, list_id, cent_cos)
+    */
+  def assignToLists(prep: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val assigned = e.join(broadcast(cents), lit(true))
+    prep.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("cent_cos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("cent_id").as("list_id"))
+        col("cent_id").as("list_id"), col("cent_cos"))
+  }
+
+  /** Seed centroids for [[ivfTopK]]: the first `nCentroids` vectors of
+    * the table itself (deterministic; [[kmeansCentroids]] refines). */
+  def seedCentroids(prep: DataFrame, nCentroids: Int): DataFrame =
+    prep.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+
+  /** IVF-style ANN: partition vectors into inverted lists by nearest
+    * centroid, probe only the `nProbe` closest lists per query.
+    *
+    * Default centroids are the first `nCentroids` vectors of the table
+    * itself ([[seedCentroids]]); pass `cents` (e.g.
+    * [[kmeansCentroids]]' output) to drop in refined centroids without
+    * changing the query shape. At 100 TB the assignment is one
+    * broadcast join against the centroid set and the search shuffles on
+    * list id, so each query touches |probed lists| rather than N. */
+  def ivfTopK(embeddings: DataFrame, queryPredicate: Column, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      prep: Option[DataFrame] = None,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val e = prep.getOrElse(prepared(embeddings))
+    val cc = cents.getOrElse(seedCentroids(e, nCentroids))
+    val assigned = assignToLists(e, cc).drop("cent_cos")
     // per query: rank centroids, keep nProbe lists
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val probes = e.filter(queryPredicate)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-      .join(broadcast(cents), lit(true))
+      .join(broadcast(cc), lit(true))
       .select(col("q_id"), col("qv"), col("qnrm"), col("cent_id"),
         round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6)
           .as("cent_cos"))
@@ -147,6 +173,65 @@ object Similarity {
       .groupBy("q_id", "vec_id").agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
+  }
+
+  /** Lloyd (k-means) refinement of the IVF seed centroids — drops into
+    * [[ivfTopK]] via its `cents` parameter without changing the query
+    * shape (the seam documented there).
+    *
+    * Each iteration: (1) assign every vector to its nearest current
+    * centroid (rounded cosine, centroid-id tie-break — the [[ivfTopK]]
+    * assignment rule); (2) recompute each centroid as the mean of its
+    * member vectors. A list that loses all members simply disappears
+    * (deterministic in any engine); iteration count is FIXED (not
+    * convergence-tested) so an external oracle can unroll the loop.
+    *
+    * Cross-engine float discipline (the q71 centroid precedent): the
+    * mean is a cross-row float sum, which is order-dependent under
+    * shuffling — so components are fixed-point scaled
+    * (`round(x·1e6)` as long) and summed exactly; the centroid stays in
+    * the ×1e6 domain (cosine is scale-invariant, so assignments and
+    * similarity ranks are unaffected) and each component is the exact
+    * integer sum divided by the member count.
+    *
+    * Scale shape per iteration: one broadcast of |centroids| rows
+    * against the vector table (argmin folds in a window over
+    * vec_id-partitioned data — no shuffle beyond the prepared frame's
+    * keyed partitioning), then component sums that shuffle (list, pos)
+    * partials map-side. Nothing collects to the driver.
+    *
+    * @return (cent_id, cv: array<double> in the ×1e6 domain, cnrm)
+    */
+  def kmeansCentroids(prep: DataFrame, nCentroids: Int = 16,
+      nIter: Int = 2): DataFrame = {
+    val scaled = prep.select(col("vec_id"), col("v"), col("nrm"),
+      transform(col("v"), x => round(x * 1e6).cast("long")).as("sv"))
+    val seed = scaled.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("sv"), _.cast("double")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    (1 to nIter).foldLeft(seed) { case (cents, _) =>
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = scaled.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("sv"), col("cent_id"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+            .as("cent_cos"))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select(col("sv"), col("cent_id").as("list_id"))
+      assigned
+        .select(col("list_id"), posexplode(col("sv")))
+        .groupBy("list_id", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("n").cast("double")).as("c"))))
+          .as("pc"))
+        .select(col("list_id").as("cent_id"),
+          transform(col("pc"), p => p.getField("c")).as("cv"))
+        .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    }
   }
 
   /** Per-vector int8 scalar quantization — the compression stage an ANN
@@ -191,8 +276,8 @@ object Similarity {
   /** Sign-LSH near-neighbour pairs: bucket by the n-bit hyperplane
     * signature, exact cosine only within buckets. */
   def lshNearNeighbours(embeddings: DataFrame, planes: Seq[Array[Double]],
-      minCosine: Double): DataFrame = {
-    val e = prepared(embeddings)
+      minCosine: Double, prep: Option[DataFrame] = None): DataFrame = {
+    val e = prep.getOrElse(prepared(embeddings))
     val sig = planes.zipWithIndex.foldLeft(e) { case (df, (p, i)) =>
       df.withColumn(s"b$i",
         when(dot(col("v"), planeLit(p)) > 0, lit(1L << i)).otherwise(0L))

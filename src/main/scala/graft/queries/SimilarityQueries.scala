@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Similarity
@@ -18,6 +19,24 @@ object SimilarityQueries {
 
   private def planeSqlList(p: Array[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** One shared [[Similarity.prepared]] frame per (session, table dir):
+    * q27/q40/q48/q79 all start from the same cast + norm + spread of the
+    * embeddings table, and rebuilding it per query re-runs Catalyst over
+    * the identical subplan four times — the `sharedSigs` pattern from
+    * TextQueries. |vectors| rows, persisted; [[reset]] evicts. */
+  private val sharedPrepared = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def preparedShared(s: SparkSession, dir: String): DataFrame =
+    sharedPrepared.getOrElseUpdate((s, dir),
+      Similarity.prepared(Tables.table(s, dir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist + evict the shared prepared frames for a session (the
+    * TextQueries.reset / OperatorQueries.reset teardown contract). */
+  def reset(s: SparkSession): Unit =
+    sharedPrepared.keys.filter(_._1 eq s).foreach(k =>
+      sharedPrepared.remove(k).foreach(_.unpersist(blocking = false)))
 
   /** Shared oracle CTEs (double-cast vectors + norms), consumed by
     * q27/q40/q48/q79 so the twins cannot drift. */
@@ -41,39 +60,88 @@ object SimilarityQueries {
       |    WHERE q.vec_id < 10) x
       |  WHERE rn <= 5)""".stripMargin
 
-  /** Oracle twin of Similarity.ivfTopK(vec_id < 10, k = 5) as an `ivf`
-    * CTE (q48, q79). */
-  private val ivfTopkSql =
-    """cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-      |assigned AS (
+  /** Oracle generator for the IVF probe search (Similarity.ivfTopK,
+    * vec_id < 10, k = 5, nProbe = 4) over an arbitrary centroid CTE:
+    * produces `<p>assigned / <p>probes / <p>hits / <p>ivf`. One body
+    * serves the seeded search (q48/q79) and the k-means-refined search
+    * (q84) — the twins cannot drift. */
+  private def ivfSearchSql(p: String, cents: String): String =
+    s"""${p}assigned AS (
       |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
       |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
       |      row_number() OVER (PARTITION BY n.vec_id
       |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
       |          c.cent_id) AS arn
-      |    FROM n CROSS JOIN cents c) t
+      |    FROM n CROSS JOIN $cents c) t
       |  WHERE arn = 1),
-      |probes AS (
+      |${p}probes AS (
       |  SELECT q_id, qv, qnrm, cent_id AS list_id FROM (
       |    SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, c.cent_id,
       |      row_number() OVER (PARTITION BY n.vec_id
       |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
       |          c.cent_id) AS prn
-      |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10) t
+      |    FROM n CROSS JOIN $cents c WHERE n.vec_id < 10) t
       |  WHERE prn <= 4),
-      |hits AS (
+      |${p}hits AS (
       |  SELECT p.q_id, a.vec_id,
       |    MAX(round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 6)) AS cos_sim
-      |  FROM probes p JOIN assigned a
+      |  FROM ${p}probes p JOIN ${p}assigned a
       |    ON a.list_id = p.list_id AND a.vec_id <> p.q_id
       |  GROUP BY 1, 2),
-      |ivf AS (
+      |${p}ivf AS (
       |  SELECT q_id, vec_id, cos_sim, rn FROM (
       |    SELECT q_id, vec_id, cos_sim,
       |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
-      |    FROM hits) x
+      |    FROM ${p}hits) x
       |  WHERE rn <= 5)""".stripMargin
+
+  /** Oracle twin of Similarity.ivfTopK(vec_id < 10, k = 5) with the
+    * seeded centroids, as an `ivf` CTE (q48, q79). */
+  private val ivfTopkSql =
+    """cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |""".stripMargin + ivfSearchSql("", "cents")
+
+  /** Oracle twin of Similarity.kmeansCentroids(nCentroids=16, nIter=2):
+    * the Lloyd loop unrolled, ending in `km_cents2n (cent_id, cv, cnrm)`
+    * with centroids in the exact-integer-mean ×1e6 domain (see the
+    * operator's float discipline). */
+  private val kmeansSql = {
+    val sv =
+      """km_sv AS (
+        |  SELECT vec_id, v, nrm,
+        |    list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+        |  FROM n),
+        |km_cents0 AS (
+        |  SELECT vec_id AS cent_id,
+        |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM km_sv WHERE vec_id < 16),
+        |km_cents0n AS (
+        |  SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+        |  FROM km_cents0)""".stripMargin
+    def iter(i: Int): String =
+      s"""km_assign$i AS (
+        |  SELECT vec_id, sv, cent_id AS list_id FROM (
+        |    SELECT s.vec_id, s.sv, c.cent_id,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY round(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm), 6) DESC,
+        |          c.cent_id) AS arn
+        |    FROM km_sv s CROSS JOIN km_cents${i - 1}n c) t
+        |  WHERE arn = 1),
+        |km_comp$i AS (
+        |  SELECT list_id, pos, SUM(sval) AS sm, COUNT(*) AS n FROM (
+        |    SELECT list_id, unnest(sv) AS sval,
+        |      unnest(range(1, len(sv) + 1)) AS pos FROM km_assign$i) u
+        |  GROUP BY 1, 2),
+        |km_cents$i AS (
+        |  SELECT list_id AS cent_id,
+        |    list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+        |  FROM km_comp$i GROUP BY 1),
+        |km_cents${i}n AS (
+        |  SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+        |  FROM km_cents$i)""".stripMargin
+    (sv +: (1 to 2).map(iter)).mkString(",\n")
+  }
 
   val all: Seq[EngineQuery] = Seq(
 
@@ -81,7 +149,8 @@ object SimilarityQueries {
     // (vec_id < 10); ranking on rounded score with vec_id tie-break.
     EngineQuery("q27_topk_cosine",
       (s, dir) => Similarity.topKCosine(
-          Tables.table(s, dir, "embeddings"), col("q_id") < 10, k = 5)
+          Tables.table(s, dir, "embeddings"), col("q_id") < 10, k = 5,
+          prep = Some(preparedShared(s, dir)))
         .orderBy("q_id", "rn"),
       Some(s"""WITH $prepSql,
               |$exactTopkSql
@@ -93,7 +162,8 @@ object SimilarityQueries {
     // LSH for similarity at scale).
     EngineQuery("q48_ivf_knn",
       (s, dir) => Similarity.ivfTopK(
-          Tables.table(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
+          Tables.table(s, dir, "embeddings"), col("vec_id") < 10, k = 5,
+          prep = Some(preparedShared(s, dir)))
         .orderBy("q_id", "rn"),
       Some(s"""WITH $prepSql,
               |$ivfTopkSql
@@ -137,9 +207,12 @@ object SimilarityQueries {
     EngineQuery("q79_ann_recall",
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
-        val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5)
+        val prep = Some(preparedShared(s, dir))
+        val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5,
+            prep = prep)
           .select(col("q_id"), col("vec_id"))
-        val approx = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5)
+        val approx = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
+            prep = prep)
           .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
         exact.join(approx, Seq("q_id", "vec_id"), "left")
           .groupBy("q_id")
@@ -158,12 +231,99 @@ object SimilarityQueries {
               |  ON i.q_id = e.q_id AND i.vec_id = e.vec_id
               |GROUP BY 1 ORDER BY e.q_id""".stripMargin)),
 
+    // EXT — k-means (Lloyd) refinement of the IVF centroids: 2 fixed
+    // iterations from the seeded centroids, then every vector's final
+    // list assignment summarized per list (size, mean/min cosine to its
+    // centroid — the assignment metadata an index build reports). The
+    // mean is the q71/q82 exact fixed-point fold; the oracle unrolls the
+    // same two iterations CTE-by-CTE.
+    EngineQuery("q83_kmeans_refine",
+      (s, dir) => {
+        val prep = preparedShared(s, dir)
+        val cents = Similarity.kmeansCentroids(prep, nCentroids = 16, nIter = 2)
+        Similarity.assignToLists(prep, cents)
+          .groupBy("list_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(round(col("cent_cos") * 1e6).cast("long")).as("cos_sum_fp"),
+            round(min(col("cent_cos")), 6).as("min_cos"))
+          .select(col("list_id"), col("n_vecs"),
+            round(col("cos_sum_fp").cast("double") / 1e6 /
+              col("n_vecs").cast("double"), 6).as("avg_cos"),
+            col("min_cos"))
+          .orderBy("list_id")
+      },
+      Some(s"""WITH $prepSql,
+              |$kmeansSql,
+              |km_final AS (
+              |  SELECT vec_id, cent_id AS list_id, cc FROM (
+              |    SELECT s.vec_id, c.cent_id,
+              |      round(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm), 6) AS cc,
+              |      row_number() OVER (PARTITION BY s.vec_id
+              |        ORDER BY round(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm), 6) DESC,
+              |          c.cent_id) AS arn
+              |    FROM km_sv s CROSS JOIN km_cents2n c) t
+              |  WHERE arn = 1)
+              |SELECT list_id, COUNT(*) AS n_vecs,
+              |  round(CAST(SUM(CAST(round(cc * 1000000.0) AS BIGINT)) AS DOUBLE)
+              |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cos,
+              |  round(MIN(cc), 6) AS min_cos
+              |FROM km_final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — the acceptance test for the refinement: recall@5 of the
+    // k-means-refined IVF search vs the seeded IVF search, both against
+    // the exact top-5 (q27), per query. The refined search is the SAME
+    // ivfTopK shape with the centroid frame swapped (the documented
+    // seam); the oracle reuses the seeded CTEs verbatim and generates the
+    // refined ones from the same body.
+    EngineQuery("q84_ivf_refined_recall",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val prep = Some(preparedShared(s, dir))
+        val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5,
+            prep = prep)
+          .select(col("q_id"), col("vec_id"))
+        val seeded = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
+            prep = prep)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit_seed"))
+        val refined = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
+            prep = prep,
+            cents = Some(Similarity.kmeansCentroids(preparedShared(s, dir),
+              nCentroids = 16, nIter = 2)))
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit_ref"))
+        exact.join(seeded, Seq("q_id", "vec_id"), "left")
+          .join(refined, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit_seed"), lit(0L))).as("n_hits_seeded"),
+            sum(coalesce(col("hit_ref"), lit(0L))).as("n_hits_refined"))
+          .select(col("q_id"), col("n_hits_seeded"), col("n_hits_refined"),
+            round(col("n_hits_seeded").cast("double") / 5.0, 6)
+              .as("recall_seeded"),
+            round(col("n_hits_refined").cast("double") / 5.0, 6)
+              .as("recall_refined"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $prepSql,
+              |$exactTopkSql,
+              |$ivfTopkSql,
+              |$kmeansSql,
+              |${ivfSearchSql("r_", "km_cents2n")}
+              |SELECT e.q_id,
+              |  CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_seeded,
+              |  CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_refined,
+              |  round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 6) AS recall_seeded,
+              |  round(CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 6) AS recall_refined
+              |FROM exact e
+              |LEFT JOIN ivf i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+              |LEFT JOIN r_ivf r ON r.q_id = e.q_id AND r.vec_id = e.vec_id
+              |GROUP BY 1 ORDER BY e.q_id""".stripMargin)),
+
     // Q40 — LSH near-neighbour pairs: 8-bit random-hyperplane signature,
     // exact cosine only on same-signature candidates (banded; the 100 TB
     // path — signature buckets shard the shuffle).
     EngineQuery("q40_embedding_neardup",
       (s, dir) => Similarity.lshNearNeighbours(
-          Tables.table(s, dir, "embeddings"), planes, minCosine = 0.25)
+          Tables.table(s, dir, "embeddings"), planes, minCosine = 0.25,
+          prep = Some(preparedShared(s, dir)))
         .orderBy("vec_a", "vec_b"),
       Some(s"""WITH e AS (
               |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -204,4 +204,53 @@ class TextDedupSpec extends AnyFunSuite {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("k-means refinement: assignments improve (or hold) mean cosine and recall") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val prep = Similarity.prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def meanCos(cents: org.apache.spark.sql.DataFrame): Double =
+        Similarity.assignToLists(prep, cents)
+          .agg(avg(col("cent_cos"))).as[Double].head()
+      val seeded = Similarity.seedCentroids(prep, 16)
+      val refined = Similarity.kmeansCentroids(prep, nCentroids = 16, nIter = 2)
+      // Lloyd never worsens the within-cluster objective; mean cosine to
+      // the assigned centroid must not drop
+      val (mSeed, mRef) = (meanCos(seeded), meanCos(refined))
+      assert(mRef >= mSeed - 1e-9,
+        s"refinement worsened cohesion: seeded=$mSeed refined=$mRef")
+      // recall at FIXED probes is a cost/quality tradeoff, not a pure
+      // win: seeded Voronoi cells are imbalanced, so 4 probes of them
+      // scan a larger fraction of the corpus than 4 balanced k-means
+      // cells (more brute-force coverage ⇒ recall that isn't earned by
+      // the index). Assert the refined search stays near the seeded
+      // recall while its probes cover NO MORE of the corpus — at the
+      // sf0.01 oracle gate the two recalls are exactly equal (q84).
+      val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5,
+        prep = Some(prep)).select("q_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      def recall(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
+        val hits = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
+          prep = Some(prep), cents = cents).select("q_id", "vec_id")
+          .as[(Long, Long)].collect().toSet
+        (exact & hits).size.toDouble / exact.size
+      }
+      // max list size bounds the per-probe scan cost; Lloyd must not
+      // grow the worst cell
+      def maxList(cents: org.apache.spark.sql.DataFrame): Long =
+        Similarity.assignToLists(prep, cents)
+          .groupBy("list_id").count()
+          .agg(max(col("count"))).as[Long].head()
+      assert(maxList(refined) <= maxList(seeded),
+        "refinement grew the worst-case inverted list")
+      assert(recall(Some(refined)) >= recall(None) - 0.1,
+        "refined IVF recall fell more than 0.1 below the seeded baseline")
+      // determinism: a second build yields identical centroids
+      val again = Similarity.kmeansCentroids(prep, nCentroids = 16, nIter = 2)
+      val a = refined.orderBy("cent_id").collect().map(_.toString).mkString
+      val b = again.orderBy("cent_id").collect().map(_.toString).mkString
+      assert(a === b, "kmeansCentroids is not deterministic")
+    } finally prep.unpersist(blocking = false)
+  }
 }
