@@ -207,9 +207,19 @@ object CoreFunctions {
     * normalization so one pattern covers every region; a training-data
     * export pipeline applies this before text leaves the trust boundary.
     * The fixed-width mask keeps the replacement expressible in both
-    * regex dialects (Java '$1***$2' / RE2 '\\1***\\2'). */
+    * regex dialects (Java '$1***$2' / RE2 '\\1***\\2').
+    *
+    * The middle is `\\d{5,}` — UNBOUNDED above, deliberately wider than
+    * the 15-digit E.164 ceiling [[phoneCount]] audits: a '+'-prefixed
+    * 20-digit run is counted as a phone by the audit (its first 15
+    * digits match [[E164Pattern]]), so the mask must swallow the WHOLE
+    * run — a bounded `{5,12}` would leave the trailing digits in clear
+    * text past a trust boundary while the audit reports them masked.
+    * Greedy `\\d{5,}` consumes everything except the final two digits
+    * identically in Java regex and RE2 (leftmost match, greedy
+    * quantifier — no lookaround needed). */
   def maskPhones(c: Column): Column =
-    regexp_replace(c, "(\\+\\d)\\d{5,12}(\\d{2})", "$1***$2")
+    regexp_replace(c, "(\\+\\d)\\d{5,}(\\d{2})", "$1***$2")
 
   /** Count of E.164 phones a string column carries (pre-mask audit
     * metric; pairs with [[maskPhones]]). */

@@ -36,13 +36,17 @@ import org.apache.spark.storage.StorageLevel
   *     one extra keyed self-join per round — cheap against halving the
   *     round count, since per-round fixed cost (3 shuffles + 1 action)
   *     dominates at every scale where the loop isn't data-bound.
-  *   - lineage is cut EVERY round with an eager `localCheckpoint` at the
-  *     pre-jump labeling (executor-local storage): the jump joins that
-  *     frame with itself, so without a leaf boundary the logical plan
-  *     would DOUBLE per round — exponential driver-side analysis cost.
-  *     On a real cluster with unreliable executors, point
-  *     `spark.sparkContext.setCheckpointDir` at durable storage and swap
-  *     in `checkpoint()` — the loop structure is unchanged.
+  *   - lineage is cut EVERY round at the pre-jump labeling: the jump
+  *     joins that frame with itself, so without a leaf boundary the
+  *     logical plan would DOUBLE per round — exponential driver-side
+  *     analysis cost. The cut is an eager `localCheckpoint`
+  *     (executor-local storage — fastest, fine for local/test and for
+  *     clusters with stable executors) unless the caller passes
+  *     `durableCheckpoints = true`, which swaps in reliable
+  *     `checkpoint()` against `spark.sparkContext.setCheckpointDir`
+  *     storage so an executor loss mid-loop recomputes from the
+  *     checkpoint instead of failing the job — no code fork needed for
+  *     cluster deployments.
   */
 object ConnectedComponents {
 
@@ -54,6 +58,12 @@ object ConnectedComponents {
     * @param nodes node universe; the FIRST column is the node id. Nodes
     *              with no edges become singleton clusters labeled with
     *              their own id.
+    * @param durableCheckpoints cut per-round lineage with reliable
+    *              `checkpoint()` (requires
+    *              `spark.sparkContext.setCheckpointDir` pointing at
+    *              durable storage) instead of the default eager
+    *              `localCheckpoint()` — opt in on clusters where an
+    *              executor loss mid-loop must not fail the job.
     * @return one row per distinct node id: (<nodes' id column>,
     *         cluster_id) where cluster_id = min node id in the component.
     *         The frame references executor-cached state (|V| rows — the
@@ -63,7 +73,10 @@ object ConnectedComponents {
     * @throws IllegalStateException if `maxIter` rounds pass without
     *         convergence (never silently returns a partial labeling)
     */
-  def labels(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame = {
+  def labels(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50,
+      durableCheckpoints: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
     val idCol = nodes.columns.head
     val Array(srcCol, dstCol, _*) = edges.columns
 
@@ -88,18 +101,17 @@ object ConnectedComponents {
       val nbrMin = sym.join(nbrLabels, "cc_nbr")
         .groupBy("cc_id")
         .agg(min(col("cc_nbr_label")).as("cc_nbr_min"))
-      // eager localCheckpoint, not persist: the pointer jump below joins
+      // eager checkpoint cut, not persist: the pointer jump below joins
       // cand with ITSELF, so a plain persist doubles the logical plan
       // every round — exponential tree growth that stalls the DRIVER in
       // plan analysis/rendering long before any data moves. Cutting
       // lineage to a leaf here makes every round's plan constant-size
-      // (|V| rows of executor-local storage per round, freed by the
-      // ContextCleaner as references drop).
-      val cand = labeled.join(nbrMin, Seq("cc_id"), "left")
+      // (|V| rows per round, freed by the ContextCleaner as references
+      // drop; executor-local or durable per `durableCheckpoints`).
+      val cand = cut(labeled.join(nbrMin, Seq("cc_id"), "left")
         .select(col("cc_id"), col("cc_label").as("cc_old"),
           least(col("cc_label"), coalesce(col("cc_nbr_min"), col("cc_label")))
-            .as("cc_mid"))
-        .localCheckpoint()
+            .as("cc_mid")))
       // 2. pointer jump: label(v) ← min(cc_mid(v), cc_mid(cc_mid(v))).
       //    Every label IS a node id of the same component, so looking the
       //    label up in the labeling doubles the distance already covered

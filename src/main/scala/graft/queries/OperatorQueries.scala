@@ -167,7 +167,7 @@ object OperatorQueries {
               |SELECT
               |  'call-' || CAST(i AS VARCHAR) AS idempotency_key,
               |  regexp_replace($eventsPayloadSql,
-              |    '(\\+\\d)\\d{5,12}(\\d{2})', '\\1***\\2', 'g') AS payload_masked,
+              |    '(\\+\\d)\\d{5,}(\\d{2})', '\\1***\\2', 'g') AS payload_masked,
               |  CAST(len(regexp_extract_all($eventsPayloadSql,
               |    '\\+\\d{8,15}')) AS BIGINT) AS n_phones
               |FROM fields

@@ -258,6 +258,10 @@ class CoreFunctionsSpec extends AnyFunSuite {
         """{"caller":"+1***23","callee":"+4***50"}""", 2L),
       // bare 8-digit minimum still matches; 7 digits after '+' does not
       ("call +12345678 or +1234567", "call +1***78 or +1234567", 1L),
+      // a run LONGER than the 15-digit E.164 ceiling: the audit counts it
+      // (first 15 digits match), so the mask must swallow the whole run —
+      // no trailing digits may survive in clear text
+      ("+12345678901234567890", "+1***90", 1L),
       // digits without '+' (durations, ids, national formats) untouched
       ("""{"duration":3600,"id":"(415) 555-0123"}""",
         """{"duration":3600,"id":"(415) 555-0123"}""", 0L),

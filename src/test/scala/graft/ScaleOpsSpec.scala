@@ -151,6 +151,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       "already-wide inputs must keep their width")
   }
 
+  test("Spread.byKey probes width by PLANNING, never by running a job") {
+    // an input whose execution is observable: every materialized row
+    // trips the udf. The frame contains an aggregation exchange, the
+    // case where an rdd-based width probe (the old implementation) would
+    // materialize upstream stages as a job under AQE.
+    val tripwire = udf((x: Long) =>
+      if (x >= 0) throw new IllegalStateException(
+        "Spread.byKey materialized its input during planning")
+      else x)
+    val derived = spark.range(64).select(tripwire(col("id")).as("k"))
+      .groupBy("k").count()
+    val spreadDf = operators.Spread.byKey(derived, col("k"))
+    // planning must succeed without executing anything…
+    assert(spreadDf.queryExecution.sparkPlan !== null)
+    // …and an explicit width must skip even the plan probe
+    assert(operators.Spread.byKey(derived, col("k"), width = 8)
+      .queryExecution.sparkPlan !== null)
+  }
+
   test("scalar quantization plans as a pure projection — zero exchanges") {
     val emb = Tables.table(spark, dir, "embeddings")
     val plan = operators.Similarity.scalarQuantize(emb)
