@@ -60,6 +60,43 @@ object Bench {
     // separated time windows, so a load spike during either window can't
     // poison every sample of the best-of-runs estimate
     val earlyIngest = ingestPassSec()
+
+    // Step-load ingest profile (reference scripts/04_step_load_test.js:
+    // 9-15,174): ramp 50→100→500→1000→100 msgs/min; each step pushes one
+    // minute's volume at that rate through the full pipeline and records
+    // throughput plus the error rate. "Error" means what the reference's
+    // <0.5% gate means — a message neither written, deduped, DLQ-routed,
+    // nor sampled-out (i.e. LOST): malformed envelopes that route to the
+    // DLQ are accounted deliveries, so the expected rate is exactly 0.
+    case class StepResult(rate: Int, n: Long, sec: Double, lost: Long)
+    def stepProfile(): Seq[StepResult] =
+      Seq(50, 100, 500, 1000, 100).map { rate =>
+        val n = rate * 60L
+        val t0 = System.nanoTime()
+        val prep = graft.ingest.IngestPipeline
+          .prepare(graft.ingest.SyntheticData.envelopes(spark, n))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val res = graft.ingest.IngestPipeline.split(prep)
+          val kept = res.events.count()
+          // every input row must surface in exactly one route
+          val routed = prep.count()
+          require(kept > 0, s"step $rate kept no rows")
+          StepResult(rate, n, (System.nanoTime() - t0) / 1e9, n - routed)
+        } finally prep.unpersist(blocking = false)
+      }
+    val steps =
+      try stepProfile()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] step-load profile failed: ${e.getMessage}")
+        Seq.empty
+      }
+    val stepJson = steps.map { s =>
+      val rateSec = if (s.sec > 0) s.n / s.sec else -1.0
+      s"""{"rate_per_min":${s.rate},"n_envelopes":${s.n},"sec":${s.sec},""" +
+        s""""env_per_sec":${rateSec.round},"error_rate":${
+          if (s.n > 0) s.lost.toDouble / s.n else -1.0}}"""
+    }.mkString("[", ",", "]")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -89,7 +126,7 @@ object Bench {
     val envThroughput =
       if (ingestSecs.nonEmpty) envCount / ingestSecs.min else -1.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round},"ingest_step_profile":$stepJson}"""
     println(line)
     // stdout tail-capture truncates long lines — keep a self-describing
     // copy on disk (path overridable via SPARK_GRAFT_BENCH_OUT)
@@ -101,6 +138,7 @@ object Bench {
     }
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
+    graft.queries.SimilarityQueries.reset(spark)
     spark.stop()
   }
 }
