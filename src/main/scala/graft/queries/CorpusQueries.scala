@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Training-corpus preparation operators over `documents` /
+  * `embeddings` (EXT, BASELINE.json north star): the mechanical stages
+  * between a curated corpus and a training run — chunking documents
+  * into model-context windows, packing sequences, repetition-based
+  * quality filtering, vocabulary coverage reporting, embedding-space
+  * normalization statistics, and quality-weighted sampling.
+  *
+  * Scale notes (100 TB design point):
+  *   - chunking (q85) is a pure per-document explode — embarrassingly
+  *     parallel, no shuffle beyond the keyed spread.
+  *   - packing (q86) needs GLOBAL prefix sums; the naive single window
+  *     over `ORDER BY doc_id` executes on ONE partition. The engine
+  *     computes shard-local running sums in parallel and offsets them
+  *     with a broadcast of |shards| prefix totals — the standard
+  *     two-pass distributed scan. Same algebra, cluster-wide.
+  *   - the vocabulary report (q88) aggregates BEFORE ranking: the
+  *     window only ever sees the top-k aggregate rows, never raw
+  *     tokens.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+
+  /** Model context geometry for q85/q86: 64-token chunks overlapping by
+    * 16 (stride 48), packed into 2048-token windows. Interpolated into
+    * BOTH the engine code and the oracle SQL so the twins cannot
+    * drift. */
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+  private val ChunkStride = ChunkTokens - ChunkOverlap
+  private val PackContext = 2048
+  /** q86 shard width: docs per shard for the parallel prefix-sum pass. */
+  private val PackShard = 100
+
+  val all: Seq[EngineQuery] = Seq(
+
+    // EXT — fixed-size token chunking with overlap: every document cut
+    // into model-context chunks of ChunkTokens whitespace tokens with
+    // ChunkOverlap tokens of context carried across the seam (the
+    // document → training-sequence mapping every LLM pipeline runs).
+    // Chunk count = max(1, ceil((n - overlap) / stride)), so a short
+    // document is one (short) chunk and the final chunk is allowed to
+    // run short. Pure per-document expressions: explode + slice.
+    EngineQuery("q85_token_chunking",
+      (s, dir) => TextQueries.docsSpread(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", greatest(lit(1L),
+          ceil((col("n") - ChunkOverlap).cast("double") / ChunkStride)
+            .cast("long")))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("toks"),
+            (col("chunk_idx") * ChunkStride + 1).cast("int"),
+            lit(ChunkTokens)).as("ctoks"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ctoks")).cast("long").as("n_tokens"),
+          array_join(col("ctoks"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              |  FROM documents),
+              |x AS (
+              |  SELECT doc_id, toks,
+              |    greatest(1, CAST(ceil((n - $ChunkOverlap) / ${ChunkStride}.0) AS BIGINT)) AS n_chunks
+              |  FROM t),
+              |e AS (
+              |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx
+              |  FROM x),
+              |c AS (
+              |  SELECT doc_id, chunk_idx,
+              |    toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens] AS ctoks
+              |  FROM e)
+              |SELECT doc_id, chunk_idx,
+              |  CAST(len(ctoks) AS BIGINT) AS n_tokens,
+              |  array_to_string(ctoks, ' ') AS chunk_text
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // EXT — sequence packing offsets: concatenate the corpus in doc_id
+    // order and cut every PackContext tokens; each document learns its
+    // pack id, its offset inside the pack, and whether it spans a pack
+    // boundary (the bookkeeping a packed-pretraining data loader
+    // needs). The global running sum is computed as shard-local window
+    // sums plus a broadcast prefix-total join — never a one-partition
+    // window (see the object scaladoc); the oracle states the same
+    // arithmetic as one plain window.
+    EngineQuery("q86_sequence_packing",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("shard", floor(col("doc_id") / PackShard).cast("long"))
+        val wIn = Window.partitionBy("shard").orderBy("doc_id")
+        val within = tok.withColumn("cum_in",
+          sum(col("n_tokens")).over(wIn))
+        // |shards| rows: the only ordered window runs over this tiny
+        // aggregate frame, then broadcasts back
+        val wSh = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prefix = tok.groupBy("shard")
+          .agg(sum(col("n_tokens")).as("shard_toks"))
+          .withColumn("prefix",
+            sum(col("shard_toks")).over(wSh) - col("shard_toks"))
+          .select("shard", "prefix")
+        within.join(broadcast(prefix), Seq("shard"))
+          .withColumn("cum_before",
+            col("prefix") + col("cum_in") - col("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            floor(col("cum_before").cast("double") / PackContext)
+              .cast("long").as("pack_id"),
+            (col("cum_before") % PackContext).as("pack_offset"),
+            ((col("cum_before") % PackContext) + col("n_tokens") > PackContext)
+              .as("spans_boundary"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, n_tokens,
+              |    SUM(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      - n_tokens AS cum_before
+              |  FROM tok)
+              |SELECT doc_id, n_tokens,
+              |  CAST(floor(cum_before / ${PackContext}.0) AS BIGINT) AS pack_id,
+              |  cum_before % $PackContext AS pack_offset,
+              |  (cum_before % $PackContext) + n_tokens > $PackContext AS spans_boundary
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // EXT — repetition-ratio quality filter: the share of a document's
+    // 8-gram occurrences taken by its single most repeated gram, plus
+    // the distinct-gram share — the standard "repetitive document"
+    // signal (boilerplate, keyword stuffing, generation loops). One
+    // keyed aggregation over the shared gram explode.
+    EngineQuery("q87_repetition_ratio",
+      (s, dir) => TextQueries.gramsDf(s, dir)
+        .groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_c"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(col("max_c").cast("double") / col("n_grams").cast("double"), 6)
+            .as("max_gram_share"),
+          round(col("n_distinct").cast("double") / col("n_grams").cast("double"), 6)
+            .as("distinct_share"))
+        .orderBy("doc_id"),
+      Some(s"""WITH grams AS (${TextQueries.gramsSql}),
+              |gc AS (
+              |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+              |d AS (
+              |  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+              |    MAX(c) AS max_c
+              |  FROM gc GROUP BY 1)
+              |SELECT doc_id, n_grams, n_distinct,
+              |  round(CAST(max_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS max_gram_share,
+              |  round(CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS distinct_share
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // EXT — vocabulary coverage report: the 100 most frequent tokens
+    // with rank and the cumulative share of all token occurrences they
+    // cover (the head-heaviness check run before fixing a tokenizer
+    // vocabulary). Aggregation happens FIRST; the ordered window only
+    // sees the 100-row top-k frame, and the corpus total arrives as a
+    // broadcast 1-row join (the q67 discipline — never a cartesian).
+    EngineQuery("q88_vocab_coverage",
+      (s, dir) => {
+        val occ = TextQueries.tokens(s, dir)
+          .groupBy("tok").agg(count(lit(1)).as("n_occ"))
+        val total = occ.agg(sum(col("n_occ")).as("total"))
+        val w = Window.orderBy(col("n_occ").desc, col("tok"))
+        occ.orderBy(col("n_occ").desc, col("tok")).limit(100)
+          .join(broadcast(total), lit(true))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum_occ", sum(col("n_occ"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("rank"), col("tok"), col("n_occ"),
+            round(col("cum_occ").cast("double") / col("total").cast("double"), 6)
+              .as("cum_share"))
+          .orderBy("rank")
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |occ AS (SELECT tok, COUNT(*) AS n_occ FROM tk GROUP BY 1),
+             |tot AS (SELECT SUM(n_occ) AS total FROM occ),
+             |top AS (SELECT tok, n_occ FROM occ ORDER BY n_occ DESC, tok LIMIT 100),
+             |r AS (
+             |  SELECT tok, n_occ,
+             |    CAST(row_number() OVER (ORDER BY n_occ DESC, tok) AS BIGINT) AS rank,
+             |    SUM(n_occ) OVER (ORDER BY n_occ DESC, tok
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_occ
+             |  FROM top)
+             |SELECT rank, tok, n_occ,
+             |  round(CAST(cum_occ AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+             |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin)),
+
+    // EXT — per-dimension embedding statistics (mean/std): the
+    // normalization constants an index build or whitening transform
+    // computes over the corpus. Cross-row float sums are
+    // order-dependent, so components are fixed-point scaled
+    // (round(x·1e6) as long — the q71 discipline) and summed exactly;
+    // mean/std derive from the exact integer sums in one deterministic
+    // double expression per dimension. Shuffle carries (dim) partials
+    // folded map-side.
+    EngineQuery("q89_embedding_dim_stats",
+      (s, dir) => Tables.table(s, dir, "embeddings")
+        .select(posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long"))))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("col")).as("sc"),
+          sum(col("col") * col("col")).as("ss"))
+        .select(col("pos").cast("long").as("dim"), col("n_vecs"),
+          round(col("sc").cast("double") / col("n_vecs") / 1e6, 6).as("mean"),
+          round(sqrt(greatest(lit(0.0),
+            col("ss").cast("double") / col("n_vecs")
+              - pow(col("sc").cast("double") / col("n_vecs"), 2))) / 1e6, 6)
+            .as("std"))
+        .orderBy("dim"),
+      Some("""WITH sv AS (
+             |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |u AS (
+             |  SELECT unnest(sv) AS c,
+             |    unnest(range(1, len(sv) + 1)) AS pos1
+             |  FROM sv),
+             |d AS (
+             |  SELECT pos1 - 1 AS dim, COUNT(*) AS n_vecs,
+             |    SUM(c) AS sc, SUM(c * c) AS ss
+             |  FROM u GROUP BY 1)
+             |SELECT dim, n_vecs,
+             |  round(CAST(sc AS DOUBLE) / n_vecs / 1000000.0, 6) AS mean,
+             |  round(sqrt(greatest(0.0,
+             |    CAST(ss AS DOUBLE) / n_vecs
+             |      - pow(CAST(sc AS DOUBLE) / n_vecs, 2))) / 1000000.0, 6) AS std
+             |FROM d ORDER BY dim""".stripMargin)),
+
+    // EXT — quality-weighted deterministic sampling: keep a document
+    // with probability proportional to a quality weight (longer docs
+    // up-weighted here, capped at 1) using the same sha256-uniform the
+    // reference's sampler derives (sampling.js:15-24) — reproducible,
+    // re-runnable, and expressible in any engine, unlike rand(). The
+    // importance-sampling step a mixture-balancing pipeline runs.
+    EngineQuery("q90_quality_weighted_sample",
+      (s, dir) => docs(s, dir)
+        .withColumn("weight",
+          least(lit(1.0), col("n_chars").cast("double") / 800.0))
+        .withColumn("u",
+          sha256PrefixLong(concat(lit("wsample:"),
+            col("doc_id").cast("string"))).cast("double") / 4294967295.0)
+        .filter(col("u") < col("weight"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+             |  round(least(1.0, CAST(n_chars AS DOUBLE) / 800.0), 6) AS weight
+             |FROM documents
+             |WHERE CAST('0x' || substr(sha256('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |    / 4294967295.0
+             |  < least(1.0, CAST(n_chars AS DOUBLE) / 800.0)
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -26,11 +26,11 @@ object TextQueries {
     * doc text (narrowest point), and the hashpartitioning(doc_id) it
     * leaves behind is what every per-doc aggregation and window
     * downstream requires — they plan NO second exchange. */
-  private def docsSpread(s: SparkSession, dir: String) =
+  private[queries] def docsSpread(s: SparkSession, dir: String) =
     graft.operators.Spread.byKey(docs(s, dir), col("doc_id"))
 
   /** 8-char shingles at every position (1-based), as (doc_id, i, gram). */
-  private def gramsDf(s: SparkSession, dir: String) =
+  private[queries] def gramsDf(s: SparkSession, dir: String) =
     docsSpread(s, dir)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 7)).as("i"),
@@ -38,7 +38,7 @@ object TextQueries {
       .select(col("doc_id"), col("i"), expr("substring(text, i, 8)").as("gram"))
 
   /** DuckDB twin of gramsDf (bounded cross join + length filter). */
-  private val gramsSql =
+  private[queries] val gramsSql =
     """SELECT doc_id, i, substr(text, CAST(i AS INT), 8) AS gram
       |FROM documents CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
       |WHERE i <= length(text) - 7""".stripMargin
@@ -212,7 +212,7 @@ object TextQueries {
   private val tokHash60Sql =
     "CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT)"
 
-  private def tokens(s: SparkSession, dir: String) =
+  private[queries] def tokens(s: SparkSession, dir: String) =
     docsSpread(s, dir).select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
 

@@ -170,6 +170,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       .queryExecution.sparkPlan !== null)
   }
 
+  test("sequence packing shards its doc-level running sum (no one-partition window)") {
+    val df = queries.QueryRegistry.byName("q86_sequence_packing").run(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val docLevel = windows.filter(_.orderSpec.exists(
+      _.child.references.exists(_.name == "doc_id")))
+    assert(docLevel.nonEmpty, "expected a doc-ordered running-sum window")
+    docLevel.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "the doc-level prefix sum must be partitioned (sharded) — a global " +
+          "ORDER BY window executes on one partition at any scale")
+    }
+  }
+
   test("scalar quantization plans as a pure projection — zero exchanges") {
     val emb = Tables.table(spark, dir, "embeddings")
     val plan = operators.Similarity.scalarQuantize(emb)
