@@ -236,6 +236,79 @@ object BatteryQueries {
              |    FROM events WHERE event_type = 'click') u) t
              |WHERE side = 1 ORDER BY event_id""".stripMargin)),
 
+    // EXT — exact interpolated percentiles per group (the exact
+    // counterpart of q58's sketch): Spark's `percentile` and DuckDB's
+    // `quantile_cont` both implement the R-7 definition (index
+    // p·(n-1), linear interpolation on the two neighbours), and the
+    // computation sorts-then-interpolates — no cross-row float fold, so
+    // it is order-independent without fixed-point tricks. One shuffle
+    // on the group key; the per-group sort is bounded by the group.
+    EngineQuery("q91_exact_percentiles",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+             |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+             |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // EXT — z-score outlier detection: events whose value sits more
+    // than 3 population standard deviations from their type's mean (the
+    // data-quality sweep a pipeline runs before trusting a numeric
+    // column). Mean/std derive from exact fixed-point sums (the q89
+    // discipline — order-independent under shuffling), scaled ×1e3:
+    // value ≤ ~1e3 keeps Σsv² < 2^63 up to ~1e8 rows per type (at the
+    // 100 TB point, switch the second moment to a two-pass
+    // sum-of-squared-deviations — deviations stay small so the double
+    // fold is stable). The |types|-row stats frame broadcasts back and
+    // the z-score is a scan-local expression.
+    EngineQuery("q93_value_outliers",
+      (s, dir) => {
+        val sv = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 1e3).cast("long").as("sv"))
+        val stats = sv.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("sv")).as("sc"),
+            sum(col("sv") * col("sv")).as("ss"))
+          .select(col("event_type"),
+            (col("sc").cast("double") / col("n")).as("m"),
+            sqrt(greatest(lit(0.0),
+              col("ss").cast("double") / col("n")
+                - pow(col("sc").cast("double") / col("n"), 2))).as("sd"))
+        sv.join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", (col("sv").cast("double") - col("m")) / col("sd"))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"),
+            round(col("sv").cast("double") / 1e3, 6).as("value"),
+            round(col("z"), 6).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH sc AS (
+             |  SELECT event_id, event_type,
+             |    CAST(round(value * 1000.0) AS BIGINT) AS sv
+             |  FROM events),
+             |st AS (
+             |  SELECT event_type,
+             |    CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS m,
+             |    sqrt(greatest(0.0,
+             |      CAST(SUM(sv * sv) AS DOUBLE) / COUNT(*)
+             |        - pow(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 2))) AS sd
+             |  FROM sc GROUP BY 1)
+             |SELECT event_id, sc.event_type,
+             |  round(CAST(sv AS DOUBLE) / 1000.0, 6) AS value,
+             |  round((CAST(sv AS DOUBLE) - m) / sd, 6) AS z
+             |FROM sc JOIN st USING (event_type)
+             |WHERE abs((CAST(sv AS DOUBLE) - m) / sd) > 3.0
+             |ORDER BY event_id""".stripMargin)),
+
     // Q55 — string battery incl. fuzzy matching (levenshtein).
     EngineQuery("q55_string_battery",
       (s, dir) => Tables.table(s, dir, "part")

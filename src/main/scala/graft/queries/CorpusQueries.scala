@@ -250,6 +250,47 @@ object CorpusQueries {
              |      - pow(CAST(sc AS DOUBLE) / n_vecs, 2))) / 1000000.0, 6) AS std
              |FROM d ORDER BY dim""".stripMargin)),
 
+    // EXT — bigram language-model statistics: per-document token
+    // sequences → (tok, next_tok) counts and the conditional
+    // probability P(next | tok), reported for the 50 most frequent
+    // bigrams (the n-gram LM features a data-quality or domain-mix
+    // analysis derives). The lead() window rides the keyed doc spread
+    // (no extra exchange before the bigram shuffle); the ordered top-50
+    // window sees only aggregate rows.
+    EngineQuery("q92_bigram_lm",
+      (s, dir) => {
+        val seq = TextQueries.docsSpread(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bi = seq.withColumn("next_tok", lead(col("tok"), 1).over(w))
+          .filter(col("next_tok").isNotNull)
+          .groupBy("tok", "next_tok").agg(count(lit(1)).as("c"))
+        val tot = bi.groupBy("tok").agg(sum(col("c")).as("t"))
+        bi.join(tot, Seq("tok"))
+          .select(col("tok"), col("next_tok"), col("c").as("n_bigram"),
+            round(col("c").cast("double") / col("t").cast("double"), 6)
+              .as("p_next"))
+          .orderBy(col("n_bigram").desc, col("tok"), col("next_tok"))
+          .limit(50)
+      },
+      Some("""WITH seq AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+             |  FROM documents),
+             |bi AS (
+             |  SELECT tok, next_tok, COUNT(*) AS n_bigram FROM (
+             |    SELECT tok,
+             |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
+             |    FROM seq) x
+             |  WHERE next_tok IS NOT NULL
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT tok, SUM(n_bigram) AS t FROM bi GROUP BY 1)
+             |SELECT bi.tok, next_tok, n_bigram,
+             |  round(CAST(n_bigram AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p_next
+             |FROM bi JOIN tot USING (tok)
+             |ORDER BY n_bigram DESC, tok, next_tok LIMIT 50""".stripMargin)),
+
     // EXT — quality-weighted deterministic sampling: keep a document
     // with probability proportional to a quality weight (longer docs
     // up-weighted here, capped at 1) using the same sha256-uniform the
