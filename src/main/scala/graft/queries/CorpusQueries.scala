@@ -291,6 +291,33 @@ object CorpusQueries {
              |FROM bi JOIN tot USING (tok)
              |ORDER BY n_bigram DESC, tok, next_tok LIMIT 50""".stripMargin)),
 
+    // EXT — weighted reservoir sampling (Efraimidis–Spirakis A-Res with
+    // a deterministic uniform): every document gets key u^(1/w) from the
+    // sha256-uniform and its quality weight; the global top-20 keys ARE
+    // the weighted sample without replacement. One TakeOrdered top-k —
+    // no shuffle of the corpus, reproducible across runs and engines
+    // (rand() is neither), and the fixed-k dual of q90's fixed-rate
+    // weighted Bernoulli sample.
+    EngineQuery("q95_weighted_reservoir",
+      // the RANKING key is the 9-rounded r (with doc_id tie-break) in
+      // BOTH engines, so a boundary tie cannot select different rows
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          round(pow((sha256PrefixLong(concat(lit("wres:"),
+              col("doc_id").cast("string"))) + 1).cast("double") / 4294967296.0,
+            lit(1.0) / greatest(lit(1.0), col("n_chars").cast("double"))), 9)
+            .as("r"))
+        .orderBy(col("r").desc, col("doc_id"))
+        .limit(20),
+      Some("""WITH k AS (
+             |  SELECT doc_id, n_chars,
+             |    round(pow((CAST('0x' || substr(sha256('wres:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+             |        / 4294967296.0,
+             |      1.0 / greatest(1.0, CAST(n_chars AS DOUBLE))), 9) AS r
+             |  FROM documents)
+             |SELECT doc_id, n_chars, r
+             |FROM k ORDER BY r DESC, doc_id LIMIT 20""".stripMargin)),
+
     // EXT — quality-weighted deterministic sampling: keep a document
     // with probability proportional to a quality weight (longer docs
     // up-weighted here, capped at 1) using the same sha256-uniform the

@@ -334,6 +334,44 @@ object PipelineQueries {
              |LEFT JOIN p ON p.user_id = v.user_id
              |ORDER BY v.user_id""".stripMargin)),
 
+    // EXT — cohort retention: users grouped by first-activity week, the
+    // count still active k weeks later (the classic retention triangle).
+    // Two keyed aggregations — cohort assignment and distinct active
+    // weeks — then a join on user_id and one count per (cohort, offset);
+    // no windows, no per-user sorting, every stage partial-aggregates
+    // map-side.
+    EngineQuery("q94_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+        val cohort = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+          .select(col("user_id"),
+            date_trunc("week", col("first_ts")).as("cohort_week"))
+        val active = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        active.join(cohort, Seq("user_id"))
+          .select(col("cohort_week"),
+            floor(datediff(col("week"), col("cohort_week")).cast("double") / 7.0)
+              .cast("long").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH cohort AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+             |  FROM events GROUP BY 1),
+             |active AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+             |  FROM events)
+             |SELECT cohort_week,
+             |  CAST(floor(datediff('day', CAST(cohort_week AS DATE),
+             |    CAST(week AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+             |  COUNT(*) AS n_users
+             |FROM active JOIN cohort USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Q74 — portable table checksum: an order-independent fingerprint
     // (BIGINT BIT_XOR of a 60-bit content hash per row) for verifying a
     // migration copied every row — the operation this engine's own
