@@ -32,11 +32,26 @@ object SimilarityQueries {
       Similarity.prepared(Tables.table(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared k-means-refined centroid frame per (session, dir):
+    * q83's assignment report and q84's refined search both consume the
+    * same 2-iteration Lloyd output (16 rows, but the iterative jobs
+    * behind them would otherwise run twice). [[reset]] evicts. */
+  private val sharedKmeans = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def kmeansShared(s: SparkSession, dir: String): DataFrame =
+    sharedKmeans.getOrElseUpdate((s, dir),
+      Similarity.kmeansCentroids(preparedShared(s, dir),
+          nCentroids = 16, nIter = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Unpersist + evict the shared prepared frames for a session (the
     * TextQueries.reset / OperatorQueries.reset teardown contract). */
-  def reset(s: SparkSession): Unit =
+  def reset(s: SparkSession): Unit = {
     sharedPrepared.keys.filter(_._1 eq s).foreach(k =>
       sharedPrepared.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedKmeans.keys.filter(_._1 eq s).foreach(k =>
+      sharedKmeans.remove(k).foreach(_.unpersist(blocking = false)))
+  }
 
   /** Shared oracle CTEs (double-cast vectors + norms), consumed by
     * q27/q40/q48/q79 so the twins cannot drift. */
@@ -240,7 +255,7 @@ object SimilarityQueries {
     EngineQuery("q83_kmeans_refine",
       (s, dir) => {
         val prep = preparedShared(s, dir)
-        val cents = Similarity.kmeansCentroids(prep, nCentroids = 16, nIter = 2)
+        val cents = kmeansShared(s, dir)
         Similarity.assignToLists(prep, cents)
           .groupBy("list_id")
           .agg(count(lit(1)).as("n_vecs"),
@@ -286,9 +301,7 @@ object SimilarityQueries {
             prep = prep)
           .select(col("q_id"), col("vec_id"), lit(1L).as("hit_seed"))
         val refined = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
-            prep = prep,
-            cents = Some(Similarity.kmeansCentroids(preparedShared(s, dir),
-              nCentroids = 16, nIter = 2)))
+            prep = prep, cents = Some(kmeansShared(s, dir)))
           .select(col("q_id"), col("vec_id"), lit(1L).as("hit_ref"))
         exact.join(seeded, Seq("q_id", "vec_id"), "left")
           .join(refined, Seq("q_id", "vec_id"), "left")
