@@ -334,6 +334,98 @@ object PipelineQueries {
              |LEFT JOIN p ON p.user_id = v.user_id
              |ORDER BY v.user_id""".stripMargin)),
 
+    // EXT — SCD type-2 interval build: compress a per-user event stream
+    // into validity intervals of the tracked attribute (event_type
+    // here) — lag() detects changes, lead() closes each interval, the
+    // open interval is current. The dimension-history build every
+    // warehouse runs; one keyed window, no self-joins. Ordering inside
+    // a user is (ts, event_id) so same-timestamp rows resolve
+    // identically in both engines.
+    EngineQuery("q96_scd2_intervals",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from", "event_type")
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, ts, event_id, event_type FROM (
+             |    SELECT user_id, ts, event_id, event_type,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) AS prev_type
+             |    FROM events) x
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS valid_to,
+             |  lead(ts) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM ch ORDER BY user_id, valid_from, event_type""".stripMargin)),
+
+    // EXT — snapshot diff / migration reconciliation: classify every
+    // key of two table snapshots as added / removed / changed /
+    // unchanged (the check run after any copy, backfill, or engine
+    // migration — the per-class dual of q74's scalar checksum). The
+    // "new" snapshot is derived deterministically from events (drops,
+    // value edits, inserts keyed off event_id) so both engines build
+    // identical inputs; the diff itself is one full outer join on the
+    // key comparing a content fingerprint, then a count per class.
+    EngineQuery("q97_snapshot_diff",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val edited = base.filter(col("event_id") % 101 =!= 0)
+          .withColumn("value",
+            when(col("event_id") % 103 === 0, col("value") + 1.0)
+              .otherwise(col("value")))
+        val inserts = base.filter(col("event_id") % 107 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            col("event_type"), col("value"))
+        val newSnap = edited.unionByName(inserts)
+        // compare columns directly (exact doubles both sides); on a
+        // wide table the scalable variant hashes a canonical row
+        // fingerprint instead — but never a string-FORMATTED float,
+        // whose rendering is engine-specific
+        val o = base.toDF("event_id", "type_old", "value_old")
+        val n = newSnap.toDF("event_id", "type_new", "value_new")
+        o.join(n, Seq("event_id"), "full_outer")
+          .select(
+            when(col("type_old").isNull, lit("added"))
+              .when(col("type_new").isNull, lit("removed"))
+              .when(col("type_old") =!= col("type_new") ||
+                col("value_old") =!= col("value_new"), lit("changed"))
+              .otherwise(lit("unchanged")).as("change_type"))
+          .groupBy("change_type").agg(count(lit(1)).as("n_rows"))
+          .orderBy("change_type")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_id, event_type, value FROM events),
+             |new_snap AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 103 = 0 THEN value + 1.0 ELSE value END AS value
+             |  FROM base WHERE event_id % 101 <> 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, event_type, value
+             |  FROM base WHERE event_id % 107 = 0)
+             |SELECT CASE
+             |    WHEN o.event_id IS NULL THEN 'added'
+             |    WHEN n.event_id IS NULL THEN 'removed'
+             |    WHEN o.event_type <> n.event_type OR o.value <> n.value
+             |      THEN 'changed'
+             |    ELSE 'unchanged' END AS change_type,
+             |  COUNT(*) AS n_rows
+             |FROM base o FULL OUTER JOIN new_snap n ON n.event_id = o.event_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // EXT — cohort retention: users grouped by first-activity week, the
     // count still active k weeks later (the classic retention triangle).
     // Two keyed aggregations — cohort assignment and distinct active
