@@ -46,6 +46,13 @@ object CoreFunctions {
     GraftColumnBridge.column(SortedIntersectCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Codegen'd dot product of two double-array columns — bit-identical
+    * to the `aggregate(zip_with(...))` fold it replaces (see
+    * [[DotProductExpr]] for the contract). */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Optimizer inline-barrier: identity on the value, but stops predicate
     * pushdown / project collapse from re-embedding the column's defining
     * tree at every reference (see [[NoInlineExpr]]). For expensive derived

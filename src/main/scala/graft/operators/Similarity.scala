@@ -16,9 +16,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns. */
+  /** Sequential-fold dot product of two double-array columns — the
+    * codegen'd [[graft.functions.DotProductExpr]] (bit-identical to the
+    * `aggregate(zip_with(...))` fold: same left-to-right sum from 0.0,
+    * without the per-element interpreted lambdas or the per-row zipped
+    * products array). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.CoreFunctions.dotProduct(a, b)
 
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 

@@ -27,4 +27,32 @@ class EngineFunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       plan)
   }
+
+  test("dot_product expression is bit-identical to the HOF fold it replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic pseudo-random vectors, incl. negatives and a zero
+    val rows = (0 until 50).map { i =>
+      val a = Array.tabulate(64)(j => math.sin(i * 64 + j) * (j - 31))
+      val b = Array.tabulate(64)(j => math.cos(i * 64 + j + 7) * 0.125)
+      (a, b)
+    }.toDF("a", "b")
+    val got = rows.select(
+        graft.functions.CoreFunctions.dotProduct(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"fast=${r.getDouble(0)} hof=${r.getDouble(1)} must be bit-equal")
+    }
+    // typed-check failure on non-double arrays
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1L), Array(2L))).toDF("a", "b")
+        .select(graft.functions.CoreFunctions.dotProduct(col("a"), col("b")))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<double>"))
+  }
 }
