@@ -37,23 +37,42 @@ object TextDedup {
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signatures as (id, band, minhash) WITHOUT exploding bands
-    * into the shuffle: one sha256 per gram remixed per band with cheap
+    * into the shuffle: one hash per gram remixed per band with cheap
     * arithmetic, folded map-side as `bands` conditional min-aggregates,
-    * then unpivoted. Shuffle volume is |docs|, not bands × |grams|. */
+    * then unpivoted. Shuffle volume is |docs|, not bands × |grams|.
+    *
+    * `gramHash` maps a gram to a uint32-range long. The default is the
+    * fused sha256 prefix — chosen ONLY because the external oracle must
+    * compute the identical hash (DuckDB has sha256, not xxhash64); any
+    * uniform hash yields equally valid LSH signatures. Production runs
+    * without an oracle twin should use [[minhashSignaturesFast]]. */
   def minhashSignatures(grams: DataFrame, bands: Int = 8,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      gramHash: Column => Column = sha256PrefixLong): DataFrame = {
     require(bands >= 1 && bands <= 32)
     val aggs = (0 until bands).map(b =>
       min((col("h") * (b * 2 + 1) + lit(b) * lit(2654435761L)) %
         lit(4294967296L)).as(s"m$b"))
     val stackArgs = (0 until bands).map(b => s"$b, m$b").mkString(", ")
     grams
-      .withColumn("h", sha256PrefixLong(col("gram")))
+      .withColumn("h", gramHash(col("gram")))
       .groupBy(idCol)
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         expr(s"stack($bands, $stackArgs) AS (band, minhash)"))
   }
+
+  /** [[minhashSignatures]] with the per-gram hash every production run
+    * should use: codegen'd xxhash64 folded to the uint32 range — no
+    * message-digest call per gram, ~the cost of reading the gram. The
+    * sha256 default exists solely for cross-engine oracle parity; the
+    * LSH guarantees are hash-agnostic (exact duplicates still agree on
+    * ALL bands — asserted in TextDedupSpec — and near-dup recall is the
+    * same banding probability under any uniform hash). */
+  def minhashSignaturesFast(grams: DataFrame, bands: Int = 8,
+      idCol: String = "doc_id"): DataFrame =
+    minhashSignatures(grams, bands, idCol,
+      g => pmod(xxhash64(g), lit(4294967296L)))
 
   /** LSH candidate pairs: docs sharing any (band, minhash) bucket.
     * Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.

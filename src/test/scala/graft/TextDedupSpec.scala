@@ -41,6 +41,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
   }
 
+  test("fast (xxhash64) MinHash keeps the LSH guarantees without the digest") {
+    val sigs = TextDedup.minhashSignaturesFast(TextDedup.shingles(docs))
+    // minhashes stay in the uint32 range the band remix expects
+    assert(sigs.filter(col("minhash") < 0 ||
+      col("minhash") >= 4294967296L).count() === 0)
+    val pairs = TextDedup.candidatePairs(sigs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    // the guarantees are hash-agnostic: exact duplicates agree on ALL
+    // bands under ANY per-gram hash, and unrelated docs stay apart
+    assert(pairs((0L, 1L)) === 8L)
+    assert(pairs.getOrElse((0L, 2L), 0L) >= 4L)
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
   test("Jaccard is 1.0 for exact duplicates and high for near duplicates") {
     val grams = TextDedup.shingles(docs)
     val sigs = TextDedup.minhashSignatures(grams)
