@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main (driver contract): runs every registry query on
   * SPARK_GRAFT_SF_DIR at local[N], prints ONE JSON line with per-query
@@ -69,28 +70,35 @@ object Bench {
     // nor sampled-out (i.e. LOST): malformed envelopes that route to the
     // DLQ are accounted deliveries, so the expected rate is exactly 0.
     case class StepResult(rate: Int, n: Long, sec: Double, lost: Long)
-    def stepProfile(): Seq[StepResult] =
-      Seq(50, 100, 500, 1000, 100).map { rate =>
-        val n = rate * 60L
-        val t0 = System.nanoTime()
-        val prep = graft.ingest.IngestPipeline
-          .prepare(graft.ingest.SyntheticData.envelopes(spark, n))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val res = graft.ingest.IngestPipeline.split(prep)
-          val kept = res.events.count()
-          // every input row must surface in exactly one route
-          val routed = prep.count()
-          require(kept > 0, s"step $rate kept no rows")
-          StepResult(rate, n, (System.nanoTime() - t0) / 1e9, n - routed)
-        } finally prep.unpersist(blocking = false)
-      }
-    val steps =
-      try stepProfile()
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] step-load profile failed: ${e.getMessage}")
-        Seq.empty
-      }
+    def runStep(rate: Int): Option[StepResult] = {
+      val n = rate * 60L
+      val t0 = System.nanoTime()
+      val prep = graft.ingest.IngestPipeline
+        .prepare(graft.ingest.SyntheticData.envelopes(spark, n))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val res = graft.ingest.IngestPipeline.split(prep)
+        val kept = res.events.count()
+        // accounting: every input row must land in exactly one ROUTE —
+        // count the actual route outputs (dlq, sampled-out) plus the
+        // events branch's pre-dedup population (dedup collapses are
+        // accounted deliveries, the reference's duplicate-as-success),
+        // so a route-predicate bug that drops rows into no route shows
+        // up as lost > 0 (a bare prep.count() would always equal n).
+        val validSampled = prep
+          .filter(col("is_valid") && col("sampled")).count()
+        val routed = validSampled + res.dlq.count() + res.sampledOut.count()
+        require(kept > 0 && kept <= validSampled,
+          s"step $rate kept $kept of $validSampled valid rows")
+        Some(StepResult(rate, n, (System.nanoTime() - t0) / 1e9, n - routed))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] step $rate failed: ${e.getMessage}")
+        None
+      } finally prep.unpersist(blocking = false)
+    }
+    // per-step isolation: one failed step reports itself and the other
+    // steps' measurements survive
+    val steps = Seq(50, 100, 500, 1000, 100).flatMap(runStep)
     val stepJson = steps.map { s =>
       val rateSec = if (s.sec > 0) s.n / s.sec else -1.0
       s"""{"rate_per_min":${s.rate},"n_envelopes":${s.n},"sec":${s.sec},""" +

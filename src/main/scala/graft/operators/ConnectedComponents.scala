@@ -144,8 +144,9 @@ object ConnectedComponents {
     * (singletons get their own id and size 1). The canonical consumer
     * feeds [[TextDedup.candidatePairs]] (optionally Jaccard-filtered)
     * in as `pairs`. */
-  def dupClusters(docIds: DataFrame, pairs: DataFrame): DataFrame = {
-    val lbl = labels(pairs, docIds)
+  def dupClusters(docIds: DataFrame, pairs: DataFrame,
+      durableCheckpoints: Boolean = false): DataFrame = {
+    val lbl = labels(pairs, docIds, durableCheckpoints = durableCheckpoints)
     val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     lbl.join(sizes, "cluster_id")
       .select(col(docIds.columns.head), col("cluster_id"), col("cluster_size"))

@@ -61,8 +61,11 @@ object Similarity {
     * `prep`: an already-[[prepared]] (and typically persisted) frame for
     * `embeddings` — callers running several similarity operators over the
     * same table pass one shared frame so the cast/norm subplan is built
-    * and compiled once (the guard then counts the persisted frame, which
-    * is equally bounded). */
+    * and compiled once. The GUARD always counts the unspread source
+    * frame regardless: a supplied prep carries a repartition exchange
+    * (and possibly a cold cache), and a limit cannot push below an
+    * exchange — the refusal that exists to avoid a full table scan must
+    * never itself require one. */
   def topKCosine(embeddings: DataFrame, queryPredicate: Column, k: Int,
       maxQueries: Int = 1000, prep: Option[DataFrame] = None): DataFrame = {
     // one definition of the query side, applied to the spread frame (for
@@ -75,8 +78,7 @@ object Similarity {
         col("nrm").as("qnrm")).filter(queryPredicate)
     val e = prep.getOrElse(prepared(embeddings))
     val q = querySide(e)
-    val nQ = querySide(
-        prep.getOrElse(normalized(embeddings, "vec_id", "embedding")))
+    val nQ = querySide(normalized(embeddings, "vec_id", "embedding"))
       .select("q_id").limit(maxQueries + 1).count()
     require(nQ <= maxQueries,
       s"topKCosine is a brute-force baseline: query side has > $maxQueries " +

@@ -20,15 +20,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   * one partition — it optimizes shuffle bytes, not the amplified CPU
   * downstream.
   *
-  * The natural-width probe reads the PLANNED physical output
-  * partitioning (`queryExecution.sparkPlan`, the pre-AQE plan): pure
-  * planning, never a job — handing byKey a derived frame that already
-  * contains exchanges is safe (an earlier revision probed
-  * `df.rdd.getNumPartitions`, which under AQE materializes upstream
-  * exchanges as a job). File scans plan `UnknownPartitioning(0)`, so
-  * they get `defaultParallelism` — every core, the right width for an
-  * amplifying stage on any cluster size. Callers that know better pass
-  * `width` explicitly.
+  * The natural-width probe is pure PLANNING, never a job (an earlier
+  * revision probed `df.rdd.getNumPartitions`, which under AQE
+  * materializes upstream exchanges): it takes the max of
+  * (a) the planned physical output partitioning
+  * (`queryExecution.sparkPlan`, pre-AQE — derived frames that already
+  * carry exchanges report their width) and (b) the file-scan split
+  * estimate `ceil(scan bytes / maxPartitionBytes)` from the leaf
+  * relations' statistics — a multi-terabyte scan therefore keeps its
+  * hundreds of thousands of natural splits instead of collapsing to
+  * core count, preserving "the width never shrinks below the input's
+  * natural width" without executing anything. Callers that know better
+  * pass `width` explicitly.
   */
 object Spread {
 
@@ -39,7 +42,17 @@ object Spread {
         val p = df.sparkSession.sparkContext.defaultParallelism
         val planned =
           df.queryExecution.sparkPlan.outputPartitioning.numPartitions
-        math.max(p, planned)
+        val maxBytes =
+          df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        val leafSplits = df.queryExecution.optimizedPlan.collectLeaves()
+          .map {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              math.ceil(lr.relation.sizeInBytes.toDouble / maxBytes).toLong
+            case _ => 0L
+          }
+        val natural = (planned.toLong +: leafSplits).max
+          .min(Int.MaxValue).toInt
+        math.max(p, natural)
       }
     df.repartition(w, key)
   }

@@ -265,11 +265,12 @@ object BatteryQueries {
     // data-quality sweep a pipeline runs before trusting a numeric
     // column). Mean/std derive from exact fixed-point sums (the q89
     // discipline — order-independent under shuffling), scaled ×1e3:
-    // value ≤ ~1e3 keeps Σsv² < 2^63 up to ~1e8 rows per type (at the
-    // 100 TB point, switch the second moment to a two-pass
-    // sum-of-squared-deviations — deviations stay small so the double
-    // fold is stable). The |types|-row stats frame broadcasts back and
-    // the z-score is a scan-local expression.
+    // value ≤ ~1e3 means sv ≤ 1e6 and sv² ≤ 1e12, so Σsv² stays under
+    // 2^63 up to ~9e6 rows per type (×1e6 scaling would overflow at
+    // sf0.1 already). Beyond that, switch the second moment to a
+    // two-pass sum-of-squared-deviations — deviations stay small so
+    // the double fold is stable. The |types|-row stats frame
+    // broadcasts back and the z-score is a scan-local expression.
     EngineQuery("q93_value_outliers",
       (s, dir) => {
         val sv = Tables.events(s, dir)
@@ -285,7 +286,10 @@ object BatteryQueries {
                 - pow(col("sc").cast("double") / col("n"), 2))).as("sd"))
         sv.join(broadcast(stats), Seq("event_type"))
           .withColumn("z", (col("sv").cast("double") - col("m")) / col("sd"))
-          .filter(abs(col("z")) > 3.0)
+          // sd = 0 (constant or single-row type) makes z NaN, and Spark
+          // orders NaN above every number — guard like the streaming
+          // twin (StreamingAnomaly) or every such row is an "outlier"
+          .filter(col("sd") > 0.0 && abs(col("z")) > 3.0)
           .select(col("event_id"), col("event_type"),
             round(col("sv").cast("double") / 1e3, 6).as("value"),
             round(col("z"), 6).as("z"))
@@ -306,7 +310,7 @@ object BatteryQueries {
              |  round(CAST(sv AS DOUBLE) / 1000.0, 6) AS value,
              |  round((CAST(sv AS DOUBLE) - m) / sd, 6) AS z
              |FROM sc JOIN st USING (event_type)
-             |WHERE abs((CAST(sv AS DOUBLE) - m) / sd) > 3.0
+             |WHERE sd > 0.0 AND abs((CAST(sv AS DOUBLE) - m) / sd) > 3.0
              |ORDER BY event_id""".stripMargin)),
 
     // Q55 — string battery incl. fuzzy matching (levenshtein).

@@ -464,14 +464,19 @@ object PipelineQueries {
              |FROM active JOIN cohort USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // Q74 — portable table checksum: an order-independent fingerprint
-    // (BIGINT BIT_XOR of a 60-bit content hash per row) for verifying a
+    // Q74 — portable table checksum: TWO complementary order-independent
+    // fingerprints of a 60-bit content hash per row, for verifying a
     // migration copied every row — the operation this engine's own
-    // oracle gate performs, packaged as a query. XOR is commutative and
-    // associative so partition order never matters, folds map-side, and
-    // cannot overflow — the checksum stays a plain BIGINT with identical
-    // binary representation in every engine (a DECIMAL(38,0) sum was
-    // value-identical but hashed differently per engine at the gate).
+    // oracle gate performs, packaged as a query. Both fold map-side and
+    // stay plain BIGINTs with identical binary representation in every
+    // engine (a DECIMAL(38,0) sum was value-identical but hashed
+    // differently per engine at the gate):
+    //   - BIT_XOR: overflow-free, but blind to EVEN multiplicities (a
+    //     double-write plus a matching double-drop cancels);
+    //   - modular sum Σ(h mod p): multiplicity-sensitive, covering
+    //     exactly the XOR blind spot (exact up to ~9e9 rows per group:
+    //     each term < p ≈ 1e9).
+    // A corruption must preserve both (and the row count) to slip by.
     EngineQuery("q74_table_checksum",
       (s, dir) => Tables.events(s, dir)
         .select(col("event_type"),
@@ -479,12 +484,16 @@ object PipelineQueries {
             col("event_type"))).as("h"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"),
-          expr("bit_xor(h)").as("checksum"))
+          expr("bit_xor(h)").as("checksum_xor"),
+          sum(col("h") % 1000000007L).as("checksum_mod"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n_rows,
              |  BIT_XOR(CAST('0x' || substr(sha256(
              |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
-             |      || '|' || event_type), 1, 15) AS BIGINT)) AS checksum
+             |      || '|' || event_type), 1, 15) AS BIGINT)) AS checksum_xor,
+             |  CAST(SUM(CAST('0x' || substr(sha256(
+             |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+             |      || '|' || event_type), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum_mod
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin))
   )
