@@ -291,6 +291,55 @@ object CorpusQueries {
              |FROM bi JOIN tot USING (tok)
              |ORDER BY n_bigram DESC, tok, next_tok LIMIT 50""".stripMargin)),
 
+    // EXT — cross-document boilerplate fraction: the share of a
+    // document's word 5-gram occurrences that also appear in at least
+    // one OTHER document (headers, footers, templates — the
+    // duplicated-n-gram quality signal of Rae et al.'s Gopher filters,
+    // complementing q87's WITHIN-document repetition). Two keyed
+    // aggregations + one join on the gram; at scale the gram key
+    // becomes an xxhash64 long (the q31 shuffle-width discipline —
+    // only counts cross the gate).
+    EngineQuery("q98_boilerplate_fraction",
+      (s, dir) => {
+        val g = TextQueries.docsSpread(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          // sequence(1, n) needs n ≥ 1: Spark infers step -1 when
+          // start > stop, which would YIELD [1, 0] instead of empty
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("toks")) - 4)).as("i"),
+            col("toks"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("toks"), col("i"), lit(5))).as("gram"))
+        val boiler = g.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("gram"), lit(1L).as("is_boiler"))
+        g.join(boiler, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+          .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+            round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 6)
+              .as("boiler_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (
+             |  SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS gram
+             |  FROM t CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
+             |  WHERE i <= len(toks) - 4),
+             |db AS (
+             |  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+             |boiler AS (SELECT gram FROM db WHERE nd >= 2)
+             |SELECT doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             |  round(CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac
+             |FROM g LEFT JOIN boiler b USING (gram)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // EXT — weighted reservoir sampling (Efraimidis–Spirakis A-Res with
     // a deterministic uniform): every document gets key u^(1/w) from the
     // sha256-uniform and its quality weight; the global top-20 keys ARE
