@@ -126,6 +126,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       "q71 centroids must broadcast-join the vectors")
   }
 
+  test("round-7 batch queries keep their scale shapes: broadcast stats, single keyed window") {
+    // q93: the |types|-row moments frame must broadcast back to the
+    // event scan — a shuffle join here would re-shuffle the fact side
+    val q93 = queries.QueryRegistry.byName("q93_value_outliers").run(spark, dir)
+    q93.collect()
+    assert(q93.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "q93 per-type stats must broadcast-join the events")
+    // q96: lag + lead must share one exchange+sort — the change filter
+    // between them preserves distribution and order, so exactly one
+    // user_id exchange may exist below the final output sort
+    val q96 = queries.QueryRegistry.byName("q96_scd2_intervals").run(spark, dir)
+    val p96 = q96.queryExecution.executedPlan.toString
+    val userExchanges = p96.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges === 1,
+      s"q96's two windows must reuse ONE user_id exchange, found $userExchanges:\n$p96")
+  }
+
   test("topKCosine refuses an unbounded query side (100 TB guard)") {
     val emb = Tables.table(spark, dir, "embeddings")
     val ex = intercept[IllegalArgumentException] {
