@@ -291,6 +291,59 @@ object CorpusQueries {
              |FROM bi JOIN tot USING (tok)
              |ORDER BY n_bigram DESC, tok, next_tok LIMIT 50""".stripMargin)),
 
+    // EXT — language-model surprisal scoring: each document's mean
+    // bigram surprisal −ln P(next | tok) under the corpus's own bigram
+    // model (the q92 statistics, unlimited) — the perplexity-proxy
+    // quality filter a CCNet-style curation pipeline runs (unusual
+    // token sequences score high, templated/duplicated text scores
+    // low). Per-bigram surprisal is fixed to 1e-6 granularity as a
+    // LONG (ln() agrees across engines at that precision — the q67
+    // discipline), so the per-doc mean is an exact integer fold.
+    EngineQuery("q99_lm_surprisal",
+      (s, dir) => {
+        val seq = TextQueries.docsSpread(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val biOcc = seq.withColumn("next_tok", lead(col("tok"), 1).over(w))
+          .filter(col("next_tok").isNotNull)
+        val bi = biOcc.groupBy("tok", "next_tok").agg(count(lit(1)).as("c"))
+        val probs = bi
+          .join(bi.groupBy("tok").agg(sum(col("c")).as("t")), Seq("tok"))
+          .select(col("tok"), col("next_tok"),
+            round(-log(col("c").cast("double") / col("t").cast("double")) * 1e6)
+              .cast("long").as("surp_fp"))
+        biOcc.join(probs, Seq("tok", "next_tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("surp_fp")).as("sfp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sfp").cast("double") / 1e6 /
+              col("n_bigrams").cast("double"), 6).as("avg_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH seq AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+             |  FROM documents),
+             |bo AS (
+             |  SELECT doc_id, tok, next_tok FROM (
+             |    SELECT doc_id, tok,
+             |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
+             |    FROM seq) x
+             |  WHERE next_tok IS NOT NULL),
+             |bi AS (
+             |  SELECT tok, next_tok, COUNT(*) AS c FROM bo GROUP BY 1, 2),
+             |tt AS (SELECT tok, SUM(c) AS t FROM bi GROUP BY 1),
+             |probs AS (
+             |  SELECT bi.tok, next_tok,
+             |    CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT) AS surp_fp
+             |  FROM bi JOIN tt USING (tok))
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  round(CAST(SUM(surp_fp) AS DOUBLE) / 1000000.0
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_surprisal
+             |FROM bo JOIN probs USING (tok, next_tok)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // EXT — cross-document boilerplate fraction: the share of a
     // document's word 5-gram occurrences that also appear in at least
     // one OTHER document (headers, footers, templates — the
