@@ -55,7 +55,16 @@ class OperatorsSpec extends AnyFunSuite {
       input.addData(1 to 100: _*)
       q.processAllAvailable()
       q.stop()
-      assert(listener.batches.exists(_.numInputRows == 100L))
+      // listener events arrive on the async listener bus — poll with a
+      // deadline instead of racing it, and sum across batches rather
+      // than assuming the rows arrived as ONE micro-batch (under load
+      // the engine may split them)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (listener.batches.map(_.numInputRows).sum < 100L &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.batches.map(_.numInputRows).sum === 100L,
+        s"batches seen: ${listener.batches.map(_.numInputRows)}")
     } finally spark.streams.removeListener(listener)
   }
 
