@@ -57,9 +57,13 @@ object Bench {
         System.err.println(s"[bench] ingest throughput pass failed: ${e.getMessage}")
         None
       }
-    // one sample up front and the rest after the query passes: two
-    // separated time windows, so a load spike during either window can't
-    // poison every sample of the best-of-runs estimate
+    // ALL ingest samples run BEFORE the query passes: the r7 bench ran
+    // two of the three after them, inside the storage-memory pressure of
+    // the fully-built shared-frame persist set, and the best-of-runs
+    // throughput halved (193k → 78k env/s) from harness context alone.
+    // The step-load profile between sample 1 and samples 2..n keeps two
+    // separated time windows, so a load spike during either window still
+    // can't poison every sample.
     val earlyIngest = ingestPassSec()
 
     // Step-load ingest profile (reference scripts/04_step_load_test.js:
@@ -112,7 +116,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val lateIngest = (2 to math.max(runs, 1)).flatMap(_ => ingestPassSec())
+
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs the query passes in reverse
+    // name order — the order-independence check: shared-frame build costs
+    // land on whichever consumer runs first, so comparing the two
+    // orderings' steady totals pins attribution vs real regressions.
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+        ordered0.reverse
+      else ordered0
     val samples = (1 to runs).map { _ =>
       ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     }
@@ -129,8 +143,23 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalFirst = firsts.collect { case (_, v) if v >= 0 => v }.sum
-    val ingestSecs =
-      earlyIngest.toSeq ++ (2 to math.max(runs, 1)).flatMap(_ => ingestPassSec())
+    // persist-set accounting: if the shared frames were evicted during
+    // the passes (cached fraction < 1), later passes re-paid
+    // materialization and the per-query mins are NOT warm steady state —
+    // surface it instead of guessing (the r7 q26/q30/q32 diagnosis).
+    try {
+      val store = spark.sparkContext.getRDDStorageInfo
+      val totalMB = store.map(_.memSize).sum / 1e6
+      val diskMB = store.map(_.diskSize).sum / 1e6
+      val partial = store.filter(r => r.numCachedPartitions < r.numPartitions)
+      System.err.println(f"[bench] persist set: ${store.length} RDDs, " +
+        f"$totalMB%.1f MB mem + $diskMB%.1f MB disk, " +
+        s"${partial.length} partially cached" +
+        (if (partial.nonEmpty)
+          partial.map(r => s" [id=${r.id} ${r.numCachedPartitions}/${r.numPartitions}]").mkString
+        else ""))
+    } catch { case scala.util.control.NonFatal(_) => }
+    val ingestSecs = earlyIngest.toSeq ++ lateIngest
     val envThroughput =
       if (ingestSecs.nonEmpty) envCount / ingestSecs.min else -1.0
     val line =

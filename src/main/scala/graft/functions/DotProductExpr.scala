@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * fold from 0.0 (`((0.0 + a0·b0) + a1·b1) + …`), so every consumer's
   * oracle hash is unchanged.
   *
-  * CONTRACT (caller-enforced): equal-length arrays, no null elements.
-  * Unequal lengths fold over the shorter prefix, they do not error.
+  * CONTRACT: no null elements (the HOF form would return NULL; reading
+  * a null slot here is undefined — arrays with containsNull should take
+  * the HOF path). Unequal lengths THROW: the HOF form returns NULL
+  * there, and a general-purpose helper silently folding the shorter
+  * prefix would hand a malformed embeddings row a plausible score
+  * instead of failing loudly.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -59,7 +63,11 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Static helper (called from generated Java). */
 object DotProduct {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: array length mismatch ($n vs ${b.numElements()}) — " +
+          "malformed embedding row")
     var i = 0
     var s = 0.0
     while (i < n) {

@@ -44,9 +44,16 @@ object Spread {
           df.queryExecution.sparkPlan.outputPartitioning.numPartitions
         val maxBytes =
           df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        // relations WITHOUT statistics (e.g. JDBC) report the sentinel
+        // spark.sql.defaultSizeInBytes (= Long.MaxValue by default), not
+        // a measured size — using it would clamp the width to
+        // Int.MaxValue and plan a repartition(2147483647); skip those
+        // leaves and fall back to the planned width / parallelism floor
+        val sentinel = df.sparkSession.sessionState.conf.defaultSizeInBytes
         val leafSplits = df.queryExecution.optimizedPlan.collectLeaves()
           .map {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+                if lr.relation.sizeInBytes != sentinel =>
               math.ceil(lr.relation.sizeInBytes.toDouble / maxBytes).toLong
             case _ => 0L
           }

@@ -223,13 +223,32 @@ object TextDedup {
     * The per-bit ±1 scores fold map-side as 60 conditional sum-aggregates
     * over the token hash — NOT via a 60× bit-explode, whose 60·|tokens|
     * rows would all cross the shuffle. Same algebra, shuffle volume
-    * |docs| rows of 60 longs. */
-  def simhashFingerprints(tokens: DataFrame): DataFrame =
+    * |docs| rows of 60 longs.
+    *
+    * `tokHash` maps a token to a 60-bit long. The default is the fused
+    * sha256 prefix — chosen ONLY because the external oracle must compute
+    * the identical hash (DuckDB has sha256, not xxhash64); the SimHash
+    * guarantees (near-identical token multisets → low Hamming distance)
+    * hold under any uniform hash. Production runs without an oracle twin
+    * should use [[simhashFingerprintsFast]]. */
+  def simhashFingerprints(tokens: DataFrame,
+      tokHash: Column => Column = sha256PrefixLong15): DataFrame =
     tokens
-      .select(col("doc_id"), sha256PrefixLong15(col("tok")).as("h"))
+      .select(col("doc_id"), tokHash(col("tok")).as("h"))
       .groupBy("doc_id")
       .agg(simhashBitScoreAggs.head, simhashBitScoreAggs.tail: _*)
       .select(col("doc_id"), simhashFromScores.as("simhash"))
+
+  /** [[simhashFingerprints]] with the per-token hash every production run
+    * should use: codegen'd xxhash64 folded to the 60-bit range — no
+    * message-digest call per token, ~the cost of reading the token (the
+    * [[minhashSignaturesFast]] twin for SimHash). The sha256 default
+    * exists solely for cross-engine oracle parity; exact-duplicate docs
+    * still agree on every fingerprint bit under either hash (asserted in
+    * TextDedupSpec). */
+  def simhashFingerprintsFast(tokens: DataFrame): DataFrame =
+    simhashFingerprints(tokens,
+      t => pmod(xxhash64(t), lit(1152921504606846976L))) // 2^60
 
   /** The 60 per-bit ±1 sum aggregates over a 60-bit token-hash column
     * `h` — exposed so composite pipelines (q61) can fuse them into a

@@ -136,7 +136,7 @@ object CorpusQueries {
               |  FROM tok)
               |SELECT doc_id, n_tokens,
               |  CAST(floor(cum_before / ${PackContext}.0) AS BIGINT) AS pack_id,
-              |  cum_before % $PackContext AS pack_offset,
+              |  CAST(cum_before % $PackContext AS BIGINT) AS pack_offset,
               |  (cum_before % $PackContext) + n_tokens > $PackContext AS spans_boundary
               |FROM c ORDER BY doc_id""".stripMargin)),
 
@@ -163,7 +163,7 @@ object CorpusQueries {
               |gc AS (
               |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
               |d AS (
-              |  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+              |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
               |    MAX(c) AS max_c
               |  FROM gc GROUP BY 1)
               |SELECT doc_id, n_grams, n_distinct,

@@ -355,7 +355,13 @@ object PipelineQueries {
           .select(col("user_id"), col("event_type"),
             col("ts").as("valid_from"), col("valid_to"),
             col("valid_to").isNull.as("is_current"))
-          .orderBy("user_id", "valid_from", "event_type")
+          // valid_to tiebreak (nulls last, matching the oracle): a user
+          // alternating types at one timestamp (A,B,A at the same ts)
+          // yields rows identical on the first three keys but with
+          // different valid_to — without it the two engines may order
+          // those rows differently
+          .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+            col("valid_to").asc_nulls_last)
       },
       Some("""WITH ch AS (
              |  SELECT user_id, ts, event_id, event_type FROM (
@@ -369,7 +375,8 @@ object PipelineQueries {
              |    ORDER BY ts, event_id) AS valid_to,
              |  lead(ts) OVER (PARTITION BY user_id
              |    ORDER BY ts, event_id) IS NULL AS is_current
-             |FROM ch ORDER BY user_id, valid_from, event_type""".stripMargin)),
+             |FROM ch ORDER BY user_id, valid_from, event_type,
+             |  valid_to NULLS LAST""".stripMargin)),
 
     // EXT — snapshot diff / migration reconciliation: classify every
     // key of two table snapshots as added / removed / changed /

@@ -106,6 +106,23 @@ object TextQueries {
           TextDedup.candidatePairs(minhashSigs(s, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared SimHash fingerprint frame per (session, table dir), like
+    * [[minhashSigs]]: the fingerprint report (q29), near-dup pairing
+    * (q30) and the curation pipeline (q61) all consume the same per-doc
+    * 60-bit fingerprints, and the sha256-per-token pass behind them is
+    * the single heaviest repeated subplan left in the bench — a real
+    * curation run fingerprints the corpus ONCE (at 100 TB: a
+    * checkpointed table) and fans it out. Fingerprints are a pure
+    * per-document function, so consumers over a doc SUBSET (q61 after
+    * exact dedup) reuse the frame via a semi-join instead of refolding
+    * their own. |docs| rows of (doc_id, long); [[reset]] evicts. */
+  private val sharedFps = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def simhashFps(s: SparkSession, dir: String): DataFrame =
+    sharedFps.getOrElseUpdate((s, dir),
+      TextDedup.simhashFingerprints(tokens(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Unpersist + evict the shared signature frames for a session, as
     * OperatorQueries.reset does for the ingest pipeline frame. */
   def reset(s: SparkSession): Unit = {
@@ -115,6 +132,8 @@ object TextQueries {
       sharedLabels.remove(k).foreach(_.unpersist(blocking = false)))
     sharedJaccard.keys.filter(_._1 eq s).foreach(k =>
       sharedJaccard.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedFps.keys.filter(_._1 eq s).foreach(k =>
+      sharedFps.remove(k).foreach(_.unpersist(blocking = false)))
   }
 
   private val minhashSigsSql = {
@@ -275,7 +294,7 @@ object TextQueries {
 
     // Q29 — SimHash 60-bit fingerprint per document.
     EngineQuery("q29_simhash_fingerprint",
-      (s, dir) => TextDedup.simhashFingerprints(tokens(s, dir))
+      (s, dir) => simhashFps(s, dir)
         .orderBy("doc_id"),
       Some(s"""WITH th AS (
               |  SELECT doc_id, $tokHash60Sql AS h FROM ($tokensSql) toks),
@@ -292,7 +311,7 @@ object TextQueries {
     // then Hamming distance <= 12 on candidates. Banded, not all-pairs.
     EngineQuery("q30_simhash_neardup",
       (s, dir) => TextDedup.simhashNearDups(
-          TextDedup.simhashFingerprints(tokens(s, dir)), maxHamming = 12)
+          simhashFps(s, dir), maxHamming = 12)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH th AS (
               |  SELECT doc_id, $tokHash60Sql AS h FROM ($tokensSql) toks),
@@ -560,21 +579,21 @@ object TextQueries {
           explode(split(col("text"), " ")).as("tok"))
         def hits(ws: Seq[String]) =
           sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L))
-        // ONE pass over the token explode: the quality/lang metrics and
-        // the 60 SimHash bit scores are all groupBy(doc_id) aggregates,
-        // so they fuse into a single explode + shuffle instead of
-        // re-running the amplified scan per consumer
+        // ONE pass over the token explode for the quality/lang metrics;
+        // fingerprints come from the SHARED per-doc frame ([[simhashFps]]
+        // — a pure per-document function, so restricting the all-docs
+        // frame to the exact-dedup keepers via semi-join is identical to
+        // refolding them over the kept tokens, minus the second
+        // sha256-per-token pass)
         val perDoc = toks
-          .withColumn("h", sha256PrefixLong15(col("tok")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            (Seq(sum(length(col("tok"))).as("sum_len"),
-              hits(stopwords).as("n_stop"),
-              hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
-              hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
-              ++ TextDedup.simhashBitScoreAggs): _*)
-        val fingerprints = perDoc.select(col("doc_id"),
-          TextDedup.simhashFromScores.as("simhash"))
+            sum(length(col("tok"))).as("sum_len"),
+            hits(stopwords).as("n_stop"),
+            hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
+            hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
+        val fingerprints = simhashFps(s, dir)
+          .join(keepers, Seq("doc_id"), "left_semi")
         val nearDupDrop = TextDedup.simhashNearDups(fingerprints,
             maxHamming = 12)
           .select(col("doc_b").as("doc_id")).distinct()

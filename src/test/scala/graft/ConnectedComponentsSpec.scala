@@ -55,4 +55,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L), (3L, 3L, 1L)))
   }
+
+  test("durable checkpoints survive a simulated executor-state loss") {
+    // The cluster-deployment seam: with durableCheckpoints=true each
+    // round's lineage cut goes to reliable checkpoint storage instead of
+    // executor-local blocks. Simulate losing ALL executor state after
+    // the loop (clearCache drops every persisted/localCheckpoint block)
+    // and assert the result is still recomputable — its lineage must
+    // bottom out in checkpoint FILES, not evicted cache. The default
+    // localCheckpoint path documents the opposite contract (non-
+    // recomputable after block loss), which is why the option exists.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val chain = (0L until 19L).map(i => (i, i + 1))
+      val lbl = ConnectedComponents.labels(
+        chain.toDF("src", "dst"), (0L to 19L).toDF("id"),
+        durableCheckpoints = true)
+      assert(lbl.as[(Long, Long)].collect().toMap.values.toSet === Set(0L))
+      // reliable checkpoint files exist on disk
+      import scala.jdk.CollectionConverters._
+      val found = java.nio.file.Files.walk(dir).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("part-"))
+      assert(found, s"no checkpoint part files under $dir")
+      // lose every executor-cached block, then recompute from lineage
+      spark.catalog.clearCache()
+      assert(lbl.as[(Long, Long)].collect().toMap.values.toSet === Set(0L))
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+  }
 }

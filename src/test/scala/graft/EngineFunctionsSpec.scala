@@ -54,5 +54,17 @@ class EngineFunctionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(err.getMessage.toLowerCase.contains("array<double>"))
+    // a malformed (length-mismatched) embedding row fails loudly rather
+    // than silently folding the shorter prefix into a plausible score
+    val mismatch = intercept[Exception] {
+      Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+        .select(graft.functions.CoreFunctions.dotProduct(col("a"), col("b")))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(mismatch).exists(_.getMessage != null) &&
+      causes(mismatch).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("length mismatch")), mismatch.toString)
   }
 }

@@ -78,6 +78,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.get((0L, 2L)).exists(_ <= 10))
   }
 
+  test("fast (xxhash64) SimHash keeps the fingerprint guarantees without the digest") {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val fp = TextDedup.simhashFingerprintsFast(tokens)
+    // fingerprints stay in the 60-bit range the chunk banding expects
+    assert(fp.filter(col("simhash") < 0 ||
+      col("simhash") >= (1L << 60)).count() === 0)
+    // hash-agnostic guarantees, asserted on the fingerprints themselves
+    // (which chunk a near-dup pair collides in is hash-dependent luck;
+    // the SimHash property is the hamming distances): exact duplicates
+    // agree on EVERY bit — same token multiset → same per-bit scores
+    // under any hash — and a near dup sits far closer than unrelated
+    // docs
+    val h = fp.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(hamming(0L, 1L) === 0)
+    assert(hamming(0L, 2L) <= 15)
+    assert(hamming(0L, 2L) < hamming(0L, 3L))
+    assert(hamming(0L, 2L) < hamming(0L, 4L))
+    // the pair generator still finds the exact duplicate (chunk 0 of an
+    // identical fingerprint always collides)
+    val pairs = TextDedup.simhashNearDups(fp, maxHamming = 12)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, hd) => (a, b) -> hd }.toMap
+    assert(pairs((0L, 1L)) === 0)
+  }
+
   test("LSH bucket cap bounds a degenerate mega-bucket deterministically") {
     // 6 identical docs → every (band, minhash) bucket holds all 6 ids.
     // With maxBucketSize=3 only the 3 smallest ids survive per bucket, so
