@@ -131,6 +131,42 @@ object Similarity {
         col("cent_id").as("list_id"), col("cent_cos"))
   }
 
+  /** IVF-blocked k-nearest-neighbour GRAPH: every vector's top-k cosine
+    * neighbours among the vectors sharing its inverted list — the
+    * blocked approximation every ANN-graph build starts from (NN-descent
+    * seeds, IVF adjacency init). Exact KNN-graph is an N² all-pairs no
+    * engine runs at corpus scale; blocking by nearest centroid bounds
+    * the pairwise work to Σ|list|² with |list| ≈ N/nCentroids, and
+    * nCentroids grows with N (√N is the classic IVF sizing) so per-list
+    * work stays flat. Cross-list true neighbours are missed by
+    * construction — the recall cost q84's refined-recall eval measures
+    * for the probe search; raise nCentroids + a second pass over merged
+    * lists to trade cost for recall.
+    *
+    * Scale shape: one broadcast assignment ([[assignToLists]]), one
+    * shuffle of each side on list_id, per-list pairwise scored inside
+    * the join, per-vector rank window on the join's own (list-bucketed)
+    * distribution. Nothing collects to the driver.
+    *
+    * @return (vec_id, nbr_id, cos_sim, rn) with rn ≤ k per vec_id
+    */
+  def knnGraphIvf(prep: DataFrame, k: Int,
+      nCentroids: Int = 16): DataFrame = {
+    val assigned = assignToLists(prep, seedCentroids(prep, nCentroids))
+      .drop("cent_cos")
+    val right = assigned.select(col("vec_id").as("nbr_id"),
+      col("v").as("nv"), col("nrm").as("nnrm"), col("list_id"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    assigned.join(right, Seq("list_id"))
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(dot(col("v"), col("nv")) / (col("nrm") * col("nnrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Seed centroids for [[ivfTopK]]: the first `nCentroids` vectors of
     * the table itself (deterministic; [[kmeansCentroids]] refines). */
   def seedCentroids(prep: DataFrame, nCentroids: Int): DataFrame =

@@ -443,6 +443,126 @@ object CorpusQueries {
              |WHERE CAST('0x' || substr(sha256('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
              |    / 4294967295.0
              |  < least(1.0, CAST(n_chars AS DOUBLE) / 800.0)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // EXT — BPE first-merge statistics: the 50 most frequent adjacent
+    // character pairs inside tokens, weighted by token occurrence — the
+    // pair-count pass a BPE tokenizer-training run repeats per merge
+    // (this entry is one iteration; training iterates on the merged
+    // vocabulary). Aggregate-FIRST discipline: token frequencies are
+    // counted before the character-pair explode, so the explode
+    // amplifies |distinct tokens| · len — a vocabulary-sized frame —
+    // never |token occurrences| · len of the raw corpus.
+    EngineQuery("q100_bpe_pair_stats",
+      (s, dir) => {
+        val tf = TextQueries.tokens(s, dir)
+          .groupBy("tok").agg(count(lit(1)).as("w"))
+        val pairs = tf.filter(length(col("tok")) >= 2)
+          .select(col("w"),
+            explode(sequence(lit(1), length(col("tok")) - 1)).as("i"),
+            col("tok"))
+          .select(concat(expr("substring(tok, i, 1)"),
+            expr("substring(tok, i + 1, 1)")).as("pair"), col("w"))
+          .groupBy("pair").agg(sum(col("w")).as("n_pairs"))
+        val w50 = Window.orderBy(col("n_pairs").desc, col("pair"))
+        // ordered window AFTER the aggregate: it only ever sees
+        // |distinct pairs| rows (bounded by alphabet², not corpus size)
+        pairs.withColumn("rank", row_number().over(w50))
+          .filter(col("rank") <= 50)
+          .select(col("rank").cast("long").as("rank"), col("pair"),
+            col("n_pairs"))
+          .orderBy("rank")
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT tok, COUNT(*) AS w FROM tk GROUP BY 1),
+             |pr AS (
+             |  SELECT substr(tok, CAST(i AS INT), 1) ||
+             |    substr(tok, CAST(i AS INT) + 1, 1) AS pair, w
+             |  FROM tf CROSS JOIN (SELECT unnest(range(1, 256)) AS i) pos
+             |  WHERE length(tok) >= 2 AND i <= length(tok) - 1),
+             |agg AS (
+             |  SELECT pair, CAST(SUM(w) AS BIGINT) AS n_pairs
+             |  FROM pr GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY n_pairs DESC, pair) AS BIGINT) AS rank,
+             |  pair, n_pairs
+             |FROM agg ORDER BY n_pairs DESC, pair LIMIT 50""".stripMargin)),
+
+    // EXT — character-distribution entropy per document: Shannon
+    // entropy of the character histogram — the quality signal that
+    // flags mojibake/random noise (high) and repeated filler (low).
+    // Float discipline (the q99 surprisal precedent): entropy
+    // = ln(N) − (Σ c·ln c)/N, where each ln(c) is fixed to 1e-6
+    // granularity as a LONG and the Σ is an exact integer fold —
+    // cross-row float order can't move the result; the two outer ln/÷
+    // are one deterministic double expression per doc.
+    EngineQuery("q101_char_entropy",
+      (s, dir) => {
+        val chars = TextQueries.docsSpread(s, dir)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("text")))).as("i"),
+            col("text"))
+          .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+        chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_chars"),
+            count(lit(1)).as("n_distinct_chars"),
+            sum(col("c") *
+              round(log(col("c").cast("double")) * 1e6).cast("long"))
+              .as("clnc_fp"))
+          .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+            round(log(col("n_chars").cast("double"))
+              - col("clnc_fp").cast("double") / 1e6 /
+                col("n_chars").cast("double"), 6).as("char_entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+             |  FROM documents CROSS JOIN (SELECT unnest(range(1, 8192)) AS i) pos
+             |  WHERE i <= length(text)),
+             |cc AS (
+             |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+             |d AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+             |    COUNT(*) AS n_distinct_chars,
+             |    CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS clnc_fp
+             |  FROM cc GROUP BY 1)
+             |SELECT doc_id, n_chars, n_distinct_chars,
+             |  round(ln(CAST(n_chars AS DOUBLE))
+             |    - CAST(clnc_fp AS DOUBLE) / 1000000.0 / CAST(n_chars AS DOUBLE), 6)
+             |    AS char_entropy
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // EXT — training-mix composition report: document, token and
+    // character volumes per (source, lang) with each cell's share of
+    // the corpus token total — the data-mixing table a pretraining run
+    // is configured from. Two keyed aggregations; the 1-row corpus
+    // total arrives as a broadcast join (the q67 discipline — never a
+    // shuffled cartesian).
+    EngineQuery("q102_domain_mix",
+      (s, dir) => {
+        val per = docs(s, dir)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"))
+        val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+        per.join(broadcast(tot), lit(true))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("n_tokens"), col("n_chars"),
+            round(col("n_tokens").cast("double") /
+              col("tot_tokens").cast("double"), 6).as("token_share"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH per AS (
+             |  SELECT source, lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM per)
+             |SELECT source, lang, n_docs, n_tokens, n_chars,
+             |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+             |    AS token_share
+             |FROM per CROSS JOIN tot ORDER BY source, lang""".stripMargin))
   )
 }

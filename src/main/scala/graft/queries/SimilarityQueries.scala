@@ -185,6 +185,36 @@ object SimilarityQueries {
               |SELECT q_id, vec_id, cos_sim, rn FROM ivf
               |ORDER BY q_id, rn""".stripMargin)),
 
+    // EXT — IVF-blocked k-nearest-neighbour graph: every vector's top-5
+    // cosine neighbours within its inverted list (the blocked ANN-graph
+    // build — see Similarity.knnGraphIvf for the recall/cost seam). The
+    // oracle replays the same seeded assignment, so the twins agree
+    // exactly despite the approximation.
+    EngineQuery("q103_knn_graph",
+      (s, dir) => Similarity.knnGraphIvf(preparedShared(s, dir), k = 5)
+        .orderBy("vec_id", "rn"),
+      Some(s"""WITH $prepSql,
+              |cents AS (
+              |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+              |  WHERE vec_id < 16),
+              |assigned AS (
+              |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+              |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              |      row_number() OVER (PARTITION BY n.vec_id
+              |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+              |          c.cent_id) AS arn
+              |    FROM n CROSS JOIN cents c) t
+              |  WHERE arn = 1)
+              |SELECT vec_id, nbr_id, cos_sim, rn FROM (
+              |  SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim,
+              |    row_number() OVER (PARTITION BY a.vec_id
+              |      ORDER BY round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) DESC,
+              |        b.vec_id) AS rn
+              |  FROM assigned a JOIN assigned b
+              |    ON b.list_id = a.list_id AND b.vec_id <> a.vec_id) x
+              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
     // Q78 — int8 scalar quantization with reconstruction diagnostics:
     // the vector-compression stage of an ANN index (see
     // Similarity.scalarQuantize for the float discipline).
