@@ -116,7 +116,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    val lateIngest = (2 to math.max(runs, 1)).flatMap(_ => ingestPassSec())
+    // 5 samples minimum: single ingest passes are ~1-2.5 s jobs whose
+    // wall-clock swings ~2× with box state (measured across back-to-back
+    // bench runs), so a 3-sample min is still noisy — extra samples cost
+    // ~2 s each and stabilize the best-of estimate
+    val lateIngest = (2 to math.max(runs, 5)).flatMap(_ => ingestPassSec())
 
     // SPARK_GRAFT_BENCH_ORDER=reverse runs the query passes in reverse
     // name order — the order-independence check: shared-frame build costs
