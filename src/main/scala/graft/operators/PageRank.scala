@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the graph-centrality
+  * scorer a curation pipeline runs on the document/embedding KNN graph
+  * to pick REPRESENTATIVE samples (coreset selection: high-centrality
+  * nodes sit in dense similarity neighbourhoods; unusual documents score
+  * low). The reference has no graph surface (its dedup stops at pairwise
+  * audits); engine-original, standard power iteration.
+  *
+  * Cross-engine exactness (the q71/q83 fixed-point discipline, taken all
+  * the way): ranks live ENTIRELY in an integer ×1e9 domain — every node
+  * starts at 1e9; a node's per-edge contribution is `rank_fp div
+  * out_degree` (floor division); the damped update is
+  * `0.15·1e9 + (85 · Σ contributions) div 100`, all BIGINT arithmetic.
+  * No float ever enters the loop, so partition order provably cannot
+  * move a single bit, and a SQL oracle unrolls the loop with `//` to
+  * the same integers. Iteration count is FIXED (not convergence-tested)
+  * for the same reason as kmeansCentroids: an external oracle must be
+  * able to unroll it.
+  *
+  * Dangling nodes (out-degree 0) keep the teleport mass only — their
+  * rank mass is not redistributed (the simple formulation; total mass
+  * decays slightly, identical in both engines).
+  *
+  * Scale shape per iteration: one shuffle join of edges against the
+  * |V|-row rank frame on src, one keyed sum on dst with map-side
+  * partials, one left join back to the node universe. Degrees are
+  * computed ONCE before the loop. Nothing collects to the driver; the
+  * per-round lineage is cut so the unrolled plan stays constant-size
+  * (the ConnectedComponents discipline).
+  */
+object PageRank {
+
+  val Scale = 1000000000L // 1e9 fixed-point domain
+  val TeleportFp = 150000000L // 0.15 × Scale
+  val DampNum = 85L // 0.85 as 85/100 in integer arithmetic
+
+  /** Rank every node of `nodes` (first column = node id) over directed
+    * `edges` (first two columns = src, dst).
+    *
+    * @return (<nodes' id column>, rank_fp: long ×1e9) — callers divide
+    *         by 1e9 for presentation.
+    */
+  def ranksFp(edges: DataFrame, nodes: DataFrame, iterations: Int = 3)
+      : DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "fixed iteration count must stay oracle-unrollable")
+    val idCol = nodes.columns.head
+    val Array(srcCol, dstCol, _*) = edges.columns
+    val e = edges.select(col(srcCol).as("pr_src"), col(dstCol).as("pr_dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("pr_src").agg(count(lit(1)).as("pr_deg"))
+    val universe = nodes.select(col(idCol).as("pr_id")).distinct()
+    var rank = universe.withColumn("pr_fp", lit(Scale))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(rank.withColumnRenamed("pr_id", "pr_src"), "pr_src")
+        .join(deg, "pr_src")
+        .select(col("pr_dst"), expr("pr_fp div pr_deg").as("pr_contrib"))
+        .groupBy("pr_dst").agg(sum(col("pr_contrib")).as("pr_mass"))
+      // lineage cut per round (localCheckpoint): the loop joins the rank
+      // frame it just produced, and an uncut plan grows per iteration
+      rank = universe
+        .join(contribs.withColumnRenamed("pr_dst", "pr_id"), Seq("pr_id"), "left")
+        .select(col("pr_id"),
+          (lit(TeleportFp) +
+            expr(s"($DampNum * coalesce(pr_mass, CAST(0 AS BIGINT))) div 100"))
+            .as("pr_fp"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    rank.select(col("pr_id").as(idCol), col("pr_fp").as("rank_fp"))
+  }
+}

@@ -144,6 +144,42 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"q96's two windows must reuse ONE user_id exchange, found $userExchanges:\n$p96")
   }
 
+  test("round-8 queries keep their scale shapes: broadcast total, aggregate-first explode") {
+    // q102: the 1-row corpus total must arrive as a broadcast nested-
+    // loop join — a shuffled cartesian here re-shuffles the whole
+    // per-(source,lang) frame for one scalar
+    val q102 = queries.QueryRegistry.byName("q102_domain_mix").run(spark, dir)
+    q102.collect()
+    val p102 = q102.queryExecution.executedPlan.toString
+    assert(p102.contains("BroadcastNestedLoopJoin"),
+      s"q102 corpus total must broadcast:\n$p102")
+    // q100: the char-pair explode must sit ABOVE the token-frequency
+    // aggregate (amplifying the vocabulary, not the corpus): the plan
+    // must aggregate on tok before any Generate of the pair explode
+    val q100 = queries.QueryRegistry.byName("q100_bpe_pair_stats").run(spark, dir)
+    q100.collect()
+    val lines100 = q100.queryExecution.executedPlan.toString.split("\n")
+    val genIdx = lines100.indexWhere(l => l.contains("Generate") &&
+      l.contains("sequence"))
+    val aggIdx = lines100.lastIndexWhere(l => l.contains("HashAggregate") &&
+      l.contains("tok"))
+    assert(genIdx >= 0 && aggIdx >= 0 && aggIdx > genIdx,
+      // executedPlan prints top-down: the explode (Generate) consumes the
+      // aggregate when the aggregate appears BELOW it in the text
+      s"q100's pair explode must consume the token-frequency aggregate:\n" +
+        lines100.mkString("\n"))
+    // q103: centroid assignment must broadcast (16 rows), and the
+    // within-list self-join must not be a cartesian
+    val q103 = queries.QueryRegistry.byName("q103_knn_graph").run(spark, dir)
+    q103.collect()
+    val p103 = q103.queryExecution.executedPlan.toString
+    assert(p103.contains("BroadcastNestedLoopJoin") ||
+      p103.contains("BroadcastHashJoin"),
+      s"q103 centroids must broadcast:\n$p103")
+    assert(!p103.contains("CartesianProduct"),
+      s"q103's within-list join must key on list_id, not cartesian:\n$p103")
+  }
+
   test("topKCosine refuses an unbounded query side (100 TB guard)") {
     val emb = Tables.table(spark, dir, "embeddings")
     val ex = intercept[IllegalArgumentException] {
