@@ -28,9 +28,19 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: one shuffle join of edges against the
   * |V|-row rank frame on src, one keyed sum on dst with map-side
   * partials, one left join back to the node universe. Degrees are
-  * computed ONCE before the loop. Nothing collects to the driver; the
-  * per-round lineage is cut so the unrolled plan stays constant-size
-  * (the ConnectedComponents discipline).
+  * computed ONCE before the loop. Nothing collects to the driver.
+  *
+  * The loop is fully LAZY — one job at the caller's action, no
+  * per-round materialization. That differs deliberately from the
+  * ConnectedComponents discipline (eager per-round lineage cuts): CC's
+  * pointer jump SELF-joins each round's output, doubling the plan per
+  * round (exponential), and its round count is data-dependent. Here no
+  * frame joins itself, so plan depth grows LINEARLY with the fixed
+  * iteration count, which the `iterations ≤ 20` cap bounds — analysis
+  * stays cheap and Spark pipelines the whole power iteration into one
+  * job. The edge frame is consumed `iterations`+1 times inside that
+  * job: PASS A PERSISTED EDGE FRAME (as q104 does with its shared KNN
+  * frame) unless recomputing the edge lineage per round is acceptable.
   */
 object PageRank {
 
@@ -51,7 +61,6 @@ object PageRank {
     val idCol = nodes.columns.head
     val Array(srcCol, dstCol, _*) = edges.columns
     val e = edges.select(col(srcCol).as("pr_src"), col(dstCol).as("pr_dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("pr_src").agg(count(lit(1)).as("pr_deg"))
     val universe = nodes.select(col(idCol).as("pr_id")).distinct()
     var rank = universe.withColumn("pr_fp", lit(Scale))
@@ -61,17 +70,13 @@ object PageRank {
         .join(deg, "pr_src")
         .select(col("pr_dst"), expr("pr_fp div pr_deg").as("pr_contrib"))
         .groupBy("pr_dst").agg(sum(col("pr_contrib")).as("pr_mass"))
-      // lineage cut per round (localCheckpoint): the loop joins the rank
-      // frame it just produced, and an uncut plan grows per iteration
       rank = universe
         .join(contribs.withColumnRenamed("pr_dst", "pr_id"), Seq("pr_id"), "left")
         .select(col("pr_id"),
           (lit(TeleportFp) +
             expr(s"($DampNum * coalesce(pr_mass, CAST(0 AS BIGINT))) div 100"))
             .as("pr_fp"))
-        .localCheckpoint()
     }
-    e.unpersist(blocking = false)
     rank.select(col("pr_id").as(idCol), col("pr_fp").as("rank_fp"))
   }
 }

@@ -177,6 +177,90 @@ object WindowQueries {
               |  ON p.user_id = c.user_id
               |  AND c.event_type = 'click' AND p.event_type = 'purchase'
               |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL ${graft.streaming.StreamingAnalytics.DefaultJoinWindowMinutes} MINUTE
-              |ORDER BY purchase_id, click_id""".stripMargin))
+              |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // EXT — time-spine gap fill with forward fill: resample each user's
+    // event stream onto a complete hourly spine (missing hours appear
+    // with n_events = 0) and carry the last observed hourly value
+    // forward — the dense-time-series build every monitoring/feature
+    // pipeline runs before a model sees the data. The spine bounds come
+    // from a per-user aggregate (one keyed pass), the hourly rollup is
+    // one keyed aggregation, and the fill is one ordered window per
+    // user — no self-joins, no per-hour scans. Report subset
+    // (user_id < 50) keeps the entry bench-cheap; the shape is
+    // entity-partitioned and scales with |users| · |hours|.
+    EngineQuery("q105_gap_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            moneySum(col("value")).as("sum_value"))
+        val spine = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        val w = Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"),
+            col("hour").cast("timestamp_ntz").as("hour"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("sum_value"),
+            last(col("sum_value"), ignoreNulls = true).over(w)
+              .as("filled_value"))
+          .orderBy("user_id", "hour")
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+             |hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS hour,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |  FROM ev GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(date_trunc('hour', mn),
+             |      date_trunc('hour', mx), INTERVAL 1 HOUR)) AS hour
+             |  FROM (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx
+             |        FROM ev GROUP BY 1) r)
+             |SELECT s.user_id, s.hour,
+             |  COALESCE(h.n_events, 0) AS n_events, h.sum_value,
+             |  last_value(h.sum_value IGNORE NULLS) OVER (
+             |    PARTITION BY s.user_id ORDER BY s.hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+             |FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+             |ORDER BY user_id, hour""".stripMargin)),
+
+    // EXT — OHLC downsampling (candlestick resample): per (event_type,
+    // hour) the opening/closing value by event time plus high/low and
+    // volume — the standard numeric-stream compaction. Open/close are
+    // SELECTIONS (min_by/max_by on the (ts, event_id) order key), not
+    // arithmetic, so doubles pass through exactly; volume uses the
+    // exact decimal sum. One keyed aggregation, map-side partials.
+    EngineQuery("q106_ohlc_resample",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("volume"))
+        .select(col("event_type"),
+          col("hour").cast("timestamp_ntz").as("hour"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_events"), col("volume"))
+        .orderBy("event_type", "hour"),
+      Some("""SELECT event_type, date_trunc('hour', ts) AS hour,
+             |  first(value ORDER BY ts, event_id) AS open,
+             |  MAX(value) AS high, MIN(value) AS low,
+             |  last(value ORDER BY ts, event_id) AS close,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+             |FROM events GROUP BY 1, 2
+             |ORDER BY event_type, hour""".stripMargin))
   )
 }
