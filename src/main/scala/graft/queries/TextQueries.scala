@@ -966,7 +966,54 @@ object TextQueries {
               |      / 4294967295.0 < 0.9
               |    THEN 'train' ELSE 'val' END AS split
               |FROM cc_labels
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // EXT — fuzzy entity matching (record linkage): customer-name pairs
+    // within edit distance 1, found SymSpell-style — each name buckets
+    // under itself plus its single-character deletions, candidates are
+    // bucket collisions, and the (codegen'd) levenshtein verifies
+    // candidates ONLY. The deletion neighbourhood covers every
+    // distance-1 pair (deletion/insertion pairs share the shorter
+    // string's key; substitution pairs share the deletion at the edited
+    // position), so this is the all-pairs-free scale path: work is
+    // |entities|·(len+1) bucket rows + |candidates| verifications,
+    // never the |entities|² cross join an all-pairs levenshtein would
+    // cost at warehouse scale.
+    EngineQuery("q107_entity_fuzzy_match",
+      (s, dir) => {
+        val cust = Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        val variants = cust
+          .select(col("c_custkey"), col("c_name"),
+            explode(sequence(lit(0), length(col("c_name")))).as("i"))
+          .select(col("c_custkey"), col("c_name"),
+            when(col("i") === 0, col("c_name"))
+              .otherwise(concat(expr("substring(c_name, 1, i - 1)"),
+                expr("substring(c_name, i + 1, length(c_name))"))).as("key"))
+        variants.select(col("key"), col("c_custkey").as("key_a"),
+            col("c_name").as("name_a"))
+          .join(variants.select(col("key"), col("c_custkey").as("key_b"),
+            col("c_name").as("name_b")), Seq("key"))
+          .filter(col("key_a") < col("key_b"))
+          .select("key_a", "key_b", "name_a", "name_b").distinct()
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .orderBy("key_a", "key_b")
+      },
+      Some("""WITH vars AS (
+             |  SELECT c_custkey, c_name,
+             |    CASE WHEN i = 0 THEN c_name
+             |      ELSE substr(c_name, 1, CAST(i AS INT) - 1) ||
+             |        substr(c_name, CAST(i AS INT) + 1, length(c_name)) END AS key
+             |  FROM customer CROSS JOIN (SELECT unnest(range(0, 64)) AS i) pos
+             |  WHERE i <= length(c_name)),
+             |cand AS (
+             |  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             |    a.c_name AS name_a, b.c_name AS name_b
+             |  FROM vars a JOIN vars b ON b.key = a.key
+             |    AND a.c_custkey < b.c_custkey)
+             |SELECT key_a, key_b, name_a, name_b
+             |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+             |ORDER BY key_a, key_b""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
