@@ -279,6 +279,45 @@ object SimilarityQueries {
               |FROM n JOIN r3 r ON r.id = n.vec_id
               |ORDER BY n.vec_id""".stripMargin)),
 
+    // EXT — mutual-KNN clustering: keep only RECIPROCATED KNN edges
+    // (u lists v AND v lists u — the standard robustness filter: hubs
+    // attract many one-directional edges, mutual edges mark genuinely
+    // close pairs) and label connected components — embedding-space
+    // near-dup clustering, the vector-modality twin of q75's text
+    // clusters. Mutual filter is one semi-join of the shared KNN frame
+    // against its own reversal; clustering reuses the
+    // ConnectedComponents pointer-jump loop. Oracle: recursive
+    // label-flood CTE (the q75 pattern) over the same mutual edges.
+    EngineQuery("q108_mutual_knn_clusters",
+      (s, dir) => {
+        val knn = knnShared(s, dir).select(col("vec_id"), col("nbr_id"))
+        val mutual = knn.join(
+          knn.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
+          Seq("vec_id", "nbr_id"), "left_semi")
+        graft.operators.ConnectedComponents.dupClusters(
+            preparedShared(s, dir).select("vec_id"), mutual)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |reach AS (
+              |  SELECT vec_id AS id, vec_id AS label FROM n
+              |  UNION
+              |  SELECT m.dst AS id, r.label
+              |  FROM reach r JOIN mutual m ON m.src = r.id),
+              |labels AS (
+              |  SELECT id AS vec_id, MIN(label) AS cluster_id
+              |  FROM reach GROUP BY id),
+              |sizes AS (
+              |  SELECT cluster_id, COUNT(*) AS cluster_size
+              |  FROM labels GROUP BY 1)
+              |SELECT vec_id, cluster_id, cluster_size
+              |FROM labels JOIN sizes USING (cluster_id)
+              |ORDER BY vec_id""".stripMargin)),
+
     // Q78 — int8 scalar quantization with reconstruction diagnostics:
     // the vector-compression stage of an ANN index (see
     // Similarity.scalarQuantize for the float discipline).
