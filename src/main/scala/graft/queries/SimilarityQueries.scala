@@ -55,6 +55,24 @@ object SimilarityQueries {
       Similarity.knnGraphIvf(preparedShared(s, dir), k = 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared mutual-KNN cluster labeling per (session, dir) — the
+    * TextQueries.sharedLabels precedent: the ConnectedComponents loop's
+    * per-round fixed cost (3 shuffles + 1 action per round) dwarfs its
+    * data at test SF and a real run labels ONCE and fans out. |V| rows;
+    * [[reset]] evicts. */
+  private val sharedMutualClusters = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def mutualClustersShared(s: SparkSession, dir: String): DataFrame =
+    sharedMutualClusters.getOrElseUpdate((s, dir), {
+      val knn = knnShared(s, dir).select(col("vec_id"), col("nbr_id"))
+      val mutual = knn.join(
+        knn.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
+        Seq("vec_id", "nbr_id"), "left_semi")
+      graft.operators.ConnectedComponents.dupClusters(
+          preparedShared(s, dir).select("vec_id"), mutual)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Unpersist + evict the shared prepared frames for a session (the
     * TextQueries.reset / OperatorQueries.reset teardown contract). */
   def reset(s: SparkSession): Unit = {
@@ -64,6 +82,8 @@ object SimilarityQueries {
       sharedKmeans.remove(k).foreach(_.unpersist(blocking = false)))
     sharedKnn.keys.filter(_._1 eq s).foreach(k =>
       sharedKnn.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedMutualClusters.keys.filter(_._1 eq s).foreach(k =>
+      sharedMutualClusters.remove(k).foreach(_.unpersist(blocking = false)))
   }
 
   /** Shared oracle CTEs (double-cast vectors + norms), consumed by
@@ -289,15 +309,7 @@ object SimilarityQueries {
     // ConnectedComponents pointer-jump loop. Oracle: recursive
     // label-flood CTE (the q75 pattern) over the same mutual edges.
     EngineQuery("q108_mutual_knn_clusters",
-      (s, dir) => {
-        val knn = knnShared(s, dir).select(col("vec_id"), col("nbr_id"))
-        val mutual = knn.join(
-          knn.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
-          Seq("vec_id", "nbr_id"), "left_semi")
-        graft.operators.ConnectedComponents.dupClusters(
-            preparedShared(s, dir).select("vec_id"), mutual)
-          .orderBy("vec_id")
-      },
+      (s, dir) => mutualClustersShared(s, dir).orderBy("vec_id"),
       Some(s"""WITH RECURSIVE $prepSql,
               |$knnCteSql,
               |mutual AS (
