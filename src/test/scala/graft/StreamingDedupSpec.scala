@@ -86,4 +86,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     // unrelated docs never pair
     assert(!byPair.contains((0L, 3L)) && !byPair.contains((1L, 3L)))
   }
+
+  test("state beans survive the RocksDB state store (production provider)") {
+    // the cluster-deployment state path: RocksDB serializes state rows
+    // through the same encoders but persists them off-heap/on-disk —
+    // a bean that only works in the default in-memory provider would
+    // fail here, at the provider swap a real deployment makes
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[DocEvent]
+      val q = StreamingDedup.exactVerdicts(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("exact_rocks_out")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sdrocks").toString)
+        .start()
+      input.addData(DocEvent(1L, base), DocEvent(2L, other))
+      q.processAllAvailable()
+      input.addData(DocEvent(3L, base)) // duplicate vs RocksDB state
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("exact_rocks_out").as[ExactVerdict].collect()
+        .map(v => v.doc_id -> ((v.keeper_id, v.is_duplicate))).toMap
+      assert(got === Map(1L -> ((1L, false)), 2L -> ((2L, false)),
+        3L -> ((1L, true))))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
