@@ -74,6 +74,68 @@ object WarehouseWriter {
       .drop("__rk", "__src")
   }
 
+  /** Small-file report for a partitioned warehouse directory: per
+    * partition directory, the data-file count and total bytes — the
+    * input to a compaction decision. Driver-side LISTING only (the
+    * same class of metadata walk `expirePartitions` does); no data is
+    * read. */
+  def fileReport(spark: SparkSession, path: String)
+      : Seq[(String, Int, Long)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(path)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        (d.getPath.getName, files.length, files.map(_.getLen).sum)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Compact the small files of selected partitions — the maintenance
+    * job every streaming-append warehouse needs: micro-batch appends
+    * leave one file per trigger per partition, and at 100 TB a scan's
+    * task count (and the namenode's file count) is driven by exactly
+    * this. Rewrites each named partition's data as
+    * `max(1, ceil(bytes / targetFileBytes))` files via a partition-
+    * local coalesce (`repartition` on the partition value ranges only
+    * the rewritten dates; other partitions are untouched — the same
+    * directory-level granularity as `expirePartitions`), writes to the
+    * same layout, and swaps directories atomically-per-partition
+    * (write temp → delete old → rename). The cluster-sort inside the
+    * rewrite re-tightens parquet row-group min/max stats on
+    * (tenant_id, event_type) — compaction restores BOTH the file-count
+    * and the data-skipping properties of a fresh [[write]].
+    *
+    * Dynamic-overwrite alternative (`partitionOverwriteMode=dynamic`)
+    * trades the explicit swap for engine-managed commit; the explicit
+    * form is used here so the swap is observable and testable without
+    * catalog support. Returns (partition, filesBefore, filesAfter). */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitions: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[(String, Int, Int)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val report = fileReport(spark, path).filter(r => partitions.contains(r._1))
+    report.map { case (part, nBefore, bytes) =>
+      val target = math.max(1L,
+        math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+      val src = new Path(path, part)
+      val tmp = new Path(path, s".${part}_compact_tmp")
+      spark.read.parquet(src.toString)
+        .repartition(target)
+        .sortWithinPartitions("tenant_id", "event_type")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(src, true)
+      fs.rename(tmp, src)
+      val nAfter = fs.listStatus(src).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      (part, nBefore, nAfter)
+    }
+  }
+
   /** Partition expiration (README.md:88 — 1-year default): drop partition
     * directories strictly older than the cutoff. Returns dropped dates. */
   def expirePartitions(spark: SparkSession, path: String,

@@ -113,4 +113,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(WarehouseWriter.expirePartitions(spark, out,
       LocalDate.parse("2025-01-01")).isEmpty)
   }
+
+  test("compaction collapses streaming-append small files; data and other partitions untouched") {
+    val out = Files.createTempDirectory("graft-compact").toString
+    // 5 micro-batch appends → ≥5 files per partition (the streaming
+    // sink's natural small-file accumulation)
+    (1 to 5).foreach { i =>
+      val ev = IngestPipeline.run(SyntheticData.envelopes(spark, 200, seed = i), cfg).events
+      WarehouseWriter.write(ev, out)
+    }
+    val before = WarehouseWriter.fileReport(spark, out)
+    assert(before.nonEmpty && before.forall(_._2 >= 5),
+      s"each partition must hold ≥5 append files: $before")
+    val all = WarehouseWriter.read(spark, out)
+    val beforeRows = all.collect().map(_.toString).sorted
+    // compact the FIRST partition only
+    val target = before.head._1
+    val res = WarehouseWriter.compactPartitions(spark, out, Seq(target),
+      targetFileBytes = Long.MaxValue)
+    assert(res.map(_._1) === Seq(target))
+    assert(res.head._3 === 1,
+      s"tiny partition must compact to ONE file, got ${res.head._3}")
+    assert(res.head._2 >= 5)
+    val after = WarehouseWriter.fileReport(spark, out)
+    // untouched partitions keep their file counts
+    assert(after.filter(_._1 != target) === before.filter(_._1 != target))
+    // the data is byte-for-byte the same rows
+    val afterRows = WarehouseWriter.read(spark, out)
+      .collect().map(_.toString).sorted
+    assert(afterRows.toSeq === beforeRows.toSeq)
+  }
 }

@@ -180,6 +180,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"q103's within-list join must key on list_id, not cartesian:\n$p103")
   }
 
+  test("runtime Bloom-filter pruning injects on a selective shuffle join") {
+    // the row-level analog of DPP: a selective dimension filter on a
+    // SHUFFLE join (too big to broadcast at 100 TB) should build a
+    // bloom filter from the dim keys and apply might_contain to the
+    // fact side BEFORE its shuffle — pruning rows, not just partitions.
+    // Size thresholds are scaled for test data; at warehouse scale the
+    // defaults (10 MB creation side) trigger on real dims. Spark plants
+    // the filter only when the dim side is filtered AND both sides
+    // shuffle — the conditions asserted here pin that the engine's
+    // fact⋈dim shapes stay inside them.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.table(spark, dir, "lineitem")
+      val dim = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"dim side must build a bloom filter:\n$plan")
+      assert(plan.contains("might_contain"),
+        s"fact side must probe the bloom filter before its shuffle:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("topKCosine refuses an unbounded query side (100 TB guard)") {
     val emb = Tables.table(spark, dir, "embeddings")
     val ex = intercept[IllegalArgumentException] {
