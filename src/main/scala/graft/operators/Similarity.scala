@@ -167,6 +167,47 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then inside each
+    * cluster prune every vector that sits within `threshold` cosine of
+    * a LOWER-ID member — the deterministic "keep first" variant of the
+    * paper's per-cluster epsilon-dedup. Exact all-pairs pruning is N²;
+    * blocking by nearest centroid bounds it to Σ|list|² exactly like
+    * [[knnGraphIvf]] (|list| ≈ N/nCentroids, nCentroids ∝ √N), at the
+    * cost of missing cross-list near-duplicates — the recall seam q84
+    * measures for the probe search applies unchanged.
+    *
+    * Scale shape: one broadcast centroid assignment, one shuffle of
+    * each side on list_id, per-list pairwise cosine inside the join,
+    * one keyed aggregation — no windows, nothing to the driver.
+    *
+    * @return (vec_id, list_id, n_close_lower, max_sim_lower, kept) —
+    *         one row per input vector; `kept=false` rows are the prune
+    *         set, `max_sim_lower` is null on kept rows
+    */
+  def semanticDedup(prep: DataFrame, threshold: Double,
+      nCentroids: Int = 16): DataFrame = {
+    val assigned = assignToLists(prep, seedCentroids(prep, nCentroids))
+      .drop("cent_cos")
+    val lower = assigned.select(col("vec_id").as("lo_id"),
+      col("v").as("lv"), col("nrm").as("lnrm"), col("list_id"))
+    val close = assigned.join(lower, Seq("list_id"))
+      .filter(col("lo_id") < col("vec_id"))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("lv")) / (col("nrm") * col("lnrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_close_lower"),
+        max(col("cos_sim")).as("max_sim_lower"))
+    assigned.select("vec_id", "list_id")
+      .join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("n_close_lower"), lit(0L)).as("n_close_lower"),
+        col("max_sim_lower"),
+        col("n_close_lower").isNull.as("kept"))
+  }
+
   /** Seed centroids for [[ivfTopK]]: the first `nCentroids` vectors of
     * the table itself (deterministic; [[kmeansCentroids]] refines). */
   def seedCentroids(prep: DataFrame, nCentroids: Int): DataFrame =

@@ -563,6 +563,137 @@ object CorpusQueries {
              |SELECT source, lang, n_docs, n_tokens, n_chars,
              |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
              |    AS token_share
-             |FROM per CROSS JOIN tot ORDER BY source, lang""".stripMargin))
+             |FROM per CROSS JOIN tot ORDER BY source, lang""".stripMargin)),
+
+    // EXT — Zipf-law fit per language: least-squares slope of
+    // ln(frequency) over ln(rank) for the top-200 tokens — the classic
+    // corpus-health diagnostic (natural text ≈ −1; machine-generated or
+    // boilerplate-heavy corpora drift off it). Float discipline: ranks
+    // and counts are integers, ln is fixed to 1e-6 granularity as a
+    // LONG (verified bit-identical JVM Math.log vs libm ln over
+    // 1..300000), all Σ are exact integer folds, and slope/intercept/r²
+    // are one deterministic double expression per language over those
+    // exact sums (the ×1e6 scaling cancels in the slope and r² ratios).
+    // Scale shape: the rank window runs over the AGGREGATED
+    // (lang, token) frame — vocab-scale, never token-scale — and is
+    // parallel across languages; everything after the top-200 filter is
+    // |langs|·200 rows.
+    EngineQuery("q109_zipf_fit",
+      (s, dir) => {
+        val occ = TextQueries.tokens(s, dir)
+          .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("tok"))
+        val ranked = occ.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 200)
+          .select(col("lang"),
+            round(log(col("rank").cast("double")) * 1e6).cast("long").as("xq"),
+            round(log(col("cnt").cast("double")) * 1e6).cast("long").as("yq"))
+        val fit = ranked.groupBy("lang").agg(
+          count(lit(1)).as("n_ranks"),
+          sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"),
+          sum(col("yq") * col("yq")).as("syy"))
+        val dn = col("n_ranks").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val cov = d("sxy") / dn - (d("sx") / dn) * (d("sy") / dn)
+        val varx = d("sxx") / dn - (d("sx") / dn) * (d("sx") / dn)
+        val vary = d("syy") / dn - (d("sy") / dn) * (d("sy") / dn)
+        fit.select(col("lang"), col("n_ranks"),
+            round(cov / varx, 6).as("zipf_slope"),
+            round((d("sy") / dn - (cov / varx) * (d("sx") / dn)) / 1e6, 6)
+              .as("zipf_intercept"),
+            round((cov * cov) / (varx * vary), 6).as("r2"))
+          .orderBy("lang")
+      },
+      Some("""WITH tk AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |occ AS (SELECT lang, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT lang,
+             |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+             |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+             |  FROM (
+             |    SELECT lang, cnt,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY cnt DESC, tok) AS rank
+             |    FROM occ) t
+             |  WHERE rank <= 200),
+             |fit AS (
+             |  SELECT lang, COUNT(*) AS n_ranks,
+             |    CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             |    CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             |    CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+             |    CAST(SUM(yq * yq) AS BIGINT) AS syy
+             |  FROM rk GROUP BY 1)
+             |SELECT lang, n_ranks,
+             |  round((CAST(sxy AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |      - (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |        * (CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE)))
+             |    / (CAST(sxx AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |      - (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |        * (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))), 6)
+             |    AS zipf_slope,
+             |  round((CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |    - ((CAST(sxy AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |        - (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |          * (CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE)))
+             |      / (CAST(sxx AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |        - (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |          * (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))))
+             |      * (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))) / 1000000.0, 6)
+             |    AS zipf_intercept,
+             |  round(((CAST(sxy AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |      - (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |        * (CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE)))
+             |    * (CAST(sxy AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |      - (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |        * (CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE))))
+             |    / ((CAST(sxx AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |      - (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |        * (CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE)))
+             |    * (CAST(syy AS DOUBLE) / CAST(n_ranks AS DOUBLE)
+             |      - (CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE))
+             |        * (CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE)))), 6)
+             |    AS r2
+             |FROM fit ORDER BY lang""".stripMargin)),
+
+    // EXT — document-length histogram per language: equi-width
+    // 256-char buckets (last bucket open-ended) with each bucket's
+    // share of its language — the length-distribution report every
+    // corpus curation pass starts from (truncation budgets, chunking
+    // geometry, outlier cut lines all read off it). Pure integer
+    // bucketing (floor division — no float in the key), one keyed
+    // aggregation; the per-language total arrives via a window over the
+    // |langs|·|buckets| aggregate frame.
+    EngineQuery("q110_length_histogram",
+      (s, dir) => {
+        val b = docs(s, dir)
+          .select(col("lang"),
+            least(floor(col("n_chars") / 256), lit(19L)).cast("long")
+              .as("bucket"))
+          .groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs"))
+        val wl = Window.partitionBy("lang")
+        b.withColumn("lang_docs", sum(col("n_docs")).over(wl))
+          .select(col("lang"), col("bucket"),
+            (col("bucket") * 256).as("lo_chars"), col("n_docs"),
+            round(col("n_docs").cast("double") /
+              col("lang_docs").cast("double"), 6).as("share"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang,
+             |    CAST(least(n_chars // 256, 19) AS BIGINT) AS bucket
+             |  FROM documents),
+             |h AS (
+             |  SELECT lang, bucket, COUNT(*) AS n_docs FROM b GROUP BY 1, 2)
+             |SELECT lang, bucket, CAST(bucket * 256 AS BIGINT) AS lo_chars,
+             |  n_docs,
+             |  round(CAST(n_docs AS DOUBLE) /
+             |    CAST(CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+             |      AS DOUBLE), 6) AS share
+             |FROM h ORDER BY lang, bucket""".stripMargin))
   )
 }

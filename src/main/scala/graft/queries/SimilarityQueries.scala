@@ -191,10 +191,11 @@ object SimilarityQueries {
     (sv +: (1 to 2).map(iter)).mkString(",\n")
   }
 
-  /** Oracle twin of Similarity.knnGraphIvf(k = 5) as a `knn (vec_id,
-    * nbr_id, cos_sim, rn)` CTE — shared by q103 and q104 so the two
-    * twins cannot drift. */
-  private val knnCteSql =
+  /** Oracle twin of Similarity.assignToLists(seedCentroids(16)) as an
+    * `assigned (vec_id, v, nrm, list_id)` CTE — the blocking stage
+    * shared by the KNN graph (q103/q104/q108) and semantic dedup
+    * (q111). */
+  private val assignedCteSql =
     """cents AS (
       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
       |  WHERE vec_id < 16),
@@ -205,8 +206,13 @@ object SimilarityQueries {
       |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
       |          c.cent_id) AS arn
       |    FROM n CROSS JOIN cents c) t
-      |  WHERE arn = 1),
-      |knn AS (
+      |  WHERE arn = 1)""".stripMargin
+
+  /** Oracle twin of Similarity.knnGraphIvf(k = 5) as a `knn (vec_id,
+    * nbr_id, cos_sim, rn)` CTE — shared by q103 and q104 so the two
+    * twins cannot drift. */
+  private val knnCteSql = assignedCteSql + ",\n" +
+    """knn AS (
       |  SELECT vec_id, nbr_id, cos_sim, rn FROM (
       |    SELECT a.vec_id, b.vec_id AS nbr_id,
       |      round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim,
@@ -329,6 +335,35 @@ object SimilarityQueries {
               |SELECT vec_id, cluster_id, cluster_size
               |FROM labels JOIN sizes USING (cluster_id)
               |ORDER BY vec_id""".stripMargin)),
+
+    // EXT — SemDeDup-style semantic deduplication (cluster, then prune
+    // within-cluster cosine near-duplicates, keep-lowest-id — see
+    // Similarity.semanticDedup for the blocking algebra and the paper
+    // cite). Threshold 0.30 sits in the meaningful band of the
+    // synthetic embedding space (top-1 neighbour cosine median ≈ 0.31,
+    // max ≈ 0.49 at sf0.01) so both branches of the keep decision are
+    // exercised; production corpora run the same operator at 0.9+.
+    EngineQuery("q111_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+          preparedShared(s, dir), threshold = 0.30)
+        .orderBy("vec_id"),
+      Some(s"""WITH $prepSql,
+              |$assignedCteSql,
+              |close AS (
+              |  SELECT a.vec_id, COUNT(*) AS n_close_lower,
+              |    MAX(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6))
+              |      AS max_sim_lower
+              |  FROM assigned a JOIN assigned b
+              |    ON b.list_id = a.list_id AND b.vec_id < a.vec_id
+              |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+              |    >= 0.30
+              |  GROUP BY 1)
+              |SELECT a.vec_id, a.list_id,
+              |  CAST(COALESCE(c.n_close_lower, 0) AS BIGINT) AS n_close_lower,
+              |  c.max_sim_lower,
+              |  c.vec_id IS NULL AS kept
+              |FROM assigned a LEFT JOIN close c ON c.vec_id = a.vec_id
+              |ORDER BY a.vec_id""".stripMargin)),
 
     // Q78 — int8 scalar quantization with reconstruction diagnostics:
     // the vector-compression stage of an ANN index (see

@@ -178,6 +178,14 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"q103 centroids must broadcast:\n$p103")
     assert(!p103.contains("CartesianProduct"),
       s"q103's within-list join must key on list_id, not cartesian:\n$p103")
+    // q111: same blocking contract as q103 — the semantic-dedup pair
+    // join must key on list_id (never all-pairs) with broadcast
+    // centroid assignment
+    val q111 = queries.QueryRegistry.byName("q111_semantic_dedup").run(spark, dir)
+    q111.collect()
+    val p111 = q111.queryExecution.executedPlan.toString
+    assert(!p111.contains("CartesianProduct"),
+      s"q111's within-list pair join must key on list_id, not cartesian:\n$p111")
   }
 
   test("runtime Bloom-filter pruning injects on a selective shuffle join") {

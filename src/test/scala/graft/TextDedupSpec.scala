@@ -295,4 +295,53 @@ class TextDedupSpec extends AnyFunSuite {
       assert(a === b, "kmeansCentroids is not deterministic")
     } finally prep.unpersist(blocking = false)
   }
+
+  test("semanticDedup prunes within-list near-duplicates, keep-lowest-id (q111)") {
+    // planted geometry: 3/4 duplicate 0/1 exactly; 2 is close to 0 but
+    // under the threshold; 5 is orthogonal to everything
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.7f, 0.3f, 0.0f)), // cos(2,0) = 0.919 < 0.99
+      (3L, Array(1.0f, 0.0f, 0.0f)), // dup of 0
+      (4L, Array(0.0f, 1.0f, 0.0f)), // dup of 1
+      (5L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(Similarity.prepared(emb),
+        threshold = 0.99, nCentroids = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size === 6, "one row per input vector")
+    assert(Seq(3L, 4L).forall(v => !out(v).getAs[Boolean]("kept")),
+      "exact duplicates of lower ids must be pruned")
+    assert(Seq(0L, 1L, 2L, 5L).forall(v => out(v).getAs[Boolean]("kept")),
+      "originals, sub-threshold neighbours and orthogonals stay")
+    assert(out(3L).getAs[Double]("max_sim_lower") === 1.0)
+    assert(out(5L).getAs[Long]("n_close_lower") === 0L)
+  }
+
+  test("semanticDedup invariants on real embeddings: partition, list-min kept, threshold-monotone") {
+    val prep = Similarity.prepared(
+      Tables.table(spark, "/root/testdata/sf0.001", "embeddings"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = prep.count()
+      val lo = Similarity.semanticDedup(prep, threshold = 0.25).collect()
+      val hi = Similarity.semanticDedup(prep, threshold = 0.40).collect()
+      assert(lo.length.toLong === n && hi.length.toLong === n,
+        "dedup report covers every vector exactly once")
+      // the lowest id of every list can have no lower list-mate
+      lo.groupBy(_.getAs[Long]("list_id")).foreach { case (_, rows) =>
+        val minRow = rows.minBy(_.getAs[Long]("vec_id"))
+        assert(minRow.getAs[Boolean]("kept"),
+          s"list-minimum ${minRow} must always be kept")
+      }
+      // raising the threshold only ever prunes FEWER vectors
+      def pruned(rows: Array[org.apache.spark.sql.Row]) =
+        rows.filter(!_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+      assert(pruned(hi).subsetOf(pruned(lo)),
+        "pruned set must shrink monotonically with the threshold")
+      assert(pruned(lo).nonEmpty,
+        "low threshold must prune something on real data (else the test is vacuous)")
+    } finally prep.unpersist(blocking = false)
+  }
 }
