@@ -82,6 +82,35 @@ object StreamingAnalytics {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"))
 
+  /** Streaming heavy hitters: per-tumbling-window Misra–Gries top-k
+    * sketch over a key column (trending/hot keys on a stream — the
+    * skew-detection and trending-items use the batch
+    * [[graft.operators.HeavyHitters]] documents, run incrementally).
+    * The sketch is a mergeable typed Aggregator, so the streaming
+    * engine folds each micro-batch map-side into O(k) state per open
+    * window and MERGES partials across batches — state is
+    * |open windows|·k counters, never |distinct keys|: the property
+    * that makes per-window top-k viable when the key space (users,
+    * URLs, tokens) is unbounded. Append mode + watermark emit each
+    * window once, finalized.
+    *
+    * Output: (hour_start, rank, item, min_count) — min_count is the MG
+    * lower bound; every key with true frequency > n/(k+1) in its
+    * window is guaranteed present (see the operator's scaladoc). */
+  def trendingKeys(events: DataFrame, keyCol: String = "user_id",
+      k: Int = 16, watermark: String = "2 hours"): DataFrame = {
+    val hh = udaf(graft.operators.HeavyHitters.sketch(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hh(col(keyCol).cast("string")).as("hits"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        posexplode(col("hits")))
+      .select(col("hour_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("item"), col("col.min_count").as("min_count"))
+  }
+
   /** Stream-stream interval join: attribute each 'purchase' to the same
     * user's 'click's in the preceding `joinWindow`. Both sides carry
     * watermarks AND the join condition bounds the event-time gap, so

@@ -144,4 +144,46 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch),
       "every finalized streaming session must equal its batch twin")
   }
+
+  test("streaming heavy hitters honour the Misra-Gries guarantee per window") {
+    val k = 16
+    val stream = StreamingAnalytics.eventsStream(spark, dir)
+    val agg = StreamingAnalytics.trendingKeys(stream, k = k,
+      watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("trending_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-hh").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sketched = spark.table("trending_out")
+      .as[(java.time.LocalDateTime, Long, String, Long)].collect()
+      .groupBy(_._1)
+      .map { case (w, rows) => w -> rows.map(r => r._3 -> r._4).toMap }
+    assert(sketched.nonEmpty, "watermark finalized no windows")
+    // exact per-window user counts from the batch table
+    val exact = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").cast("timestamp_ntz"),
+        col("user_id").cast("string"), col("c"))
+      .as[(java.time.LocalDateTime, String, Long)].collect()
+      .groupBy(_._1)
+      .map { case (w, rows) => w -> rows.map(r => r._2 -> r._3).toMap }
+    sketched.foreach { case (w, hits) =>
+      val truth = exact(w)
+      val n = truth.values.sum
+      val bound = n.toDouble / (k + 1)
+      assert(hits.size <= k, s"window $w emitted ${hits.size} > k rows")
+      hits.foreach { case (item, est) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(est <= t && est >= t - bound,
+          s"window $w item $item: estimate $est outside [${t - bound}, $t]")
+      }
+      truth.filter(_._2 > bound).keys.foreach(u =>
+        assert(hits.contains(u),
+          s"window $w: guaranteed heavy hitter $u missing from the sketch"))
+    }
+  }
 }
