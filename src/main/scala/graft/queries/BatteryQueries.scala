@@ -332,6 +332,62 @@ object BatteryQueries {
              |  lpad(p_brand, 12, '*') AS brand_padded,
              |  CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
              |  CAST(levenshtein(p_name, 'green widget') AS BIGINT) AS lev_to_green_widget
-             |FROM part ORDER BY p_partkey""".stripMargin))
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // EXT — MAD robust outliers: median / median-absolute-deviation
+    // per event type, outlier = |x − med| > 3·1.4826·MAD (the robust
+    // counterpart of q93's z-score — immune to the outliers it hunts,
+    // the standard robust scale rule; 1.4826 makes MAD consistent with
+    // σ under normality). Both medians are `percentile`/`quantile_cont`
+    // sort-and-interpolate selections (the q91 parity — no cross-row
+    // float fold, order-independent), the |types|-row stats broadcast
+    // back, and the outlier predicate is a scan-local comparison of
+    // doubles built by the IDENTICAL op sequence in both engines
+    // ((3.0·1.4826)·mad, left-assoc in each). Two keyed aggregations +
+    // one broadcast join — nothing driver-side, nothing all-pairs.
+    EngineQuery("q112_mad_outliers",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("value"))
+        val med = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        ev.join(broadcast(med), Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(abs(col("value") - col("med")) >
+                lit(3.0) * lit(1.4826) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            round(max(col("med")), 6).as("med"),
+            round(max(col("mad")), 6).as("mad"))
+          .select(col("event_type"), col("n_events"), col("med"),
+            col("mad"), col("n_outliers"),
+            round(col("n_outliers").cast("double") /
+              col("n_events").cast("double"), 6).as("outlier_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |mad AS (
+             |  SELECT e.event_type,
+             |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+             |SELECT e.event_type, COUNT(*) AS n_events,
+             |  round(MAX(m.med), 6) AS med, round(MAX(d.mad), 6) AS mad,
+             |  CAST(SUM(CASE WHEN abs(e.value - m.med) >
+             |    3.0 * 1.4826 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  round(CAST(SUM(CASE WHEN abs(e.value - m.med) >
+             |    3.0 * 1.4826 * d.mad THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+             |FROM events e JOIN med m USING (event_type)
+             |JOIN mad d USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -694,6 +694,77 @@ object CorpusQueries {
              |  round(CAST(n_docs AS DOUBLE) /
              |    CAST(CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
              |      AS DOUBLE), 6) AS share
-             |FROM h ORDER BY lang, bucket""".stripMargin))
+             |FROM h ORDER BY lang, bucket""".stripMargin)),
+
+    // EXT — rule-based quality filtering (the Gopher/C4-style document
+    // gate a curation pipeline runs before dedup): per-document boolean
+    // rules — word-count bounds, mean word length in [3, 10], ≥ 2
+    // distinct stopwords present, distinct-token ratio ≥ 0.4 (the
+    // repetition gate) — and the composite keep verdict. Every rule is
+    // INTEGER algebra (sum_len BETWEEN 3n AND 10n, 10·distinct ≥ 4·n)
+    // so no float comparison can straddle an engine boundary; the two
+    // ratio columns are display-only rounds. Pure per-document HOF
+    // expressions over the scan (transform/filter/aggregate are
+    // codegen'd) — zero shuffles at any SF; thresholds chosen so each
+    // rule splits the synthetic corpus (word count passes 277/500,
+    // stopword and repetition gates ~40% each at sf0.01).
+    EngineQuery("q113_quality_rules",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            aggregate(transform(col("toks"), t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("sum_len"),
+            size(array_distinct(filter(col("toks"),
+              t => t.isin(stop: _*)))).cast("long").as("n_stop_distinct"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("n_words"),
+            round(col("sum_len").cast("double") /
+              col("n_words").cast("double"), 6).as("mean_word_len"),
+            col("n_stop_distinct"),
+            round(col("n_distinct").cast("double") /
+              col("n_words").cast("double"), 6).as("distinct_ratio"),
+            (col("n_words") >= 50 && col("n_words") <= 100000)
+              .as("r_word_count"),
+            (col("sum_len") >= col("n_words") * 3 &&
+              col("sum_len") <= col("n_words") * 10).as("r_mean_len"),
+            (col("n_stop_distinct") >= 2).as("r_stopwords"),
+            (col("n_distinct") * 10 >= col("n_words") * 4)
+              .as("r_repetition"))
+          .withColumn("pass",
+            col("r_word_count") && col("r_mean_len") &&
+              col("r_stopwords") && col("r_repetition"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(list_aggregate(list_transform(toks, x -> len(x)),
+             |      'sum') AS BIGINT) AS sum_len,
+             |    CAST(len(list_distinct(list_filter(toks, x -> x IN
+             |      ('the','a','of','to','and','in','is','that'))))
+             |      AS BIGINT) AS n_stop_distinct,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+             |  FROM t)
+             |SELECT doc_id, n_words,
+             |  round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             |    AS mean_word_len,
+             |  n_stop_distinct,
+             |  round(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             |    AS distinct_ratio,
+             |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+             |  sum_len BETWEEN n_words * 3 AND n_words * 10 AS r_mean_len,
+             |  n_stop_distinct >= 2 AS r_stopwords,
+             |  n_distinct * 10 >= n_words * 4 AS r_repetition,
+             |  (n_words BETWEEN 50 AND 100000)
+             |    AND (sum_len BETWEEN n_words * 3 AND n_words * 10)
+             |    AND n_stop_distinct >= 2
+             |    AND n_distinct * 10 >= n_words * 4 AS pass
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 }

@@ -55,6 +55,22 @@ object SimilarityQueries {
       Similarity.knnGraphIvf(preparedShared(s, dir), k = 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared RECIPROCATED-edge frame per (session, dir): the
+    * directed mutual-KNN edge set (u→v kept iff v→u also ranks) —
+    * symmetric by construction, |V|·k rows max. Consumed by the
+    * cluster labeling (q108) and the triangle census (q114);
+    * [[reset]] evicts. */
+  private val sharedMutual = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def mutualShared(s: SparkSession, dir: String): DataFrame =
+    sharedMutual.getOrElseUpdate((s, dir), {
+      val knn = knnShared(s, dir).select(col("vec_id"), col("nbr_id"))
+      knn.join(
+          knn.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
+          Seq("vec_id", "nbr_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** One shared mutual-KNN cluster labeling per (session, dir) — the
     * TextQueries.sharedLabels precedent: the ConnectedComponents loop's
     * per-round fixed cost (3 shuffles + 1 action per round) dwarfs its
@@ -63,15 +79,10 @@ object SimilarityQueries {
   private val sharedMutualClusters = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def mutualClustersShared(s: SparkSession, dir: String): DataFrame =
-    sharedMutualClusters.getOrElseUpdate((s, dir), {
-      val knn = knnShared(s, dir).select(col("vec_id"), col("nbr_id"))
-      val mutual = knn.join(
-        knn.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
-        Seq("vec_id", "nbr_id"), "left_semi")
+    sharedMutualClusters.getOrElseUpdate((s, dir),
       graft.operators.ConnectedComponents.dupClusters(
-          preparedShared(s, dir).select("vec_id"), mutual)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+          preparedShared(s, dir).select("vec_id"), mutualShared(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Unpersist + evict the shared prepared frames for a session (the
     * TextQueries.reset / OperatorQueries.reset teardown contract). */
@@ -82,6 +93,8 @@ object SimilarityQueries {
       sharedKmeans.remove(k).foreach(_.unpersist(blocking = false)))
     sharedKnn.keys.filter(_._1 eq s).foreach(k =>
       sharedKnn.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedMutual.keys.filter(_._1 eq s).foreach(k =>
+      sharedMutual.remove(k).foreach(_.unpersist(blocking = false)))
     sharedMutualClusters.keys.filter(_._1 eq s).foreach(k =>
       sharedMutualClusters.remove(k).foreach(_.unpersist(blocking = false)))
   }
@@ -335,6 +348,53 @@ object SimilarityQueries {
               |SELECT vec_id, cluster_id, cluster_size
               |FROM labels JOIN sizes USING (cluster_id)
               |ORDER BY vec_id""".stripMargin)),
+
+    // EXT — triangle census / local clustering coefficient over the
+    // mutual-KNN graph: per-vertex triangle count and
+    // lcc = 2·tri / (deg·(deg−1)) — the neighbourhood-density signal
+    // that separates tight near-dup cliques (lcc → 1) from chain-like
+    // borderline matches (lcc → 0), the standard refinement on top of
+    // q108's components. Enumeration is the ordered-wedge join: each
+    // triangle a<b<c materializes exactly once as wedge (a;b,c) +
+    // edge-set membership semi-join. Mutual degrees are ≤ k, so wedge
+    // volume is bounded by |V|·k(k−1)/2 and every join shuffles on
+    // vertex keys — never all-pairs, no driver state, survives 100×.
+    EngineQuery("q114_knn_triangles",
+      (s, dir) => graft.operators.Triangles.census(
+          preparedShared(s, dir).select(col("vec_id").as("id")),
+          mutualShared(s, dir).select(col("vec_id").as("src"),
+            col("nbr_id").as("dst")))
+        .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
+          col("lcc"))
+        .orderBy("vec_id"),
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |und AS (SELECT src AS a, dst AS b FROM mutual WHERE src < dst),
+              |tri AS (
+              |  SELECT e1.a, e1.b, e2.b AS c
+              |  FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+              |  WHERE EXISTS (SELECT 1 FROM und e3
+              |                WHERE e3.a = e1.b AND e3.b = e2.b)),
+              |tv AS (
+              |  SELECT v AS vec_id, COUNT(*) AS n_tri FROM (
+              |    SELECT a AS v FROM tri
+              |    UNION ALL SELECT b FROM tri
+              |    UNION ALL SELECT c FROM tri) x GROUP BY 1),
+              |deg AS (
+              |  SELECT src AS vec_id, COUNT(*) AS deg FROM mutual GROUP BY 1)
+              |SELECT n.vec_id,
+              |  CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+              |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+              |  CASE WHEN COALESCE(d.deg, 0) >= 2
+              |    THEN round(2.0 * COALESCE(t.n_tri, 0) /
+              |      CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+              |    ELSE 0.0 END AS lcc
+              |FROM n LEFT JOIN deg d ON d.vec_id = n.vec_id
+              |LEFT JOIN tv t ON t.vec_id = n.vec_id
+              |ORDER BY n.vec_id""".stripMargin)),
 
     // EXT — SemDeDup-style semantic deduplication (cluster, then prune
     // within-cluster cosine near-duplicates, keep-lowest-id — see

@@ -1019,7 +1019,46 @@ object TextQueries {
              |    AND a.c_custkey < b.c_custkey)
              |SELECT key_a, key_b, name_a, name_b
              |FROM cand WHERE levenshtein(name_a, name_b) <= 1
-             |ORDER BY key_a, key_b""".stripMargin))
+             |ORDER BY key_a, key_b""".stripMargin)),
+
+    // EXT — duplicate-cluster size histogram: the dedup observability
+    // report (how much of the corpus sits in clusters of size 1, 2,
+    // 3, … — the number a curation run quotes as "duplication factor").
+    // Reuses the SHARED q75 labels, so steady-state cost is two keyed
+    // aggregations over |docs| then |clusters| rows; the corpus-total
+    // window runs over the |distinct sizes|-row aggregate frame only
+    // (the q110 discipline). The fraction denominator is cast BIGINT →
+    // DOUBLE on both sides (DuckDB window SUM promotes to HUGEINT).
+    EngineQuery("q115_cluster_size_histogram",
+      (s, dir) => {
+        val sizes = dupClusterLabels(s, dir)
+          .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        val h = sizes.groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        h.withColumn("total_docs",
+            sum(col("n_docs")).over(Window.partitionBy()))
+          .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+            round(col("n_docs").cast("double") /
+              col("total_docs").cast("double"), 6).as("frac_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$ccLabelsSql,
+              |sz AS (
+              |  SELECT cluster_id, COUNT(*) AS cluster_size
+              |  FROM cc_labels GROUP BY 1),
+              |h AS (
+              |  SELECT cluster_size,
+              |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              |    CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+              |  FROM sz GROUP BY 1)
+              |SELECT cluster_size, n_clusters, n_docs,
+              |  round(CAST(n_docs AS DOUBLE) /
+              |    CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE), 6)
+              |    AS frac_docs
+              |FROM h ORDER BY cluster_size""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

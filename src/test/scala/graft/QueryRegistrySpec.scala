@@ -58,4 +58,46 @@ class QueryRegistrySpec extends AnyFunSuite {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("MAD outliers match a driver-side recompute (q112 self-check)") {
+    import org.apache.spark.sql.functions._
+    val byType = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val i = 0.5 * (s.length - 1)
+      val lo = s(i.toInt); val hi = s(math.ceil(i).toInt)
+      lo + (hi - lo) * (i - i.toInt)
+    }
+    val got = QueryRegistry.byName("q112_mad_outliers")
+      .run(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_outliers")))).toMap
+    byType.foreach { case (t, xs) =>
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      val expected = xs.count(x => math.abs(x - med) > 3.0 * 1.4826 * mad)
+      assert(got(t) === ((xs.length.toLong, expected.toLong)),
+        s"type $t: engine ${got(t)} vs recompute ($expected of ${xs.length})")
+    }
+  }
+
+  test("quality rules compose and actually split the corpus (q113 self-check)") {
+    val rows = QueryRegistry.byName("q113_quality_rules")
+      .run(spark, dir).collect()
+    val ruleCols = Seq("r_word_count", "r_mean_len", "r_stopwords",
+      "r_repetition")
+    rows.foreach { r =>
+      val conj = ruleCols.forall(c => r.getAs[Boolean](c))
+      assert(r.getAs[Boolean]("pass") === conj,
+        s"doc ${r.getAs[Long]("doc_id")}: pass must be the rule conjunction")
+    }
+    // thresholds are tuned to discriminate, not rubber-stamp: the
+    // composite verdict must reject some documents and keep some
+    val kept = rows.count(_.getAs[Boolean]("pass"))
+    assert(kept > 0 && kept < rows.length,
+      s"composite gate kept $kept of ${rows.length} — not splitting")
+  }
 }
