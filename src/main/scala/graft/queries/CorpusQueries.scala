@@ -765,6 +765,70 @@ object CorpusQueries {
              |    AND (sum_len BETWEEN n_words * 3 AND n_words * 10)
              |    AND n_stop_distinct >= 2
              |    AND n_distinct * 10 >= n_words * 4 AS pass
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // EXT — cross-source overlap matrix: exact Jaccard of the DISTINCT
+    // word-5-gram sets of every source pair — the contamination /
+    // provenance report a mixture designer reads before weighting
+    // sources (q69 checks corpus-vs-benchmark; this checks
+    // corpus-vs-itself). Aggregate-first: grams dedupe per source
+    // (shuffle on (source, gram), map-side partials), the pair join is
+    // keyed on the gram, and everything after it is |sources|² rows.
+    // Jaccard denominators are pure integer algebra; at 100 TB the
+    // gram key would be the xxhash64 long (the q31 width discipline).
+    EngineQuery("q117_source_overlap",
+      (s, dir) => {
+        val g = TextQueries.docsSpread(s, dir)
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("source"),
+            explode(sequence(lit(1), size(col("toks")) - 4)).as("i"),
+            col("toks"))
+          .select(col("source"),
+            concat_ws(" ", slice(col("toks"), col("i"), lit(5))).as("gram"))
+          .distinct()
+        val counts = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val pairs = g.as("a").join(g.as("b"),
+            col("a.gram") === col("b.gram") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(broadcast(counts.withColumnRenamed("source", "source_a")
+            .withColumnRenamed("n_grams", "n_a")), Seq("source_a"))
+          .join(broadcast(counts.withColumnRenamed("source", "source_b")
+            .withColumnRenamed("n_grams", "n_b")), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT source,
+             |    array_to_string(toks[i : i + 4], ' ') AS gram
+             |  FROM t CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
+             |  WHERE i <= len(toks) - 4),
+             |c AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+             |  FROM g GROUP BY 1),
+             |p AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_common
+             |  FROM g a JOIN g b ON b.gram = a.gram AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT p.source_a, p.source_b,
+             |  ca.n_grams AS n_a, cb.n_grams AS n_b, p.n_common,
+             |  round(CAST(p.n_common AS DOUBLE) /
+             |    CAST(ca.n_grams + cb.n_grams - p.n_common AS DOUBLE), 6)
+             |    AS jaccard
+             |FROM p JOIN c ca ON ca.source = p.source_a
+             |JOIN c cb ON cb.source = p.source_b
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 }

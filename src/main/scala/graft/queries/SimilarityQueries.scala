@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.Similarity
 
@@ -395,6 +396,61 @@ object SimilarityQueries {
               |FROM n LEFT JOIN deg d ON d.vec_id = n.vec_id
               |LEFT JOIN tv t ON t.vec_id = n.vec_id
               |ORDER BY n.vec_id""".stripMargin)),
+
+    // EXT — coreset / representative selection: one keeper per
+    // mutual-KNN cluster, chosen by PageRank centrality over the KNN
+    // graph (highest-centrality member = densest similarity
+    // neighbourhood = most representative; vec_id tie-break) — the
+    // composition of q104's signal with q108's clusters that SemDeDup /
+    // coreset pipelines run to shrink a corpus while keeping coverage.
+    // Reuses BOTH shared frames; the new work is one |V|-row join and
+    // a per-cluster argmax window riding the cluster key. Rank ties
+    // cannot straddle engines: rank_fp is the all-integer ×1e9 fixed
+    // point, compared exactly.
+    EngineQuery("q118_coreset_selection",
+      (s, dir) => {
+        val ranks = graft.operators.PageRank.ranksFp(
+          knnShared(s, dir).select(col("vec_id"), col("nbr_id")),
+          preparedShared(s, dir).select("vec_id"),
+          iterations = 3)
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("rank_fp").desc, col("vec_id"))
+        mutualClustersShared(s, dir)
+          .join(ranks, Seq("vec_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rk") === 1, col("vec_id"))).as("keep_vec_id"),
+            max(when(col("rk") === 1, col("rank_fp"))).as("keep_rank_fp"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |deg AS (
+              |  SELECT vec_id AS src, COUNT(*) AS deg FROM knn GROUP BY 1),
+              |r0 AS (
+              |  SELECT vec_id AS id, CAST(1000000000 AS BIGINT) AS fp FROM n),
+              |${(1 to 3).map(pagerankIterSql).mkString(",\n")},
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |reach AS (
+              |  SELECT vec_id AS id, vec_id AS label FROM n
+              |  UNION
+              |  SELECT m.dst AS id, r.label
+              |  FROM reach r JOIN mutual m ON m.src = r.id),
+              |labels AS (
+              |  SELECT id AS vec_id, MIN(label) AS cluster_id
+              |  FROM reach GROUP BY id),
+              |ranked AS (
+              |  SELECT l.cluster_id, l.vec_id, r.fp,
+              |    row_number() OVER (PARTITION BY l.cluster_id
+              |      ORDER BY r.fp DESC, l.vec_id) AS rk
+              |  FROM labels l JOIN r3 r ON r.id = l.vec_id)
+              |SELECT cluster_id, COUNT(*) AS n_members,
+              |  MAX(CASE WHEN rk = 1 THEN vec_id END) AS keep_vec_id,
+              |  MAX(CASE WHEN rk = 1 THEN fp END) AS keep_rank_fp
+              |FROM ranked GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
 
     // EXT — SemDeDup-style semantic deduplication (cluster, then prune
     // within-cluster cosine near-duplicates, keep-lowest-id — see

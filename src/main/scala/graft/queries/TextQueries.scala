@@ -1058,7 +1058,48 @@ object TextQueries {
               |  round(CAST(n_docs AS DOUBLE) /
               |    CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE), 6)
               |    AS frac_docs
-              |FROM h ORDER BY cluster_size""".stripMargin))
+              |FROM h ORDER BY cluster_size""".stripMargin)),
+
+    // EXT — prefix-containment candidates: documents sharing an
+    // identical 32-token PREFIX but (possibly) differing afterwards —
+    // the truncation/continuation duplicate class (re-crawls cut at
+    // different lengths, page + boilerplate tail) that shingle-set
+    // methods under-weight when the shared prefix is a small fraction
+    // of the longer doc. Blocking key = sha256 of the prefix, so the
+    // only shuffle carries |docs| (key, id, len) rows; pair generation
+    // is bucket-local (buckets are near-dup groups — bounded; the q26
+    // cap pattern applies if a degenerate corpus ever floods one).
+    // exact_dup then separates true re-crawls from prefix-only hits
+    // via the full-text hash, all inside the same join.
+    EngineQuery("q116_prefix_containment",
+      (s, dir) => {
+        val p = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"),
+            sha2(col("text"), 256).as("full_hash"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_toks"),
+            sha2(concat_ws(" ", slice(col("toks"), 1, 32)), 256).as("pk"),
+            col("full_hash"))
+        p.as("a").join(p.as("b"),
+            col("a.pk") === col("b.pk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n_toks").as("n_toks_a"), col("b.n_toks").as("n_toks_b"),
+            (col("a.full_hash") === col("b.full_hash")).as("exact_dup"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             |    sha256(array_to_string(string_split(text, ' ')[1:32], ' '))
+             |      AS pk,
+             |    sha256(text) AS full_hash
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  a.n_toks AS n_toks_a, b.n_toks AS n_toks_b,
+             |  a.full_hash = b.full_hash AS exact_dup
+             |FROM p a JOIN p b ON b.pk = a.pk AND a.doc_id < b.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

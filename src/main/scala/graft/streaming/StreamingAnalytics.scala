@@ -111,6 +111,31 @@ object StreamingAnalytics {
         col("col.item").as("item"), col("col.min_count").as("min_count"))
   }
 
+  /** q106's streaming form — per-(type, hour) OHLC bars computed
+    * incrementally: open/close are (ts, event_id)-ordered min_by/max_by
+    * SELECTIONS (exact doubles, no cross-row float arithmetic — the
+    * batch twin's discipline), volume the exact decimal sum. min_by /
+    * max_by carry their ordering key through partial-merge state, so
+    * per-batch folds and cross-batch merges land on the same bar a
+    * single batch pass would produce; append mode + watermark emit each
+    * bar once, finalized. State is one (value, key) pair per extreme
+    * per open bar — O(|types|·|open hours|), independent of row rate. */
+  def ohlcBars(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+      .select(col("event_type"),
+        col("window.start").cast("timestamp_ntz").as("hour"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume"))
+
   /** Stream-stream interval join: attribute each 'purchase' to the same
     * user's 'click's in the preceding `joinWindow`. Both sides carry
     * watermarks AND the join condition bounds the event-time gap, so

@@ -188,6 +188,35 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"q111's within-list pair join must key on list_id, not cartesian:\n$p111")
   }
 
+  test("late round-8 queries keep their scale shapes: scan-local rules, keyed blocking") {
+    // q113: the quality gate is pure per-document expressions — any
+    // Exchange means a rule leaked into an aggregation it doesn't need
+    val q113 = queries.QueryRegistry.byName("q113_quality_rules").run(spark, dir)
+    val p113 = q113.queryExecution.executedPlan.toString
+    val ex113 = p113.split("\n").filter(_.contains("Exchange"))
+    assert(ex113.forall(_.contains("rangepartitioning")),
+      "q113's rule evaluation must be scan-local — the only exchange " +
+        s"allowed is the presentation sort's range partitioning:\n$p113")
+    // q116: prefix blocking must join on the hash key, never all-pairs
+    val q116 = queries.QueryRegistry.byName("q116_prefix_containment")
+      .run(spark, dir)
+    q116.collect()
+    val p116 = q116.queryExecution.executedPlan.toString
+    assert(!p116.contains("CartesianProduct") &&
+      !p116.contains("BroadcastNestedLoopJoin"),
+      s"q116's pair generation must key on the prefix hash:\n$p116")
+    // q117: the source-pair overlap join must key on the gram; the
+    // per-source totals (|sources| rows) must broadcast back
+    val q117 = queries.QueryRegistry.byName("q117_source_overlap")
+      .run(spark, dir)
+    q117.collect()
+    val p117 = q117.queryExecution.executedPlan.toString
+    assert(!p117.contains("CartesianProduct"),
+      s"q117's pair join must key on the gram, not cartesian:\n$p117")
+    assert(p117.contains("BroadcastHashJoin"),
+      s"q117's per-source totals must broadcast:\n$p117")
+  }
+
   test("runtime Bloom-filter pruning injects on a selective shuffle join") {
     // the row-level analog of DPP: a selective dimension filter on a
     // SHUFFLE join (too big to broadcast at 100 TB) should build a

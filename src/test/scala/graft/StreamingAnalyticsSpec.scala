@@ -186,4 +186,31 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
           s"window $w: guaranteed heavy hitter $u missing from the sketch"))
     }
   }
+
+  test("streaming OHLC bars agree with the batch twin q106 on finalized bars") {
+    val stream = StreamingAnalytics.eventsStream(spark, dir)
+    val agg = StreamingAnalytics.ohlcBars(stream, watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ohlc").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ohlc_out")
+      .as[(String, java.time.LocalDateTime, Double, Double, Double,
+        Double, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("q106_ohlc_resample")(spark, dir)
+      .as[(String, java.time.LocalDateTime, Double, Double, Double,
+        Double, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "watermark finalized no bars")
+    // bit-exact bar agreement: open/close selections, extremes, decimal
+    // volume — the same cells the DuckDB gate hashes on the batch side
+    assert(streamed.subsetOf(batch),
+      "every finalized streaming bar must equal its batch twin")
+    val missing = batch -- streamed
+    val maxFinalized = streamed.map(_._2).max
+    assert(missing.forall(_._2.isAfter(maxFinalized.minusHours(2))),
+      s"non-tail bars missing from the stream: $missing")
+  }
 }
