@@ -35,18 +35,25 @@ object StreamingAnalytics {
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file's physical ts encoding varies by testdata generation
+    // (TIMESTAMP(NANOS) read as raw long vs TIMESTAMP(MICROS)); a stream
+    // needs a declared schema, so sniff the footer via the batch reader
+    // and declare the matching type (Tables.events documents the split).
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
     val schema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
-    spark.readStream
+      s"event_id BIGINT, ts ${if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"}, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // watermarks require TIMESTAMP (with local tz); under the UTC
-      // session the wall-clock values match the batch twin's ntz ones,
-      // and window bounds are cast to ntz at output
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // watermarks require TIMESTAMP (with local tz); under the UTC
+    // session the wall-clock values match the batch twin's ntz ones,
+    // and window bounds are cast to ntz at output
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Q22 streaming form: tumbling 1-hour counts/sums per event type. */
