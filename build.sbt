@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures run stdout and json-parses what it finds.
+// Forked runs default to LoggedOutput, which prefixes every line with
+// "[info] " — that prefix made the Bench JSON line unparseable in rounds
+// 1-8. StdoutOutput passes the child process's stdout through verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

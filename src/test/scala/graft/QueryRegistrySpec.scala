@@ -100,4 +100,27 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(kept > 0 && kept < rows.length,
       s"composite gate kept $kept of ${rows.length} — not splitting")
   }
+
+  test("bench stdout line fits the driver's 2000-char tail capture") {
+    // The driver records only the last ~2000 chars of bench stdout and
+    // json-parses what it finds there; sbt appends a ~80-char
+    // "[success] …" line after ours. The compact line must stay under
+    // budget at the CURRENT registry size and keep headroom for growth.
+    val timings = QueryRegistry.all.map(q => q.name -> 12.345678901)
+    val line = Bench.compactJson(timings, 1234.567, 2345.678, 3,
+      "sf0.1", 1234567L, "bench_out.json")
+    assert(line.length <= 1800, s"compact bench line is ${line.length} chars")
+    // and it must remain parseable JSON with the contract fields
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
+    assert(line.contains("\"queries\":{\"q01\":"))
+    // short keys must still be unique (q17 vs q17b both exist)
+    val shortKeys = QueryRegistry.all.map(_.name.takeWhile(_ != '_'))
+    assert(shortKeys.distinct.size === shortKeys.size)
+    // headroom: even 60 more registry entries must not overflow the
+    // fallback candidates
+    val grown = timings ++ (1 to 60).map(i => f"q$i%03d_future_entry" -> 9.87654321)
+    val grownLine = Bench.compactJson(grown, 9999.9, 9999.9, 3,
+      "sf0.1", 1234567L, "bench_out.json")
+    assert(grownLine.length <= 1800, s"grown line is ${grownLine.length} chars")
+  }
 }
