@@ -829,6 +829,172 @@ object CorpusQueries {
              |    AS jaccard
              |FROM p JOIN c ca ON ca.source = p.source_a
              |JOIN c cb ON cb.source = p.source_b
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // EXT — DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // hashed n-gram features (unigrams + bigrams → 1024 buckets), a
+    // per-bucket log-likelihood ratio between the target distribution
+    // (lang = 'en' here) and the raw corpus, and a per-document score =
+    // mean bucket log-ratio over its grams. Scale shape: the gram
+    // stream is aggregated into a 1024-row bucket table (map-side
+    // partial, tiny exchange), the weights join back as a BROADCAST,
+    // and the per-doc mean partial-aggregates on the spread key — no
+    // all-pairs work anywhere. The smoothed ratio uses +0.5/bucket
+    // (so 0.5·K = 512 on the denominators) in both engines.
+    EngineQuery("q119_dsir_importance",
+      (s, dir) => {
+        val K = 1024
+        val toks = TextQueries.docsSpread(s, dir)
+          .select(col("doc_id"), col("lang"),
+            split(lower(col("text")), " ").as("t"))
+        val uni = toks.select(col("doc_id"), col("lang"),
+          explode(col("t")).as("g"))
+        val bi = toks.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("transform(sequence(1, size(t) - 1), " +
+              "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+              .as("g"))
+        val grams = uni.unionAll(bi)
+          .select(col("doc_id"), col("lang"),
+            (sha256PrefixLong(col("g")) % K).as("bucket"))
+        val counts = grams.groupBy("bucket")
+          .agg(count(lit(1)).as("raw_cnt"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+        val totals = counts.agg(sum("raw_cnt").as("rt"), sum("tgt_cnt").as("tt"))
+        val weights = counts.crossJoin(broadcast(totals))
+          .select(col("bucket"),
+            (log((col("tgt_cnt") + 0.5) / (col("tt") + K / 2.0))
+              - log((col("raw_cnt") + 0.5) / (col("rt") + K / 2.0))).as("w"))
+        grams.join(broadcast(weights), "bucket")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), sum("w").as("sw"))
+          .select(col("doc_id"), col("n_grams"),
+            round(col("sw") / col("n_grams"), 6).as("dsir_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(t) AS g FROM t),
+             |bi AS (
+             |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+             |  FROM t CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
+             |  WHERE i <= len(t) - 1),
+             |grams AS (
+             |  SELECT doc_id, lang,
+             |    CAST('0x' || substr(sha256(g), 1, 8) AS BIGINT) % 1024
+             |      AS bucket
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |c AS (
+             |  SELECT bucket, COUNT(*) AS raw_cnt,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+             |  FROM grams GROUP BY 1),
+             |tot AS (SELECT SUM(raw_cnt) AS rt, SUM(tgt_cnt) AS tt FROM c),
+             |w AS (
+             |  SELECT bucket,
+             |    ln((tgt_cnt + 0.5) / (tt + 512.0))
+             |      - ln((raw_cnt + 0.5) / (rt + 512.0)) AS w
+             |  FROM c CROSS JOIN tot)
+             |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  round(SUM(w.w) / COUNT(*), 6) AS dsir_score
+             |FROM grams g JOIN w USING (bucket)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — temperature-scaled domain mixing (the multilingual-LM
+    // sampling rule, p_s ∝ f_s^α with α = 0.7): per-source token
+    // counts, the α-scaled mixture weight, and the expected token
+    // allocation out of a 1e9-token epoch. The per-source frame is
+    // |sources| rows after one map-side-combined aggregation, so the
+    // unpartitioned window over it is bounded and safe at any SF.
+    EngineQuery("q120_temperature_mix",
+      (s, dir) => {
+        val perSrc = docs(s, dir)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy("source").agg(sum("n").as("n_tokens"))
+        val tot = perSrc.agg(sum("n_tokens").as("total"))
+        val w = Window.partitionBy()
+        perSrc.crossJoin(broadcast(tot))
+          .withColumn("pw",
+            pow(col("n_tokens").cast("double") / col("total"), 0.7))
+          .withColumn("spw", sum("pw").over(w))
+          .select(col("source"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("total"), 6)
+              .as("raw_share"),
+            round(col("pw") / col("spw"), 6).as("mix_weight"),
+            round(col("pw") / col("spw") * 1e9, 0).cast("long")
+              .as("expected_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT SUM(n_tokens) AS total FROM c),
+             |p AS (
+             |  SELECT source, n_tokens,
+             |    CAST(n_tokens AS DOUBLE) / total AS frac,
+             |    pow(CAST(n_tokens AS DOUBLE) / total, 0.7) AS pw
+             |  FROM c CROSS JOIN t)
+             |SELECT source, n_tokens, round(frac, 6) AS raw_share,
+             |  round(pw / SUM(pw) OVER (), 6) AS mix_weight,
+             |  CAST(round(pw / SUM(pw) OVER () * 1000000000.0) AS BIGINT)
+             |    AS expected_tokens
+             |FROM p ORDER BY source""".stripMargin)),
+
+    // EXT — distinct-n-gram diversity (the self-repetition /
+    // memorization risk report): per source, the type-token ratio and
+    // the distinct-trigram share. COUNT(DISTINCT) over the gram stream
+    // is a two-stage exact distinct — partial dedup map-side, one
+    // keyed exchange — never a driver-side set.
+    EngineQuery("q121_distinct_ngram_ratio",
+      (s, dir) => {
+        val toks = TextQueries.docsSpread(s, dir)
+          .select(col("source"), split(lower(col("text")), " ").as("t"))
+        val uni = toks.select(col("source"), explode(col("t")).as("g"))
+        val tri = toks.filter(size(col("t")) >= 3)
+          .select(col("source"),
+            explode(expr("transform(sequence(1, size(t) - 2), " +
+              "i -> array_join(slice(t, i, 3), ' '))")).as("g"))
+        val uniAgg = uni.groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct("g").as("n_types"))
+        val triAgg = tri.groupBy("source")
+          .agg(count(lit(1)).as("n_trigrams"),
+            countDistinct("g").as("n_tri_types"))
+        uniAgg.join(triAgg, "source")
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            round(col("n_types").cast("double") / col("n_tokens"), 6)
+              .as("ttr"),
+            col("n_trigrams"), col("n_tri_types"),
+            round(col("n_tri_types").cast("double") / col("n_trigrams"), 6)
+              .as("trigram_diversity"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (SELECT source, unnest(t) AS g FROM t),
+             |tri AS (
+             |  SELECT source, array_to_string(t[i : i + 2], ' ') AS g
+             |  FROM t CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
+             |  WHERE i <= len(t) - 2),
+             |ua AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_types
+             |  FROM uni GROUP BY 1),
+             |ta AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             |    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_tri_types
+             |  FROM tri GROUP BY 1)
+             |SELECT ua.source, n_tokens, n_types,
+             |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+             |  n_trigrams, n_tri_types,
+             |  round(CAST(n_tri_types AS DOUBLE) / n_trigrams, 6)
+             |    AS trigram_diversity
+             |FROM ua JOIN ta ON ta.source = ua.source
+             |ORDER BY ua.source""".stripMargin))
   )
 }
