@@ -344,6 +344,68 @@ object RelationalQueries {
         .orderBy("event_id"),
       Some("""SELECT event_id, user_id, c_mktsegment
              |FROM events JOIN customer ON c_custkey = user_id
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // EXT — hash-partition balance audit: the bucket histogram a
+    // partitioner assignment (hash(key) % 32) would produce, with each
+    // bucket's chi-square contribution against the uniform expectation —
+    // the pre-flight check that a chosen partition key won't hot-spot a
+    // 1000-executor shuffle. One keyed aggregation over the scan.
+    EngineQuery("q127_partition_balance",
+      (s, dir) => {
+        val k = 32
+        val b = Tables.table(s, dir, "documents")
+          .select((sha256PrefixLong(
+            concat(lit("pt:"), col("doc_id").cast("string"))) % k)
+            .as("bucket"), col("n_chars"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        val tot = b.agg(sum("n_docs").as("total"))
+        b.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_docs"), col("n_chars"),
+            round(col("n_docs").cast("double") / col("total"), 6)
+              .as("share"),
+            round(pow(col("n_docs").cast("double") - col("total") / lit(k.toDouble), 2)
+              / (col("total") / lit(k.toDouble)), 6).as("chisq_term"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST('0x' || substr(sha256('pt:' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 32
+             |      AS bucket,
+             |    COUNT(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM b)
+             |SELECT bucket, n_docs, n_chars,
+             |  round(CAST(n_docs AS DOUBLE) / total, 6) AS share,
+             |  round(pow(CAST(n_docs AS DOUBLE) - total / 32.0, 2)
+             |    / (total / 32.0), 6) AS chisq_term
+             |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin)),
+
+    // EXT — CUBE / grouping-sets battery: all four aggregation lattices
+    // of (returnflag, linestatus) in one pass (Spark plans cube as a
+    // single expand + aggregate — one shuffle, not four). Money stays
+    // in exact DECIMAL; quantities are integral, summed as BIGINT.
+    EngineQuery("q128_cube_battery",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"), col("sum_price"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             |    AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin))
   )
 }

@@ -261,6 +261,92 @@ object WindowQueries {
              |  COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
              |FROM events GROUP BY 1, 2
-             |ORDER BY event_type, hour""".stripMargin))
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // EXT — key-skew audit: the top-20 heaviest keys with their share
+    // and cumulative share of all rows — the report that decides
+    // whether a key needs salting (q62) before it becomes the straggler
+    // partition at 100 TB. Scale shape: per-key counts partial-aggregate
+    // map-side; the top-20 is TakeOrdered (no global sort, no
+    // single-partition window over |keys|) and the rank/cumulative
+    // window runs over 20 rows.
+    EngineQuery("q122_key_skew_audit",
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val tot = counts.agg(sum("n_events").as("total"),
+          count(lit(1)).as("n_keys"))
+        val top = counts
+          .orderBy(col("n_events").desc, col("user_id")).limit(20)
+        val w = Window.orderBy(col("n_events").desc, col("user_id"))
+        top.crossJoin(broadcast(tot))
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("cum",
+            sum("n_events").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("rnk").cast("long").as("rnk"), col("user_id"),
+            col("n_events"), col("n_keys"), col("total"),
+            round(col("n_events").cast("double") / col("total"), 6)
+              .as("share"),
+            round(col("cum").cast("double") / col("total"), 6)
+              .as("cum_share"))
+          .orderBy("rnk")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, COUNT(*) AS n_events
+             |  FROM events GROUP BY 1),
+             |t AS (
+             |  SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+             |    COUNT(*) AS n_keys FROM c),
+             |r AS (
+             |  SELECT user_id, n_events,
+             |    row_number() OVER (ORDER BY n_events DESC, user_id)
+             |      AS rnk,
+             |    CAST(SUM(n_events) OVER (ORDER BY n_events DESC, user_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM c)
+             |SELECT rnk, user_id, n_events, t.n_keys, t.total,
+             |  round(CAST(n_events AS DOUBLE) / t.total, 6) AS share,
+             |  round(CAST(cum AS DOUBLE) / t.total, 6) AS cum_share
+             |FROM r CROSS JOIN t
+             |WHERE rnk <= 20 ORDER BY rnk""".stripMargin)),
+
+    // EXT — event inter-arrival profile: per-user gaps between
+    // consecutive events (the ingest-freshness / session-cadence
+    // diagnostic). The lag window partitions on user_id — the same key
+    // the sessionizer (q24) shuffles on — and the gap stats are exact
+    // integer microsecond sums with one final rounded division.
+    EngineQuery("q123_interarrival_profile",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"),
+            (unix_micros(col("ts").cast("timestamp"))
+              - unix_micros(col("prev").cast("timestamp"))).as("gap_us"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            min("gap_us").as("min_gap_us"),
+            max("gap_us").as("max_gap_us"),
+            sum("gap_us").as("sum_us"))
+          .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
+            col("max_gap_us"),
+            round(col("sum_us").cast("double") / col("n_gaps") / 1e6, 6)
+              .as("mean_gap_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             |  FROM events)
+             |SELECT user_id, COUNT(*) AS n_gaps,
+             |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+             |  round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             |    AS mean_gap_s
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
