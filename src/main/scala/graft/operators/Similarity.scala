@@ -375,4 +375,80 @@ object Similarity {
           .as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
+
+  /** Fixed-point 1e-6 scaling of an embedding column — the exact-integer
+    * representation the projection/quantization operators compute in so
+    * every cross-engine comparison is on BIGINTs, not float folds. */
+  def scaledFixed(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions
+    * with the deterministic ±1 matrix of [[hyperplanes]], in exact
+    * fixed-point: each output component is an integer dot product of
+    * the scaled vector with a sign row. Scale shape: a pure per-row
+    * map — the matrix is a compile-time literal, so there is NO
+    * shuffle, no runtime hashing, and the whole operator stays inside
+    * whole-stage codegen. Output: (idCol, dim_out, proj_fp, proj).
+    */
+  def randomProjectionFixed(embeddings: DataFrame, outDims: Int,
+      inDims: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val m = typedLit(projectionSigns(outDims, inDims))
+    embeddings
+      .select(col(idCol), scaledFixed(col(embCol)).as("sv"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(outDims - 1)),
+          j => aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L),
+            (acc, i) => acc +
+              element_at(element_at(m, (j + 1).cast("int")), (i + 1).cast("int"))
+                * element_at(col("sv"), (i + 1).cast("int"))))))
+      .select(col(idCol), col("pos").cast("long").as("dim_out"),
+        col("col").as("proj_fp"),
+        round(col("col") / 1e6, 6).as("proj"))
+  }
+
+  /** The ±1 rows of [[hyperplanes]] as Long literals (shared by the
+    * Spark plan and — via SQL list literals — the DuckDB oracle). */
+  def projectionSigns(outDims: Int, inDims: Int): Seq[Seq[Long]] =
+    hyperplanes(outDims, inDims).map(_.map(v => if (v > 0) 1L else -1L).toSeq)
+
+  /** Product-quantization encoding: split the vector into `m` equal
+    * subspaces, take the first `nCents` vectors (id < nCents) as the
+    * per-subspace codebook, and assign each vector the id of its
+    * nearest codebook entry per subspace (exact integer squared
+    * distance in 1e-6 fixed point, centroid-id tie-break). Output one
+    * row per vector: the m codes plus the exact total quantization
+    * error. Scale shape: the codebook is a BROADCAST of nCents rows;
+    * distances compute map-side per (vector, centroid) and the argmin
+    * partial-aggregates before the one keyed exchange on the id.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, nCents: Int = 16,
+      inDims: Int = 64, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(inDims % m == 0, s"inDims=$inDims not divisible by m=$m")
+    val subDim = inDims / m
+    val sv = embeddings.select(col(idCol), scaledFixed(col(embCol)).as("sv"))
+    val cents = sv.filter(col(idCol) < nCents)
+      .select(col(idCol).as("cid"), col("sv").as("cv"))
+    // |codebook| = nCents rows: the cross join IS the broadcast fan-out.
+    val dists = sv.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L),
+            (acc, t) => {
+              val idx = (mm * subDim + t + 1).cast("int")
+              val d = element_at(col("sv"), idx) - element_at(col("cv"), idx)
+              acc + d * d
+            }))))
+      .toDF(idCol, "cid", "sub", "dist")
+    val best = dists.groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col(idCol), col("sub"),
+        col("b").getField("cid").as("code"),
+        col("b").getField("dist").as("dist"))
+    val codeCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code_$i"))
+    best.groupBy(idCol)
+      .agg(codeCols.head, codeCols.tail :+ sum(col("dist")).as("qerr_fp"): _*)
+  }
 }

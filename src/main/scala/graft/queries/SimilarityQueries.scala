@@ -21,6 +21,12 @@ object SimilarityQueries {
   private def planeSqlList(p: Array[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
+  /** The q124 projection matrix as a DuckDB nested-list literal —
+    * the same Similarity.projectionSigns rows the Spark plan embeds. */
+  private def signsSqlLit(outDims: Int, inDims: Int): String =
+    Similarity.projectionSigns(outDims, inDims)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   /** One shared [[Similarity.prepared]] frame per (session, table dir):
     * q27/q40/q48/q79 all start from the same cast + norm + spread of the
     * embeddings table, and rebuilding it per query re-runs Catalyst over
@@ -734,6 +740,136 @@ object SimilarityQueries {
              |                             list_transform(v.sv, x -> CAST(x AS DOUBLE))))
              |       * sqrt(list_dot_product(c.cent, c.cent))), 6) AS cos_to_centroid
              |FROM sv v JOIN centl c USING (label)
-             |ORDER BY v.vec_id""".stripMargin))
+             |ORDER BY v.vec_id""".stripMargin)),
+
+    // EXT — Johnson-Lindenstrauss random projection 64 → 16 dims with
+    // the deterministic ±1 sign matrix (Similarity.projectionSigns —
+    // the q40 hyperplane generator), computed in exact 1e-6 fixed
+    // point so proj_fp is a BIGINT in both engines. The oracle embeds
+    // the identical matrix as a SQL list literal (the q40 precedent).
+    // Scale: a pure per-row map — no shuffle, matrix is a literal.
+    EngineQuery("q124_random_projection",
+      (s, dir) => Similarity.randomProjectionFixed(
+          Tables.table(s, dir, "embeddings"), outDims = 16, inDims = 64)
+        .orderBy("vec_id", "dim_out"),
+      Some(s"""WITH mm AS (SELECT ${signsSqlLit(16, 64)} AS m),
+              |mj AS (
+              |  SELECT unnest(m) AS sgnrow, unnest(range(0, 16)) AS j
+              |  FROM mm),
+              |me AS (
+              |  SELECT j, unnest(sgnrow) AS sgn,
+              |    unnest(range(0, 64)) AS i
+              |  FROM mj),
+              |sv AS (
+              |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |u AS (
+              |  SELECT vec_id, unnest(sv) AS c,
+              |    unnest(range(0, len(sv))) AS i
+              |  FROM sv),
+              |p AS (
+              |  SELECT u.vec_id, me.j AS dim_out,
+              |    CAST(SUM(me.sgn * u.c) AS BIGINT) AS proj_fp
+              |  FROM u JOIN me ON me.i = u.i GROUP BY 1, 2)
+              |SELECT vec_id, dim_out, proj_fp,
+              |  round(proj_fp / 1000000.0, 6) AS proj
+              |FROM p ORDER BY vec_id, dim_out""".stripMargin)),
+
+    // EXT — product-quantization encoding (the ANN memory-compression
+    // standard): 4 subspaces × 16 dims, codebook = vectors with id < 16,
+    // exact integer squared distances, centroid-id tie-break; one row
+    // per vector with its 4 codes and exact total quantization error.
+    EngineQuery("q125_pq_encode",
+      (s, dir) => Similarity.pqEncode(
+          Tables.table(s, dir, "embeddings"), m = 4, nCents = 16,
+          inDims = 64)
+        .orderBy("vec_id"),
+      Some("""WITH sv AS (
+             |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |cents AS (
+             |  SELECT vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16),
+             |u AS (
+             |  SELECT vec_id, unnest(sv) AS c,
+             |    unnest(range(0, len(sv))) AS i
+             |  FROM sv),
+             |cu AS (
+             |  SELECT cid, unnest(cv) AS cc,
+             |    unnest(range(0, len(cv))) AS i
+             |  FROM cents),
+             |d AS (
+             |  SELECT u.vec_id, cu.cid, u.i // 16 AS sub,
+             |    CAST(SUM((u.c - cu.cc) * (u.c - cu.cc)) AS BIGINT) AS dist
+             |  FROM u JOIN cu ON cu.i = u.i GROUP BY 1, 2, 3),
+             |best AS (
+             |  SELECT vec_id, sub, cid, dist,
+             |    row_number() OVER (PARTITION BY vec_id, sub
+             |      ORDER BY dist, cid) AS rn
+             |  FROM d)
+             |SELECT vec_id,
+             |  MAX(CASE WHEN sub = 0 THEN cid END) AS code_0,
+             |  MAX(CASE WHEN sub = 1 THEN cid END) AS code_1,
+             |  MAX(CASE WHEN sub = 2 THEN cid END) AS code_2,
+             |  MAX(CASE WHEN sub = 3 THEN cid END) AS code_3,
+             |  CAST(SUM(dist) AS BIGINT) AS qerr_fp
+             |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — per-source embedding centroid drift: cosine between each
+    // source's mean vector and the global mean (the domain-shift
+    // monitor for a streaming corpus). All sums are exact fixed-point
+    // integers; the dot/norm products run in DECIMAL(38)/HUGEINT so
+    // the only float op is the final rounded division. Scale: two
+    // keyed aggregations (|sources|·dims rows, then |sources|), with
+    // the 64-row global frame joined back as a broadcast.
+    EngineQuery("q126_centroid_drift",
+      (s, dir) => {
+        val joined = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.scaledFixed(col("embedding")).as("sv"))
+          .join(Tables.table(s, dir, "documents")
+            .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+        val ex = joined.select(col("source"), posexplode(col("sv")))
+        val bySrc = ex.groupBy(col("source"), col("pos"))
+          .agg(sum("col").as("sc"))
+        val glob = bySrc.groupBy("pos").agg(sum("sc").as("gc"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+        val stats = bySrc.join(broadcast(glob), "pos")
+          .groupBy("source")
+          .agg(sum(dec(col("sc")) * dec(col("gc"))).as("dot"),
+            sum(dec(col("sc")) * dec(col("sc"))).as("ss"),
+            sum(dec(col("gc")) * dec(col("gc"))).as("gg"))
+        val nv = joined.groupBy("source").agg(count(lit(1)).as("n_vecs"))
+        stats.join(nv, "source")
+          .select(col("source"), col("n_vecs"),
+            round(col("dot").cast("double") /
+              (sqrt(col("ss").cast("double")) * sqrt(col("gg").cast("double"))), 6)
+              .as("cos_to_global"))
+          .orderBy("source")
+      },
+      Some("""WITH sv AS (
+             |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |j AS (
+             |  SELECT d.source, s.sv FROM sv s
+             |  JOIN documents d ON d.doc_id = s.vec_id),
+             |ex AS (
+             |  SELECT source, unnest(sv) AS c,
+             |    unnest(range(0, len(sv))) AS i
+             |  FROM j),
+             |bs AS (SELECT source, i, SUM(c) AS sc FROM ex GROUP BY 1, 2),
+             |g AS (SELECT i, SUM(sc) AS gc FROM bs GROUP BY 1),
+             |st AS (
+             |  SELECT source, SUM(bs.sc * g.gc) AS dot,
+             |    SUM(bs.sc * bs.sc) AS ss, SUM(g.gc * g.gc) AS gg
+             |  FROM bs JOIN g ON g.i = bs.i GROUP BY 1),
+             |nv AS (SELECT source, COUNT(*) AS n_vecs FROM j GROUP BY 1)
+             |SELECT st.source, nv.n_vecs,
+             |  round(CAST(st.dot AS DOUBLE) /
+             |    (sqrt(CAST(st.ss AS DOUBLE)) * sqrt(CAST(st.gg AS DOUBLE))), 6)
+             |    AS cos_to_global
+             |FROM st JOIN nv ON nv.source = st.source
+             |ORDER BY st.source""".stripMargin))
   )
 }
