@@ -143,4 +143,54 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(afterRows.toSeq === beforeRows.toSeq)
   }
+
+  test("random projection: exact integer output, JL norm concentration") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val proj = graft.operators.Similarity
+      .randomProjectionFixed(emb, outDims = 16, inDims = 64)
+    // exact fixed-point: proj == proj_fp / 1e6 rounded
+    val rows = proj.limit(200).collect()
+    rows.foreach { r =>
+      val fp = r.getAs[Long]("proj_fp")
+      assert(r.getAs[Double]("proj") ===
+        BigDecimal(fp / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    // JL property: E[||proj||^2] = outDims * ||x||^2 for ±1 rows; with
+    // 16 rows the per-vector ratio concentrates — the AVERAGE over all
+    // vectors must sit near 1 (loose 25% band; this is a sanity check
+    // of the sign matrix, not a proof of the lemma)
+    val ratio = proj
+      .groupBy("vec_id")
+      .agg(sum(col("proj_fp") * col("proj_fp")).as("p2"))
+      .join(emb.select(col("vec_id"), aggregate(
+        graft.operators.Similarity.scaledFixed(col("embedding")),
+        lit(0L), (a, x) => a + x * x).as("x2")), "vec_id")
+      .agg(avg(col("p2").cast("double") / (col("x2") * 16))).head().getDouble(0)
+    assert(ratio > 0.75 && ratio < 1.25, s"JL ratio $ratio out of band")
+  }
+
+  test("PQ encoding: codebook vectors self-encode with zero error") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val codes = graft.operators.Similarity
+      .pqEncode(emb, m = 4, nCents = 16, inDims = 64)
+    val self = codes.filter(col("vec_id") < 16).collect()
+    assert(self.length === 16)
+    self.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      (0 to 3).foreach { m =>
+        assert(r.getAs[Long](s"code_$m") === id,
+          s"vector $id must pick itself in subspace $m")
+      }
+      assert(r.getAs[Long]("qerr_fp") === 0L)
+    }
+    // non-codebook vectors: codes in range, error strictly positive
+    // unless the vector duplicates a codebook entry
+    val rest = codes.filter(col("vec_id") >= 16)
+    assert(rest.filter(col("code_0") < 0 || col("code_0") >= 16 ||
+      col("code_3") < 0 || col("code_3") >= 16).count() === 0)
+    assert(rest.filter(col("qerr_fp") < 0).count() === 0)
+  }
 }
