@@ -995,6 +995,44 @@ object CorpusQueries {
              |  round(CAST(n_tri_types AS DOUBLE) / n_trigrams, 6)
              |    AS trigram_diversity
              |FROM ua JOIN ta ON ta.source = ua.source
-             |ORDER BY ua.source""".stripMargin))
+             |ORDER BY ua.source""".stripMargin)),
+
+    // EXT — tokenizer fertility by language: subword (BPE-ish regex)
+    // tokens per whitespace word and characters per subword token —
+    // the per-language tokenizer-cost report that drives context-budget
+    // planning for multilingual corpora. Counts are exact integer sums
+    // (the q34 tokenizers); one keyed aggregation.
+    EngineQuery("q130_tokenizer_fertility",
+      (s, dir) => docs(s, dir)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+            .cast("long").as("bpe"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_ws_tokens"),
+          sum("bpe").as("n_bpe_tokens"), sum("chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_ws_tokens"),
+          col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang"),
+      Some("""WITH d AS (
+             |  SELECT lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe,
+             |    CAST(length(text) AS BIGINT) AS chars
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+             |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+             |  round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS BIGINT), 6)
+             |    AS fertility,
+             |  round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS BIGINT), 6)
+             |    AS chars_per_token
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -870,6 +870,46 @@ object SimilarityQueries {
              |    (sqrt(CAST(st.ss AS DOUBLE)) * sqrt(CAST(st.gg AS DOUBLE))), 6)
              |    AS cos_to_global
              |FROM st JOIN nv ON nv.source = st.source
-             |ORDER BY st.source""".stripMargin))
+             |ORDER BY st.source""".stripMargin)),
+
+    // EXT — ANN mean reciprocal rank: where does the TRUE nearest
+    // neighbour (exact top-1) land in the IVF result list? The
+    // rank-sensitive companion to recall@5 (q79) — recall treats
+    // rank 1 and rank 5 alike, MRR does not. Reuses the shared
+    // prepared frame and both operators' plans; the oracle reuses
+    // their CTEs verbatim.
+    EngineQuery("q131_ann_mrr",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val prep = Some(preparedShared(s, dir))
+        val top1 = Similarity.topKCosine(emb, col("q_id") < 10, k = 5,
+            prep = prep)
+          .filter(col("rn") === 1).select(col("q_id"), col("vec_id"))
+        val approx = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
+            prep = prep)
+          .select(col("q_id"), col("vec_id"), col("rn"))
+        top1.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(coalesce(max(lit(1.0) / col("rn")), lit(0.0)).as("rr"),
+            max(when(col("rn").isNotNull, 1L).otherwise(0L)).as("found"))
+          .agg(count(lit(1)).as("n_queries"), sum("found").as("n_found"),
+            round(sum("rr") / count(lit(1)), 6).as("mrr"))
+      },
+      Some(s"""WITH $prepSql,
+              |$exactTopkSql,
+              |$ivfTopkSql,
+              |t1 AS (SELECT q_id, vec_id FROM exact WHERE rn = 1),
+              |rr AS (
+              |  SELECT t1.q_id,
+              |    COALESCE(MAX(1.0 / i.rn), 0.0) AS rr,
+              |    MAX(CASE WHEN i.rn IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS found
+              |  FROM t1 LEFT JOIN ivf i
+              |    ON i.q_id = t1.q_id AND i.vec_id = t1.vec_id
+              |  GROUP BY 1)
+              |SELECT COUNT(*) AS n_queries,
+              |  CAST(SUM(found) AS BIGINT) AS n_found,
+              |  round(SUM(rr) / COUNT(*), 6) AS mrr
+              |FROM rr""".stripMargin))
   )
 }

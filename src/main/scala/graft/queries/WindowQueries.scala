@@ -347,6 +347,60 @@ object WindowQueries {
              |  round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
              |    AS mean_gap_s
              |FROM g WHERE gap_us IS NOT NULL
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — exact Gini coefficient of the per-user event distribution
+    // (the single-number skew summary behind the q122 top-key report).
+    // Exact and DISTRIBUTED: the classic rank formulation
+    // G = Σ (2·rank − n − 1)·c / (n·Σc) needs a global rank over |keys|,
+    // but grouping equal counts first collapses the frame to |distinct
+    // count values| rows — each group of k keys with count c contributes
+    // c·(2k·(kb+1) + k(k−1) − k(n+1)) given kb keys below it — so the
+    // one ordered window runs over the tiny value-histogram frame, never
+    // |keys|. All terms are exact integers (DECIMAL(38) / HUGEINT
+    // accumulation); the only float op is the final rounded division.
+    EngineQuery("q129_user_gini",
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("c"))
+        val byC = counts.groupBy("c").agg(count(lit(1)).as("k"))
+        val w = Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = byC.agg(sum("k").as("n"),
+          sum(col("c") * col("k")).as("tot"))
+        val num = byC
+          .withColumn("kb", coalesce(sum("k").over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .agg(sum(dec(col("c")) *
+            (dec(lit(2)) * dec(col("k")) * dec(col("kb") + 1)
+              + dec(col("k")) * dec(col("k") - 1)
+              - dec(col("k")) * dec(col("n") + 1))).as("num"))
+        num.crossJoin(broadcast(tot))
+          .select(col("n").as("n_keys"), col("tot").as("total_events"),
+            round(col("num").cast("double") /
+              (col("n").cast("double") * col("tot").cast("double")), 6)
+              .as("gini"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+             |g AS (SELECT c, COUNT(*) AS k FROM c GROUP BY 1),
+             |t AS (
+             |  SELECT CAST(SUM(k) AS BIGINT) AS n,
+             |    CAST(SUM(c * k) AS BIGINT) AS tot FROM g),
+             |w AS (
+             |  SELECT c, k, COALESCE(SUM(k) OVER (ORDER BY c
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS kb
+             |  FROM g),
+             |s AS (
+             |  SELECT SUM(CAST(c AS HUGEINT) *
+             |    (2 * CAST(k AS HUGEINT) * (kb + 1) + CAST(k AS HUGEINT)
+             |      * (k - 1) - CAST(k AS HUGEINT) * (n + 1))) AS num
+             |  FROM w CROSS JOIN t)
+             |SELECT t.n AS n_keys, t.tot AS total_events,
+             |  round(CAST(s.num AS DOUBLE) /
+             |    (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)), 6) AS gini
+             |FROM t CROSS JOIN s""".stripMargin))
   )
 }
