@@ -44,7 +44,11 @@ object Bench {
     // 200k synthetic envelopes — comparable to the reference's msgs/min
     // step-load numbers (BASELINE.md). Per-pass failures are tolerated
     // like the per-query timings; fatal JVM errors propagate.
-    val envCount = 200000L
+    // 500k envelopes per throughput pass: at 200k the ~0.5-1 s fixed
+    // job cost (stage scheduling + codegen reuse checks) was a third of
+    // the pass, understating steady-state env/s — the measured rate is
+    // the marginal one a sustained stream would see.
+    val envCount = sys.env.getOrElse("SPARK_GRAFT_INGEST_ENVS", "500000").toLong
     def ingestPassSec(): Option[Double] =
       try {
         val t0 = System.nanoTime()
