@@ -133,7 +133,7 @@ object SimilarityQueries {
     * produces `<p>assigned / <p>probes / <p>hits / <p>ivf`. One body
     * serves the seeded search (q48/q79) and the k-means-refined search
     * (q84) — the twins cannot drift. */
-  private def ivfSearchSql(p: String, cents: String): String =
+  private def ivfSearchSql(p: String, cents: String, nProbe: Int = 4): String =
     s"""${p}assigned AS (
       |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
       |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
@@ -149,7 +149,7 @@ object SimilarityQueries {
       |        ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
       |          c.cent_id) AS prn
       |    FROM n CROSS JOIN $cents c WHERE n.vec_id < 10) t
-      |  WHERE prn <= 4),
+      |  WHERE prn <= $nProbe),
       |${p}hits AS (
       |  SELECT p.q_id, a.vec_id,
       |    MAX(round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 6)) AS cos_sim
@@ -165,10 +165,13 @@ object SimilarityQueries {
 
   /** Oracle twin of Similarity.ivfTopK(vec_id < 10, k = 5) with the
     * seeded centroids, as an `ivf` CTE (q48, q79). */
-  private val ivfTopkSql =
+  /** The seeded-centroid CTE (shared by the ivf searches). */
+  private val centsSql =
     """cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-      |""".stripMargin + ivfSearchSql("", "cents")
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16)""".stripMargin
+
+  private val ivfTopkSql =
+    centsSql + ",\n" + ivfSearchSql("", "cents")
 
   /** Oracle twin of Similarity.kmeansCentroids(nCentroids=16, nIter=2):
     * the Lloyd loop unrolled, ending in `km_cents2n (cent_id, cv, cnrm)`
@@ -910,6 +913,48 @@ object SimilarityQueries {
               |SELECT COUNT(*) AS n_queries,
               |  CAST(SUM(found) AS BIGINT) AS n_found,
               |  round(SUM(rr) / COUNT(*), 6) AS mrr
-              |FROM rr""".stripMargin))
+              |FROM rr""".stripMargin)),
+
+    // EXT — IVF probe-count sweep: recall@5 vs exact at nprobe ∈
+    // {1, 2, 4} — the tuning curve that prices the recall/latency
+    // trade before an index ships (the q82 calibration discipline,
+    // applied to ANN). All three searches share the prepared frame
+    // and the seeded-centroid assignment subplan.
+    EngineQuery("q133_ivf_probe_sweep",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val prep = Some(preparedShared(s, dir))
+        val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5,
+            prep = prep)
+          .select(col("q_id"), col("vec_id"))
+        val runs = Seq(1, 2, 4).map { np =>
+          Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5, nProbe = np,
+              prep = prep)
+            .select(lit(np.toLong).as("nprobe"), col("q_id"), col("vec_id"))
+        }.reduce(_ unionAll _)
+        // 50 = 10 query vectors × k=5 exact slots (the oracle's 50.0)
+        runs.join(exact, Seq("q_id", "vec_id"))
+          .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+          .select(col("nprobe"), col("n_hits"),
+            round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_5"))
+          .orderBy("nprobe")
+      },
+      Some(s"""WITH $prepSql,
+              |$exactTopkSql,
+              |$centsSql,
+              |${ivfSearchSql("p1", "cents", nProbe = 1)},
+              |${ivfSearchSql("p2", "cents", nProbe = 2)},
+              |${ivfSearchSql("p4", "cents", nProbe = 4)},
+              |u AS (
+              |  SELECT CAST(1 AS BIGINT) AS nprobe, q_id, vec_id FROM p1ivf
+              |  UNION ALL
+              |  SELECT CAST(2 AS BIGINT), q_id, vec_id FROM p2ivf
+              |  UNION ALL
+              |  SELECT CAST(4 AS BIGINT), q_id, vec_id FROM p4ivf)
+              |SELECT nprobe, COUNT(*) AS n_hits,
+              |  round(COUNT(*) / 50.0, 6) AS recall_at_5
+              |FROM u JOIN exact e
+              |  ON e.q_id = u.q_id AND e.vec_id = u.vec_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -241,6 +241,42 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The q32 language-ID classifier (stopword-hit argmax, fixed
+    * tie-break order), shared by the per-doc report (q32) and the
+    * confusion-matrix evaluation (q132). */
+  private def langIdPredictions(s: SparkSession, dir: String): DataFrame = {
+    def hits(ws: Seq[String]) =
+      sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L))
+    tokens(s, dir)
+      .groupBy("doc_id", "lang")
+      .agg(hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
+        hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), lit("en"))
+          .when(col("es_hits") >= col("de_hits") &&
+            col("es_hits") >= col("fr_hits"), lit("es"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+  }
+
+  /** Oracle twin of [[langIdPredictions]] (the q32 oracle body, no
+    * ORDER BY — embeddable as a CTE). */
+  private lazy val langIdSql =
+    s"""SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |       WHEN de_hits >= fr_hits THEN 'de'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.en)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+       |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.es)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+       |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.de)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+       |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.fr)}) THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+       |  FROM ($tokensSql) toks GROUP BY 1, 2) t""".stripMargin
+
   val all: Seq[EngineQuery] = Seq(
 
     // Q25 — exact text dedup: hash-groupBy, keep min doc_id. One shuffle
@@ -454,35 +490,8 @@ object TextQueries {
     // Q32 — language ID by stopword-hit heuristic (argmax with a fixed
     // tie-break order).
     EngineQuery("q32_language_id",
-      (s, dir) => {
-        def hits(ws: Seq[String]) =
-          sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L))
-        tokens(s, dir)
-          .groupBy("doc_id", "lang")
-          .agg(hits(LangId.en).as("en_hits"), hits(LangId.es).as("es_hits"),
-            hits(LangId.de).as("de_hits"), hits(LangId.fr).as("fr_hits"))
-          .withColumn("predicted_lang",
-            when(col("en_hits") >= col("es_hits") &&
-              col("en_hits") >= col("de_hits") &&
-              col("en_hits") >= col("fr_hits"), lit("en"))
-              .when(col("es_hits") >= col("de_hits") &&
-                col("es_hits") >= col("fr_hits"), lit("es"))
-              .when(col("de_hits") >= col("fr_hits"), lit("de"))
-              .otherwise(lit("fr")))
-          .orderBy("doc_id")
-      },
-      Some(s"""SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
-              |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-              |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
-              |       WHEN de_hits >= fr_hits THEN 'de'
-              |       ELSE 'fr' END AS predicted_lang
-              |FROM (
-              |  SELECT doc_id, lang,
-              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.en)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
-              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.es)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
-              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.de)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
-              |    CAST(SUM(CASE WHEN tok IN (${LangId.sqlList(LangId.fr)}) THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
-              |  FROM ($tokensSql) toks GROUP BY 1, 2) t
+      (s, dir) => langIdPredictions(s, dir).orderBy("doc_id"),
+      Some(s"""SELECT * FROM ($langIdSql) p
               |ORDER BY doc_id""".stripMargin)),
 
     // Q33 — document quality score: bounded blend of token-count, non-
@@ -1099,7 +1108,43 @@ object TextQueries {
              |  a.n_toks AS n_toks_a, b.n_toks AS n_toks_b,
              |  a.full_hash = b.full_hash AS exact_dup
              |FROM p a JOIN p b ON b.pk = a.pk AND a.doc_id < b.doc_id
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // EXT — language-ID confusion matrix: the q32 classifier evaluated
+    // against the labeled lang column — per (true, predicted) cell
+    // counts plus per-true-lang accuracy, the report that says whether
+    // the heuristic is safe to gate a corpus on. One extra |docs|-row
+    // aggregation over the shared classifier body.
+    EngineQuery("q132_langid_confusion",
+      (s, dir) => {
+        val pred = langIdPredictions(s, dir)
+        val cells = pred.groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = pred.groupBy("lang")
+          .agg(count(lit(1)).as("n_lang"),
+            sum(when(col("predicted_lang") === col("lang"), 1L)
+              .otherwise(0L)).as("n_correct"))
+        cells.join(broadcast(totals), "lang")
+          .select(col("lang"), col("predicted_lang"), col("n_docs"),
+            col("n_lang"),
+            round(col("n_correct").cast("double") / col("n_lang"), 6)
+              .as("lang_accuracy"))
+          .orderBy("lang", "predicted_lang")
+      },
+      Some(s"""WITH p AS ($langIdSql),
+              |cells AS (
+              |  SELECT lang, predicted_lang, COUNT(*) AS n_docs
+              |  FROM p GROUP BY 1, 2),
+              |tot AS (
+              |  SELECT lang, COUNT(*) AS n_lang,
+              |    CAST(SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0
+              |      END) AS BIGINT) AS n_correct
+              |  FROM p GROUP BY 1)
+              |SELECT c.lang, c.predicted_lang, c.n_docs, t.n_lang,
+              |  round(CAST(t.n_correct AS DOUBLE) / t.n_lang, 6)
+              |    AS lang_accuracy
+              |FROM cells c JOIN tot t ON t.lang = c.lang
+              |ORDER BY c.lang, c.predicted_lang""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

@@ -401,6 +401,40 @@ object WindowQueries {
              |SELECT t.n AS n_keys, t.tot AS total_events,
              |  round(CAST(s.num AS DOUBLE) /
              |    (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)), 6) AS gini
-             |FROM t CROSS JOIN s""".stripMargin))
+             |FROM t CROSS JOIN s""".stripMargin)),
+
+    // EXT — RANGE-frame window battery: per-user trailing-1-hour
+    // running sum and event count ordered by EVENT TIME (a true range
+    // frame over a time axis, not a row frame — peers at the same
+    // timestamp aggregate identically by definition). Spark's
+    // rangeBetween needs a numeric order key, so the frame rides epoch
+    // microseconds; the sum runs in exact DECIMAL (the money
+    // discipline). One shuffle on user_id — the q16/q24 key.
+    EngineQuery("q134_range_frame_window",
+      (s, dir) => {
+        val hourUs = 3600L * 1000000L
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"))
+          .rangeBetween(-hourUs, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .withColumn("trailing_1h_sum",
+            sum(money(col("value"))).over(w).cast("double"))
+          .withColumn("n_in_window", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("trailing_1h_sum"),
+            col("n_in_window"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS trailing_1h_sum,
+             |  COUNT(*) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |    AS n_in_window
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }
