@@ -845,17 +845,19 @@ object CorpusQueries {
     EngineQuery("q119_dsir_importance",
       (s, dir) => {
         val K = 1024
-        val toks = TextQueries.docsSpread(s, dir)
+        // unigrams ++ bigrams in ONE array before the explode: a
+        // union of two explode branches would scan the corpus twice
+        // per consumer (this frame has two consumers below — 4 scans
+        // instead of these 2)
+        val grams = TextQueries.docsSpread(s, dir)
           .select(col("doc_id"), col("lang"),
             split(lower(col("text")), " ").as("t"))
-        val uni = toks.select(col("doc_id"), col("lang"),
-          explode(col("t")).as("g"))
-        val bi = toks.filter(size(col("t")) >= 2)
           .select(col("doc_id"), col("lang"),
-            explode(expr("transform(sequence(1, size(t) - 1), " +
-              "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-              .as("g"))
-        val grams = uni.unionAll(bi)
+            explode(concat(col("t"),
+              when(size(col("t")) >= 2,
+                expr("transform(sequence(1, size(t) - 1), " +
+                  "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+                .otherwise(expr("array()")))).as("g"))
           .select(col("doc_id"), col("lang"),
             (sha256PrefixLong(col("g")) % K).as("bucket"))
         val counts = grams.groupBy("bucket")
