@@ -863,8 +863,13 @@ object CorpusQueries {
         val counts = grams.groupBy("bucket")
           .agg(count(lit(1)).as("raw_cnt"),
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
-        val totals = counts.agg(sum("raw_cnt").as("rt"), sum("tgt_cnt").as("tt"))
-        val weights = counts.crossJoin(broadcast(totals))
+        // corpus totals via an unpartitioned window over the K-row
+        // bucket frame (bounded by construction) — a separate agg
+        // branch would re-scan the gram stream a third time
+        val wAll = Window.partitionBy()
+        val weights = counts
+          .withColumn("rt", sum("raw_cnt").over(wAll))
+          .withColumn("tt", sum("tgt_cnt").over(wAll))
           .select(col("bucket"),
             (log((col("tgt_cnt") + 0.5) / (col("tt") + K / 2.0))
               - log((col("raw_cnt") + 0.5) / (col("rt") + K / 2.0))).as("w"))
