@@ -101,6 +101,27 @@ class QueryRegistrySpec extends AnyFunSuite {
       s"composite gate kept $kept of ${rows.length} — not splitting")
   }
 
+  test("distributed Gini equals the naive sorted-rank formula (q129 self-check)") {
+    import org.apache.spark.sql.functions._
+    val row = QueryRegistry.byName("q129_user_gini").run(spark, dir).head()
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(_.getAs[Long]("c")).sorted
+    val n = counts.length.toLong
+    val tot = counts.sum
+    // naive G = Σ (2i - n - 1) c_(i) / (n Σc), i = 1..n over the sorted
+    // values — the formula the grouped two-pass decomposition must equal
+    val num = counts.zipWithIndex.map { case (c, i) =>
+      (2L * (i + 1) - n - 1) * c
+    }.sum
+    val naive = BigDecimal(num.toDouble / (n.toDouble * tot))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("n_keys") === n)
+    assert(row.getAs[Long]("total_events") === tot)
+    assert(row.getAs[Double]("gini") === naive)
+    assert(naive >= 0.0 && naive < 1.0)
+  }
+
   test("bench stdout line fits the driver's 2000-char tail capture") {
     // The driver records only the last ~2000 chars of bench stdout and
     // json-parses what it finds there; sbt appends a ~80-char
