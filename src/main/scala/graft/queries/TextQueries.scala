@@ -1144,7 +1144,56 @@ object TextQueries {
               |  round(CAST(t.n_correct AS DOUBLE) / t.n_lang, 6)
               |    AS lang_accuracy
               |FROM cells c JOIN tot t ON t.lang = c.lang
-              |ORDER BY c.lang, c.predicted_lang""".stripMargin))
+              |ORDER BY c.lang, c.predicted_lang""".stripMargin)),
+
+    // EXT — the dedup funnel: every stage of the near-dup pipeline as
+    // one row — raw docs → exact-unique texts → LSH candidate pairs →
+    // Jaccard-verified pairs (≥ 0.8) → cluster edges (the calibrated
+    // ≥ ClusterMinBands floor) → dedup survivors (one keeper per
+    // cluster, singletons included). The operational one-pager for a
+    // curation run. Every stage reads a SHARED frame (scored pairs,
+    // cluster labels) — the funnel itself adds six 1-row aggregates.
+    EngineQuery("q135_dedup_funnel",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val jac = jaccardScores(s, dir)
+        def stage(id: Long, name: String, n: DataFrame) =
+          n.select(lit(id).as("stage_id"), lit(name).as("stage"), col("n"))
+        stage(1, "raw_docs", d.agg(count(lit(1)).as("n")))
+          .unionAll(stage(2, "exact_unique",
+            d.agg(countDistinct(sha2(col("text"), 256)).as("n"))))
+          .unionAll(stage(3, "candidate_pairs",
+            jac.agg(count(lit(1)).as("n"))))
+          .unionAll(stage(4, "verified_pairs",
+            jac.filter(col("jaccard") >= 0.8).agg(count(lit(1)).as("n"))))
+          .unionAll(stage(5, "cluster_edges",
+            jac.filter(col("n_shared_bands") >= ClusterMinBands)
+              .agg(count(lit(1)).as("n"))))
+          .unionAll(stage(6, "dedup_survivors",
+            dupClusterLabels(s, dir)
+              .agg(countDistinct(col("cluster_id")).as("n"))))
+          .orderBy("stage_id")
+      },
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$jaccardCoreSql,
+              |$ccLabelsSql,
+              |stages AS (
+              |  SELECT 1 AS stage_id, 'raw_docs' AS stage,
+              |    (SELECT COUNT(*) FROM documents) AS n
+              |  UNION ALL SELECT 2, 'exact_unique',
+              |    (SELECT COUNT(DISTINCT sha256(text)) FROM documents)
+              |  UNION ALL SELECT 3, 'candidate_pairs',
+              |    (SELECT COUNT(*) FROM jac)
+              |  UNION ALL SELECT 4, 'verified_pairs',
+              |    (SELECT COUNT(*) FROM jac WHERE jaccard >= 0.8)
+              |  UNION ALL SELECT 5, 'cluster_edges',
+              |    (SELECT COUNT(*) FROM cc_pairs)
+              |  UNION ALL SELECT 6, 'dedup_survivors',
+              |    (SELECT COUNT(DISTINCT cluster_id) FROM cc_labels))
+              |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+              |  CAST(n AS BIGINT) AS n
+              |FROM stages ORDER BY stage_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
