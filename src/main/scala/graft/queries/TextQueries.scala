@@ -1193,7 +1193,90 @@ object TextQueries {
               |    (SELECT COUNT(DISTINCT cluster_id) FROM cc_labels))
               |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
               |  CAST(n AS BIGINT) AS n
-              |FROM stages ORDER BY stage_id""".stripMargin))
+              |FROM stages ORDER BY stage_id""".stripMargin)),
+
+    // EXT — winnowing-overlap pairs (the plagiarism-detection pairing,
+    // Schleimer et al. 2003): documents sharing ≥ 2 distinct RARE
+    // winnow fingerprints (q35's rolling-min prints). "Rare" = document
+    // frequency ≤ 8 — MOSS's over-common-fingerprint skip, and the
+    // scale guard: on this boilerplate-heavy corpus unfiltered
+    // fingerprint buckets pair quadratically (11.2M pairs at sf0.1; the
+    // df cap bounds each bucket to ≤ 28 pairs and leaves 1.1k true
+    // overlap pairs). Pairing reuses the banded-LSH generator —
+    // fingerprints become single-band bucket keys, bucket-local, never
+    // all-pairs.
+    EngineQuery("q136_winnow_pairs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(-3, 0)
+        val fp = gramsDf(s, dir)
+          .withColumn("h", bandHash(lit(0), col("gram")))
+          .withColumn("wmin", min(col("h")).over(w))
+          .filter(col("i") >= 4)
+          .select(col("doc_id"), col("wmin")).distinct()
+        val rare = fp.groupBy("wmin")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") <= 8)
+          .select("wmin")
+        TextDedup.candidatePairs(
+            fp.join(rare, "wmin")
+              .select(col("doc_id"), lit(0).as("band"),
+                col("wmin").as("minhash")))
+          .filter(col("n_shared_bands") >= 2)
+          .select(col("doc_a"), col("doc_b"),
+            col("n_shared_bands").as("n_shared_fps"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |hashed AS (
+              |  SELECT doc_id, i, ${bandHashSql("0", "gram")} AS h FROM grams),
+              |winnowed AS (
+              |  SELECT doc_id, i,
+              |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+              |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+              |  FROM hashed),
+              |fp AS (
+              |  SELECT DISTINCT doc_id, wmin FROM winnowed WHERE i >= 4),
+              |df AS (
+              |  SELECT wmin FROM fp GROUP BY wmin HAVING COUNT(*) <= 8)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  COUNT(*) AS n_shared_fps
+              |FROM fp a JOIN df ON df.wmin = a.wmin
+              |JOIN fp b ON b.wmin = a.wmin AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // EXT — verified near-dup source matrix: where do the TRUE
+    // (Jaccard ≥ 0.8) duplicate pairs live, by source pair? The
+    // contract-level companion to q117's raw gram overlap — this one
+    // counts verified duplicates, the number a licensing / provenance
+    // audit wants. Reads the shared scored-pair frame plus two
+    // broadcast-able id→source lookups.
+    EngineQuery("q137_neardup_source_matrix",
+      (s, dir) => {
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        jaccardScores(s, dir)
+          .filter(col("jaccard") >= 0.8)
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("sb")), "doc_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$jaccardCoreSql
+              |SELECT least(da.source, db.source) AS source_a,
+              |  greatest(da.source, db.source) AS source_b,
+              |  COUNT(*) AS n_dup_pairs
+              |FROM jac
+              |JOIN documents da ON da.doc_id = jac.doc_a
+              |JOIN documents db ON db.doc_id = jac.doc_b
+              |WHERE jac.jaccard >= 0.8
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
