@@ -333,7 +333,12 @@ object WindowQueries {
             sum("gap_us").as("sum_us"))
           .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
             col("max_gap_us"),
-            round(col("sum_us").cast("double") / col("n_gaps") / 1e6, 6)
+            // NO rounding: the operands are exact integers and the two
+            // divisions run in the same order in both engines, so the
+            // doubles are bit-identical — round(x, 6) is what BROKE
+            // parity here (a half-ulp tie at the 6th decimal rounded
+            // differently in Spark vs DuckDB at sf0.1)
+            (col("sum_us").cast("double") / col("n_gaps") / 1e6)
               .as("mean_gap_s"))
           .orderBy("user_id")
       },
@@ -344,7 +349,7 @@ object WindowQueries {
              |  FROM events)
              |SELECT user_id, COUNT(*) AS n_gaps,
              |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
-             |  round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0
              |    AS mean_gap_s
              |FROM g WHERE gap_us IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
