@@ -41,6 +41,88 @@ object CorpusQueries {
   /** q86 shard width: docs per shard for the parallel prefix-sum pass. */
   private val PackShard = 100
 
+  /** The q85 chunk frame (doc_id, chunk_idx, n_tokens, chunk_text),
+    * without the final sort — shared by the chunking report (q85) and
+    * chunk-level dedup (q138). */
+  private def chunked(s: SparkSession, dir: String) =
+    TextQueries.docsSpread(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil((col("n") - ChunkOverlap).cast("double") / ChunkStride)
+          .cast("long")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"),
+          (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkTokens)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+
+  /** Oracle twin of [[chunked]] as a CTE chain ending in `chunks`. */
+  private lazy val chunkSql =
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, toks,
+       |    greatest(1, CAST(ceil((n - $ChunkOverlap) / ${ChunkStride}.0) AS BIGINT)) AS n_chunks
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx
+       |  FROM x),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(len(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens]) AS BIGINT) AS n_tokens,
+       |    array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens], ' ') AS chunk_text
+       |  FROM e)""".stripMargin
+
+  /** The q86 packing frame (doc_id, n_tokens, cum_before + derived
+    * pack columns), without the final sort — shared by the packing
+    * report (q86) and the efficiency summary (q139). The global
+    * prefix sum is shard-local windows + a broadcast |shards|-row
+    * prefix join, never a one-partition window over the corpus. */
+  private def packed(s: SparkSession, dir: String) = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", floor(col("doc_id") / PackShard).cast("long"))
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
+    val within = tok.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wSh = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = tok.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("shard_toks"))
+      .withColumn("prefix",
+        sum(col("shard_toks")).over(wSh) - col("shard_toks"))
+      .select("shard", "prefix")
+    within.join(broadcast(prefix), Seq("shard"))
+      .withColumn("cum_before",
+        col("prefix") + col("cum_in") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        floor(col("cum_before").cast("double") / PackContext)
+          .cast("long").as("pack_id"),
+        (col("cum_before") % PackContext).as("pack_offset"),
+        ((col("cum_before") % PackContext) + col("n_tokens") > PackContext)
+          .as("spans_boundary"))
+  }
+
+  /** Oracle twin of [[packed]] as a CTE chain ending in `packc`. */
+  private lazy val packSql =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |packc AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS cum_before
+       |  FROM tok)""".stripMargin
+
   val all: Seq[EngineQuery] = Seq(
 
     // EXT — fixed-size token chunking with overlap: every document cut
@@ -51,41 +133,10 @@ object CorpusQueries {
     // document is one (short) chunk and the final chunk is allowed to
     // run short. Pure per-document expressions: explode + slice.
     EngineQuery("q85_token_chunking",
-      (s, dir) => TextQueries.docsSpread(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("n_chunks", greatest(lit(1L),
-          ceil((col("n") - ChunkOverlap).cast("double") / ChunkStride)
-            .cast("long")))
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          slice(col("toks"),
-            (col("chunk_idx") * ChunkStride + 1).cast("int"),
-            lit(ChunkTokens)).as("ctoks"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("ctoks")).cast("long").as("n_tokens"),
-          array_join(col("ctoks"), " ").as("chunk_text"))
-        .orderBy("doc_id", "chunk_idx"),
-      Some(s"""WITH t AS (
-              |  SELECT doc_id, string_split(text, ' ') AS toks,
-              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-              |  FROM documents),
-              |x AS (
-              |  SELECT doc_id, toks,
-              |    greatest(1, CAST(ceil((n - $ChunkOverlap) / ${ChunkStride}.0) AS BIGINT)) AS n_chunks
-              |  FROM t),
-              |e AS (
-              |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx
-              |  FROM x),
-              |c AS (
-              |  SELECT doc_id, chunk_idx,
-              |    toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens] AS ctoks
-              |  FROM e)
-              |SELECT doc_id, chunk_idx,
-              |  CAST(len(ctoks) AS BIGINT) AS n_tokens,
-              |  array_to_string(ctoks, ' ') AS chunk_text
-              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+      (s, dir) => chunked(s, dir).orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH $chunkSql
+              |SELECT doc_id, chunk_idx, n_tokens, chunk_text
+              |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // EXT — sequence packing offsets: concatenate the corpus in doc_id
     // order and cut every PackContext tokens; each document learns its
@@ -96,49 +147,15 @@ object CorpusQueries {
     // window (see the object scaladoc); the oracle states the same
     // arithmetic as one plain window.
     EngineQuery("q86_sequence_packing",
-      (s, dir) => {
-        val tok = docs(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .withColumn("shard", floor(col("doc_id") / PackShard).cast("long"))
-        val wIn = Window.partitionBy("shard").orderBy("doc_id")
-        val within = tok.withColumn("cum_in",
-          sum(col("n_tokens")).over(wIn))
-        // |shards| rows: the only ordered window runs over this tiny
-        // aggregate frame, then broadcasts back
-        val wSh = Window.orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val prefix = tok.groupBy("shard")
-          .agg(sum(col("n_tokens")).as("shard_toks"))
-          .withColumn("prefix",
-            sum(col("shard_toks")).over(wSh) - col("shard_toks"))
-          .select("shard", "prefix")
-        within.join(broadcast(prefix), Seq("shard"))
-          .withColumn("cum_before",
-            col("prefix") + col("cum_in") - col("n_tokens"))
-          .select(col("doc_id"), col("n_tokens"),
-            floor(col("cum_before").cast("double") / PackContext)
-              .cast("long").as("pack_id"),
-            (col("cum_before") % PackContext).as("pack_offset"),
-            ((col("cum_before") % PackContext) + col("n_tokens") > PackContext)
-              .as("spans_boundary"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH tok AS (
-              |  SELECT doc_id,
-              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-              |  FROM documents),
-              |c AS (
-              |  SELECT doc_id, n_tokens,
-              |    SUM(n_tokens) OVER (ORDER BY doc_id
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |      - n_tokens AS cum_before
-              |  FROM tok)
+      (s, dir) => packed(s, dir)
+        .drop("cum_before")
+        .orderBy("doc_id"),
+      Some(s"""WITH $packSql
               |SELECT doc_id, n_tokens,
               |  CAST(floor(cum_before / ${PackContext}.0) AS BIGINT) AS pack_id,
               |  CAST(cum_before % $PackContext AS BIGINT) AS pack_offset,
               |  (cum_before % $PackContext) + n_tokens > $PackContext AS spans_boundary
-              |FROM c ORDER BY doc_id""".stripMargin)),
+              |FROM packc ORDER BY doc_id""".stripMargin)),
 
     // EXT — repetition-ratio quality filter: the share of a document's
     // 8-gram occurrences taken by its single most repeated gram, plus
@@ -1040,6 +1057,72 @@ object CorpusQueries {
              |    AS fertility,
              |  round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS BIGINT), 6)
              |    AS chars_per_token
-             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — chunk-level exact dedup: after the q85 chunking, how much
+    // of the TRAINING-SEQUENCE set is redundant, per source? Document-
+    // level dedup (q25) misses chunks duplicated across distinct
+    // documents — the overlap seams and shared boilerplate this report
+    // counts. The ratio is a single integer division (no rounding: the
+    // q123 lesson — identical operand order gives bit-identical
+    // doubles).
+    EngineQuery("q138_chunk_dedup",
+      (s, dir) => {
+        val c = chunked(s, dir)
+          .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), sha2(col("chunk_text"), 256).as("ch"))
+        c.groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("ch")).as("n_unique"))
+          .select(col("source"), col("n_chunks"), col("n_unique"),
+            (lit(1.0) - col("n_unique").cast("double") / col("n_chunks"))
+              .as("dup_chunk_frac"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $chunkSql,
+              |h AS (
+              |  SELECT d.source, sha256(c.chunk_text) AS ch
+              |  FROM chunks c JOIN documents d ON d.doc_id = c.doc_id)
+              |SELECT source, COUNT(*) AS n_chunks,
+              |  CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique,
+              |  1.0 - CAST(COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*)
+              |    AS dup_chunk_frac
+              |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — packing efficiency: the one-row report a packed-pretraining
+    // loader build emits — context windows used, fill rate, and how
+    // many documents span a window boundary (candidates for re-chunking
+    // or attention masking). Derived from the q86 shared frame; the
+    // window count is exact integer arithmetic on the final cumulative
+    // total.
+    EngineQuery("q139_packing_efficiency",
+      (s, dir) => packed(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("cum_before") + col("n_tokens")).as("grand_total"),
+          sum(when(col("spans_boundary"), 1L).otherwise(0L))
+            .as("n_spanning"))
+        // Column./ on longs is DOUBLE division — floor() makes it the
+        // integer floor-div the oracle's // computes (exact below 2^53)
+        .withColumn("n_windows",
+          floor((col("grand_total") + (PackContext - 1)) / PackContext)
+            .cast("long"))
+        .select(col("n_docs"), col("total_tokens"), col("n_windows"),
+          (col("total_tokens").cast("double") /
+            (col("n_windows") * PackContext).cast("double"))
+            .as("fill_rate"),
+          col("n_spanning")),
+      Some(s"""WITH $packSql
+              |SELECT COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              |  CAST((MAX(cum_before + n_tokens) + ${PackContext - 1})
+              |    // $PackContext AS BIGINT) AS n_windows,
+              |  CAST(SUM(n_tokens) AS DOUBLE) /
+              |    (((MAX(cum_before + n_tokens) + ${PackContext - 1})
+              |      // $PackContext) * $PackContext) AS fill_rate,
+              |  CAST(SUM(CASE WHEN (cum_before % $PackContext) + n_tokens
+              |    > $PackContext THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_spanning
+              |FROM packc""".stripMargin))
   )
 }
