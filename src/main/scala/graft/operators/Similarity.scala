@@ -425,13 +425,20 @@ object Similarity {
   def pqEncode(embeddings: DataFrame, m: Int = 4, nCents: Int = 16,
       inDims: Int = 64, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    require(inDims % m == 0, s"inDims=$inDims not divisible by m=$m")
-    val subDim = inDims / m
-    val sv = embeddings.select(col(idCol), scaledFixed(col(embCol)).as("sv"))
-    val cents = sv.filter(col(idCol) < nCents)
-      .select(col(idCol).as("cid"), col("sv").as("cv"))
-    // |codebook| = nCents rows: the cross join IS the broadcast fan-out.
-    val dists = sv.crossJoin(broadcast(cents))
+    val best = pqBestPerSubspace(embeddings, m, nCents, inDims, idCol, embCol)
+    val codeCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code_$i"))
+    best.groupBy(idCol)
+      .agg(codeCols.head, codeCols.tail :+ sum(col("dist")).as("qerr_fp"): _*)
+  }
+
+  /** Exact per-(vector, codebook-entry, subspace) squared distances in
+    * the 1e-6 fixed-point domain — the shared core of [[pqEncode]] and
+    * [[pqAdcTopK]]. |codebook| = nCents rows: the cross join IS the
+    * broadcast fan-out. */
+  private def subspaceDists(sv: DataFrame, cents: DataFrame, m: Int,
+      subDim: Int, idCol: String): DataFrame =
+    sv.crossJoin(broadcast(cents))
       .select(col(idCol), col("cid"), posexplode(
         transform(sequence(lit(0), lit(m - 1)), mm =>
           aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L),
@@ -441,14 +448,54 @@ object Similarity {
               acc + d * d
             }))))
       .toDF(idCol, "cid", "sub", "dist")
-    val best = dists.groupBy(col(idCol), col("sub"))
+
+  private def pqBestPerSubspace(embeddings: DataFrame, m: Int, nCents: Int,
+      inDims: Int, idCol: String, embCol: String): DataFrame = {
+    require(inDims % m == 0, s"inDims=$inDims not divisible by m=$m")
+    val sv = embeddings.select(col(idCol), scaledFixed(col(embCol)).as("sv"))
+    val cents = sv.filter(col(idCol) < nCents)
+      .select(col(idCol).as("cid"), col("sv").as("cv"))
+    subspaceDists(sv, cents, m, inDims / m, idCol)
+      .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("dist"), col("cid"))).as("b"))
       .select(col(idCol), col("sub"),
         col("b").getField("cid").as("code"),
         col("b").getField("dist").as("dist"))
-    val codeCols = (0 until m).map(i =>
-      max(when(col("sub") === i, col("code"))).as(s"code_$i"))
-    best.groupBy(idCol)
-      .agg(codeCols.head, codeCols.tail :+ sum(col("dist")).as("qerr_fp"): _*)
+  }
+
+  /** PQ-compressed top-k search by asymmetric distance (ADC): the
+    * database side is its PQ codes only; each query keeps full
+    * precision and builds a (nCents × m) lookup table of exact
+    * subspace distances, and a candidate's ADC distance is the sum of
+    * m table entries — the memory-compressed ANN search path (Jégou
+    * et al. 2011). Everything stays in the exact fixed-point integer
+    * domain, so ranking is reproducible cross-engine. Scale shape:
+    * codes explode to m rows per vector and join the BROADCAST
+    * |queries|·nCents·m LUT; the per-(query, candidate) sum
+    * partial-aggregates map-side before one keyed exchange.
+    */
+  def pqAdcTopK(embeddings: DataFrame, queryPredicate: Column, k: Int = 5,
+      m: Int = 4, nCents: Int = 16, inDims: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(inDims % m == 0, s"inDims=$inDims not divisible by m=$m")
+    val sv = embeddings.select(col(idCol), scaledFixed(col(embCol)).as("sv"))
+    val cents = sv.filter(col(idCol) < nCents)
+      .select(col(idCol).as("cid"), col("sv").as("cv"))
+    val dists = subspaceDists(sv, cents, m, inDims / m, idCol)
+    val codes = dists
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col(idCol), col("sub"), col("b").getField("cid").as("code"))
+    val lut = dists.filter(queryPredicate)
+      .select(col(idCol).as("q_id"), col("cid"), col("sub"), col("dist"))
+    val adc = codes
+      .join(broadcast(lut),
+        lut("sub") === codes("sub") && lut("cid") === codes("code") &&
+          lut("q_id") =!= codes(idCol))
+      .groupBy(col("q_id"), codes(idCol))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col(idCol))
+    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 }

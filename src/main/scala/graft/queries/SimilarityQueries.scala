@@ -955,6 +955,60 @@ object SimilarityQueries {
               |  round(COUNT(*) / 50.0, 6) AS recall_at_5
               |FROM u JOIN exact e
               |  ON e.q_id = u.q_id AND e.vec_id = u.vec_id
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — PQ-compressed top-5 search by asymmetric distance (ADC,
+    // Jégou et al. 2011): the database is its 4 PQ codes per vector,
+    // each query builds an exact 16×4 subspace-distance LUT, and a
+    // candidate's distance is the sum of 4 looked-up BIGINTs — the
+    // memory-compressed ANN path (codes are ~32 bytes/vector instead
+    // of 256). Exact fixed-point integers end to end, so the ranking
+    // is reproducible cross-engine.
+    EngineQuery("q140_pq_adc_search",
+      (s, dir) => Similarity.pqAdcTopK(
+          Tables.table(s, dir, "embeddings"), col("vec_id") < 10, k = 5,
+          m = 4, nCents = 16, inDims = 64)
+        .orderBy("q_id", "rn"),
+      Some("""WITH sv AS (
+             |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |cents AS (
+             |  SELECT vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16),
+             |u AS (
+             |  SELECT vec_id, unnest(sv) AS c,
+             |    unnest(range(0, len(sv))) AS i
+             |  FROM sv),
+             |cu AS (
+             |  SELECT cid, unnest(cv) AS cc,
+             |    unnest(range(0, len(cv))) AS i
+             |  FROM cents),
+             |d AS (
+             |  SELECT u.vec_id, cu.cid, u.i // 16 AS sub,
+             |    CAST(SUM((u.c - cu.cc) * (u.c - cu.cc)) AS BIGINT) AS dist
+             |  FROM u JOIN cu ON cu.i = u.i GROUP BY 1, 2, 3),
+             |best AS (
+             |  SELECT vec_id, sub, cid, dist,
+             |    row_number() OVER (PARTITION BY vec_id, sub
+             |      ORDER BY dist, cid) AS rn
+             |  FROM d),
+             |codes AS (SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1),
+             |lut AS (
+             |  SELECT vec_id AS q_id, cid, sub, dist FROM d
+             |  WHERE vec_id < 10),
+             |adc AS (
+             |  SELECT l.q_id, c.vec_id,
+             |    CAST(SUM(l.dist) AS BIGINT) AS adc_dist
+             |  FROM codes c JOIN lut l
+             |    ON l.sub = c.sub AND l.cid = c.code
+             |    AND l.q_id <> c.vec_id
+             |  GROUP BY 1, 2),
+             |top AS (
+             |  SELECT q_id, vec_id, adc_dist,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY adc_dist, vec_id) AS rn
+             |  FROM adc)
+             |SELECT q_id, vec_id, adc_dist, rn FROM top WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin))
   )
 }
