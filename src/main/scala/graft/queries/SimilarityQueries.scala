@@ -1009,6 +1009,75 @@ object SimilarityQueries {
              |      ORDER BY adc_dist, vec_id) AS rn
              |  FROM adc)
              |SELECT q_id, vec_id, adc_dist, rn FROM top WHERE rn <= 5
-             |ORDER BY q_id, rn""".stripMargin))
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // EXT — ADC recall@5 vs the exact scan: what the 64×-compression
+    // trade of q140 costs in retrieval quality (the q79 evaluation,
+    // applied to the PQ path). Both sides reuse their operators'
+    // plans; the oracle composes their CTEs (no name overlap between
+    // the cosine prep and the fixed-point PQ chain).
+    EngineQuery("q141_adc_recall",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val exact = Similarity.topKCosine(emb, col("q_id") < 10, k = 5,
+            prep = Some(preparedShared(s, dir)))
+          .select(col("q_id"), col("vec_id"))
+        val adc = Similarity.pqAdcTopK(emb, col("vec_id") < 10, k = 5,
+            m = 4, nCents = 16, inDims = 64)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(adc, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / 5.0, 6).as("recall_at_5"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $prepSql,
+              |$exactTopkSql,
+              |sv AS (
+              |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |pqcents AS (
+              |  SELECT vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16),
+              |u AS (
+              |  SELECT vec_id, unnest(sv) AS c,
+              |    unnest(range(0, len(sv))) AS i
+              |  FROM sv),
+              |cu AS (
+              |  SELECT cid, unnest(cv) AS cc,
+              |    unnest(range(0, len(cv))) AS i
+              |  FROM pqcents),
+              |d AS (
+              |  SELECT u.vec_id, cu.cid, u.i // 16 AS sub,
+              |    CAST(SUM((u.c - cu.cc) * (u.c - cu.cc)) AS BIGINT) AS dist
+              |  FROM u JOIN cu ON cu.i = u.i GROUP BY 1, 2, 3),
+              |pqbest AS (
+              |  SELECT vec_id, sub, cid, dist,
+              |    row_number() OVER (PARTITION BY vec_id, sub
+              |      ORDER BY dist, cid) AS rn
+              |  FROM d),
+              |codes AS (SELECT vec_id, sub, cid AS code FROM pqbest WHERE rn = 1),
+              |lut AS (
+              |  SELECT vec_id AS q_id, cid, sub, dist FROM d
+              |  WHERE vec_id < 10),
+              |adc AS (
+              |  SELECT l.q_id, c.vec_id,
+              |    CAST(SUM(l.dist) AS BIGINT) AS adc_dist
+              |  FROM codes c JOIN lut l
+              |    ON l.sub = c.sub AND l.cid = c.code
+              |    AND l.q_id <> c.vec_id
+              |  GROUP BY 1, 2),
+              |adctop AS (
+              |  SELECT q_id, vec_id,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY adc_dist, vec_id) AS rn
+              |  FROM adc)
+              |SELECT e.q_id,
+              |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              |  round(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 6) AS recall_at_5
+              |FROM exact e LEFT JOIN adctop a
+              |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id AND a.rn <= 5
+              |GROUP BY 1 ORDER BY e.q_id""".stripMargin))
   )
 }
