@@ -1078,6 +1078,91 @@ object SimilarityQueries {
               |  round(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 6) AS recall_at_5
               |FROM exact e LEFT JOIN adctop a
               |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id AND a.rn <= 5
-              |GROUP BY 1 ORDER BY e.q_id""".stripMargin))
+              |GROUP BY 1 ORDER BY e.q_id""".stripMargin)),
+
+    // EXT — reciprocal-rank fusion of the IVF and PQ-ADC result lists
+    // (RRF, Cormack et al. 2009 — the standard hybrid-retrieval
+    // combiner): score = Σ 1/(60 + rank) over the lists that returned
+    // the candidate, re-ranked. The fused score is computed from
+    // integer ranks by the identical expression in both engines, so
+    // the doubles are bit-identical and surface UNrounded (the q123
+    // discipline). Both input lists reuse their operators' plans.
+    EngineQuery("q142_rank_fusion",
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5,
+            prep = Some(preparedShared(s, dir)))
+          .select(col("q_id"), col("vec_id"), col("rn").as("rn_ivf"))
+        val adc = Similarity.pqAdcTopK(emb, col("vec_id") < 10, k = 5,
+            m = 4, nCents = 16, inDims = 64)
+          .select(col("q_id"), col("vec_id"), col("rn").as("rn_adc"))
+        val fused = ivf.join(adc, Seq("q_id", "vec_id"), "full")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("rn_ivf")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rn_adc")), lit(0.0)))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("vec_id"))
+        fused.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("rrf"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH $prepSql,
+              |$centsSql,
+              |${ivfSearchSql("", "cents")},
+              |sv AS (
+              |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |pqcents AS (
+              |  SELECT vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16),
+              |u AS (
+              |  SELECT vec_id, unnest(sv) AS c,
+              |    unnest(range(0, len(sv))) AS i
+              |  FROM sv),
+              |cu AS (
+              |  SELECT cid, unnest(cv) AS cc,
+              |    unnest(range(0, len(cv))) AS i
+              |  FROM pqcents),
+              |d AS (
+              |  SELECT u.vec_id, cu.cid, u.i // 16 AS sub,
+              |    CAST(SUM((u.c - cu.cc) * (u.c - cu.cc)) AS BIGINT) AS dist
+              |  FROM u JOIN cu ON cu.i = u.i GROUP BY 1, 2, 3),
+              |pqbest AS (
+              |  SELECT vec_id, sub, cid, dist,
+              |    row_number() OVER (PARTITION BY vec_id, sub
+              |      ORDER BY dist, cid) AS rn
+              |  FROM d),
+              |codes AS (SELECT vec_id, sub, cid AS code FROM pqbest WHERE rn = 1),
+              |lut AS (
+              |  SELECT vec_id AS q_id, cid, sub, dist FROM d
+              |  WHERE vec_id < 10),
+              |adc AS (
+              |  SELECT l.q_id, c.vec_id,
+              |    CAST(SUM(l.dist) AS BIGINT) AS adc_dist
+              |  FROM codes c JOIN lut l
+              |    ON l.sub = c.sub AND l.cid = c.code
+              |    AND l.q_id <> c.vec_id
+              |  GROUP BY 1, 2),
+              |adctop AS (
+              |  SELECT q_id, vec_id,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY adc_dist, vec_id) AS rn
+              |  FROM adc),
+              |fused AS (
+              |  SELECT COALESCE(i.q_id, a.q_id) AS q_id,
+              |    COALESCE(i.vec_id, a.vec_id) AS vec_id,
+              |    COALESCE(1.0 / (60 + i.rn), 0)
+              |      + COALESCE(1.0 / (60 + a.rn), 0) AS rrf
+              |  FROM ivf i
+              |  FULL JOIN (SELECT * FROM adctop WHERE rn <= 5) a
+              |    ON a.q_id = i.q_id AND a.vec_id = i.vec_id)
+              |SELECT q_id, vec_id, rrf, rn FROM (
+              |  SELECT q_id, vec_id, rrf,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY rrf DESC, vec_id) AS rn
+              |  FROM fused) t
+              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
   )
 }
