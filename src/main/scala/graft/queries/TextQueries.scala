@@ -1005,12 +1005,23 @@ object TextQueries {
           // multiplies the join output that the candidate DISTINCT then
           // has to collapse — measured 2× join-input reduction
           .distinct()
-        variants.select(col("key"), col("c_custkey").as("key_a"),
+        // join on the xxhash64 of the variant (8-byte key vs an
+        // 18-char string — the q31 width discipline); a hash collision
+        // can only ADD a candidate, and the levenshtein verification
+        // removes it like any other bucket-noise pair
+        val hashed = variants.select(xxhash64(col("key")).as("hkey"),
+          col("c_custkey"), col("c_name"))
+        hashed.select(col("hkey"), col("c_custkey").as("key_a"),
             col("c_name").as("name_a"))
-          .join(variants.select(col("key"), col("c_custkey").as("key_b"),
-            col("c_name").as("name_b")), Seq("key"))
+          .join(hashed.select(col("hkey"), col("c_custkey").as("key_b"),
+            col("c_name").as("name_b")), Seq("hkey"))
           .filter(col("key_a") < col("key_b"))
-          .select("key_a", "key_b", "name_a", "name_b").distinct()
+          // names are functionally dependent on the keys, so max() is
+          // deterministic — and the distinct collapses 8-byte pairs,
+          // not 4-string rows
+          .groupBy("key_a", "key_b")
+          .agg(max(col("name_a")).as("name_a"),
+            max(col("name_b")).as("name_b"))
           .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
           .orderBy("key_a", "key_b")
       },
