@@ -424,13 +424,36 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame, m: Int = 4, nCents: Int = 16,
       inDims: Int = 64, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val best = pqBestPerSubspace(embeddings, m, nCents, inDims, idCol, embCol)
+      embCol: String = "embedding",
+      dists: Option[DataFrame] = None): DataFrame = {
+    val best = bestPerSubspace(
+      dists.getOrElse(pqSubspaceDists(embeddings, m, nCents, inDims,
+        idCol, embCol)), idCol)
     val codeCols = (0 until m).map(i =>
       max(when(col("sub") === i, col("code"))).as(s"code_$i"))
     best.groupBy(idCol)
       .agg(codeCols.head, codeCols.tail :+ sum(col("dist")).as("qerr_fp"): _*)
   }
+
+  /** The exact per-(vector, codebook-entry, subspace) distance frame —
+    * public so callers running several PQ consumers (encode, ADC
+    * search, recall eval, fusion) can build and persist it ONCE. */
+  def pqSubspaceDists(embeddings: DataFrame, m: Int = 4, nCents: Int = 16,
+      inDims: Int = 64, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(inDims % m == 0, s"inDims=$inDims not divisible by m=$m")
+    val sv = embeddings.select(col(idCol), scaledFixed(col(embCol)).as("sv"))
+    val cents = sv.filter(col(idCol) < nCents)
+      .select(col(idCol).as("cid"), col("sv").as("cv"))
+    subspaceDists(sv, cents, m, inDims / m, idCol)
+  }
+
+  private def bestPerSubspace(dists: DataFrame, idCol: String): DataFrame =
+    dists.groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col(idCol), col("sub"),
+        col("b").getField("cid").as("code"),
+        col("b").getField("dist").as("dist"))
 
   /** Exact per-(vector, codebook-entry, subspace) squared distances in
     * the 1e-6 fixed-point domain — the shared core of [[pqEncode]] and
@@ -449,20 +472,6 @@ object Similarity {
             }))))
       .toDF(idCol, "cid", "sub", "dist")
 
-  private def pqBestPerSubspace(embeddings: DataFrame, m: Int, nCents: Int,
-      inDims: Int, idCol: String, embCol: String): DataFrame = {
-    require(inDims % m == 0, s"inDims=$inDims not divisible by m=$m")
-    val sv = embeddings.select(col(idCol), scaledFixed(col(embCol)).as("sv"))
-    val cents = sv.filter(col(idCol) < nCents)
-      .select(col(idCol).as("cid"), col("sv").as("cv"))
-    subspaceDists(sv, cents, m, inDims / m, idCol)
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("dist"), col("cid"))).as("b"))
-      .select(col(idCol), col("sub"),
-        col("b").getField("cid").as("code"),
-        col("b").getField("dist").as("dist"))
-  }
-
   /** PQ-compressed top-k search by asymmetric distance (ADC): the
     * database side is its PQ codes only; each query keeps full
     * precision and builds a (nCents × m) lookup table of exact
@@ -476,16 +485,11 @@ object Similarity {
     */
   def pqAdcTopK(embeddings: DataFrame, queryPredicate: Column, k: Int = 5,
       m: Int = 4, nCents: Int = 16, inDims: Int = 64,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(inDims % m == 0, s"inDims=$inDims not divisible by m=$m")
-    val sv = embeddings.select(col(idCol), scaledFixed(col(embCol)).as("sv"))
-    val cents = sv.filter(col(idCol) < nCents)
-      .select(col(idCol).as("cid"), col("sv").as("cv"))
-    val dists = subspaceDists(sv, cents, m, inDims / m, idCol)
-    val codes = dists
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("dist"), col("cid"))).as("b"))
-      .select(col(idCol), col("sub"), col("b").getField("cid").as("code"))
+      idCol: String = "vec_id", embCol: String = "embedding",
+      precomputedDists: Option[DataFrame] = None): DataFrame = {
+    val dists = precomputedDists.getOrElse(
+      pqSubspaceDists(embeddings, m, nCents, inDims, idCol, embCol))
+    val codes = bestPerSubspace(dists, idCol).drop("dist")
     val lut = dists.filter(queryPredicate)
       .select(col(idCol).as("q_id"), col("cid"), col("sub"), col("dist"))
     val adc = codes

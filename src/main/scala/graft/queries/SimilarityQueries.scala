@@ -91,9 +91,24 @@ object SimilarityQueries {
           preparedShared(s, dir).select("vec_id"), mutualShared(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared PQ subspace-distance frame per (session, dir): the
+    * encode report (q125), ADC search (q140), its recall eval (q141)
+    * and rank fusion (q142) all start from the same exact
+    * |vectors|·nCents·m distance frame — built and persisted once
+    * (the preparedShared pattern); [[reset]] evicts. */
+  private val sharedPqDists = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def pqDistsShared(s: SparkSession, dir: String): DataFrame =
+    sharedPqDists.getOrElseUpdate((s, dir),
+      Similarity.pqSubspaceDists(Tables.table(s, dir, "embeddings"),
+          m = 4, nCents = 16, inDims = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Unpersist + evict the shared prepared frames for a session (the
     * TextQueries.reset / OperatorQueries.reset teardown contract). */
   def reset(s: SparkSession): Unit = {
+    sharedPqDists.keys.filter(_._1 eq s).foreach(k =>
+      sharedPqDists.remove(k).foreach(_.unpersist(blocking = false)))
     sharedPrepared.keys.filter(_._1 eq s).foreach(k =>
       sharedPrepared.remove(k).foreach(_.unpersist(blocking = false)))
     sharedKmeans.keys.filter(_._1 eq s).foreach(k =>
@@ -786,7 +801,7 @@ object SimilarityQueries {
     EngineQuery("q125_pq_encode",
       (s, dir) => Similarity.pqEncode(
           Tables.table(s, dir, "embeddings"), m = 4, nCents = 16,
-          inDims = 64)
+          inDims = 64, dists = Some(pqDistsShared(s, dir)))
         .orderBy("vec_id"),
       Some("""WITH sv AS (
              |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -967,7 +982,8 @@ object SimilarityQueries {
     EngineQuery("q140_pq_adc_search",
       (s, dir) => Similarity.pqAdcTopK(
           Tables.table(s, dir, "embeddings"), col("vec_id") < 10, k = 5,
-          m = 4, nCents = 16, inDims = 64)
+          m = 4, nCents = 16, inDims = 64,
+          precomputedDists = Some(pqDistsShared(s, dir)))
         .orderBy("q_id", "rn"),
       Some("""WITH sv AS (
              |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -1023,7 +1039,8 @@ object SimilarityQueries {
             prep = Some(preparedShared(s, dir)))
           .select(col("q_id"), col("vec_id"))
         val adc = Similarity.pqAdcTopK(emb, col("vec_id") < 10, k = 5,
-            m = 4, nCents = 16, inDims = 64)
+            m = 4, nCents = 16, inDims = 64,
+            precomputedDists = Some(pqDistsShared(s, dir)))
           .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
         exact.join(adc, Seq("q_id", "vec_id"), "left")
           .groupBy("q_id")
@@ -1094,7 +1111,8 @@ object SimilarityQueries {
             prep = Some(preparedShared(s, dir)))
           .select(col("q_id"), col("vec_id"), col("rn").as("rn_ivf"))
         val adc = Similarity.pqAdcTopK(emb, col("vec_id") < 10, k = 5,
-            m = 4, nCents = 16, inDims = 64)
+            m = 4, nCents = 16, inDims = 64,
+            precomputedDists = Some(pqDistsShared(s, dir)))
           .select(col("q_id"), col("vec_id"), col("rn").as("rn_adc"))
         val fused = ivf.join(adc, Seq("q_id", "vec_id"), "full")
           .withColumn("rrf",
