@@ -1287,7 +1287,85 @@ object TextQueries {
               |JOIN documents da ON da.doc_id = jac.doc_a
               |JOIN documents db ON db.doc_id = jac.doc_b
               |WHERE jac.jaccard >= 0.8
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // EXT — BM25 top-20 retrieval (Robertson/Spärck Jones, k1=1.2,
+    // b=0.75): the query is the corpus's own 3 most frequent
+    // non-stopword tokens (deterministic, data-driven), idf is the
+    // standard ln((N−df+0.5)/(df+0.5)+1), and each per-(doc, term)
+    // score is computed by the identical expression in both engines
+    // then fixed-pointed (×1e9, BIGINT) BEFORE the cross-term sum —
+    // so the ranking key is an exact integer and float addition order
+    // can never flip ranks. Scale shape: tf/df are keyed aggregations
+    // with map-side partials; the 3-term query, N, and avg length all
+    // join back as broadcasts; top-20 is TakeOrdered.
+    EngineQuery("q143_bm25_topk",
+      (s, dir) => {
+        val (k1, b) = (1.2, 0.75)
+        val toks = tokens(s, dir)
+        val tf = toks.groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val docLen = toks.groupBy("doc_id")
+          .agg(count(lit(1)).as("len"))
+        val corpus = docLen.agg(count(lit(1)).as("n_docs"),
+          (sum("len").cast("double") / count(lit(1))).as("avg_len"))
+        val df = tf.groupBy("tok")
+          .agg(count(lit(1)).as("df"), sum("tf").as("occ"))
+        val terms = df.filter(!col("tok").isin(stopwords: _*))
+          .orderBy(col("occ").desc, col("tok")).limit(3)
+          .select(col("tok"), col("df"))
+        val scored = tf.join(broadcast(terms), "tok")
+          .join(docLen, "doc_id")
+          .crossJoin(broadcast(corpus))
+          .select(col("doc_id"),
+            // 2.2 as a LITERAL, not (k1 + 1): the fold 1.2 + 1 sits
+            // exactly on a binary rounding tie, so the compiled
+            // constant could differ from the oracle's parsed 2.2
+            round(
+              log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+                * (col("tf") * lit(2.2))
+                / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len")))
+                * lit(1e9)).cast("long").as("score_fp"))
+        val top = scored.groupBy("doc_id")
+          .agg(sum("score_fp").as("bm25_fp"), count(lit(1)).as("n_terms"))
+          .orderBy(col("bm25_fp").desc, col("doc_id")).limit(20)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("bm25_fp").desc, col("doc_id"))).cast("long"))
+          .select(col("rank"), col("doc_id"), col("bm25_fp"), col("n_terms"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH toks AS ($tokensSql),
+              |tf AS (
+              |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+              |corpus AS (
+              |  SELECT COUNT(*) AS n_docs,
+              |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avg_len FROM dl),
+              |df AS (
+              |  SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS occ
+              |  FROM tf GROUP BY 1),
+              |terms AS (
+              |  SELECT tok, df FROM df
+              |  WHERE tok NOT IN ($stopwordsSqlList)
+              |  ORDER BY occ DESC, tok LIMIT 3),
+              |scored AS (
+              |  SELECT tf.doc_id,
+              |    CAST(round(
+              |      ln((corpus.n_docs - terms.df + 0.5) / (terms.df + 0.5) + 1.0)
+              |        * (tf.tf * 2.2)
+              |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / corpus.avg_len))
+              |        * 1000000000.0) AS BIGINT) AS score_fp
+              |  FROM tf JOIN terms ON terms.tok = tf.tok
+              |  JOIN dl ON dl.doc_id = tf.doc_id
+              |  CROSS JOIN corpus)
+              |SELECT row_number() OVER (ORDER BY bm25_fp DESC, doc_id)
+              |    AS rank, doc_id, bm25_fp, n_terms
+              |FROM (
+              |  SELECT doc_id, CAST(SUM(score_fp) AS BIGINT) AS bm25_fp,
+              |    COUNT(*) AS n_terms
+              |  FROM scored GROUP BY 1
+              |  ORDER BY bm25_fp DESC, doc_id LIMIT 20) t
+              |ORDER BY rank""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
