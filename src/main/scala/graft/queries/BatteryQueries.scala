@@ -388,6 +388,30 @@ object BatteryQueries {
              |    / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
              |FROM events e JOIN med m USING (event_type)
              |JOIN mad d USING (event_type)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — UNPIVOT (melt), q51's inverse: the wide per-type count
+    // matrix back to long form. The oracle is the ALGEBRAIC identity —
+    // unpivot(pivot(events)) must equal the plain grouped count — so
+    // this entry proves the round trip, not just the operator. Zero-
+    // count cells (absent combinations) drop out, matching the group-by.
+    EngineQuery("q144_unpivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n_events")
+        .filter(col("n_events") > 0)
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM events
+             |WHERE event_type IN ('click', 'error', 'purchase',
+             |  'signup', 'view')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
