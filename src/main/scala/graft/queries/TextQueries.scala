@@ -261,6 +261,36 @@ object TextQueries {
           .otherwise(lit("fr")))
   }
 
+  /** The q33 quality scorer (bounded blend of token-count, non-stopword
+    * ratio, token-length), shared by the per-doc report (q33) and the
+    * quality/duplication calibration (q145). */
+  private def qualityScores(s: SparkSession, dir: String): DataFrame =
+    tokens(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("sum_len"),
+        sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        (least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.3 +
+          (lit(1.0) - col("n_stop").cast("double") /
+            col("n_tokens").cast("double")) * 0.4 +
+          least(lit(1.0), (col("sum_len").cast("double") /
+            col("n_tokens").cast("double")) / 8.0) * 0.3)
+          .as("quality_score"))
+
+  /** Oracle twin of [[qualityScores]] as a CTE body (no ORDER BY). */
+  private lazy val qualitySql =
+    s"""SELECT doc_id, n_tokens,
+       |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+       |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+       |  + least(1.0, (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.3 AS quality_score
+       |FROM (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+       |    CAST(SUM(CASE WHEN tok IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM ($tokensSql) toks GROUP BY 1) t""".stripMargin
+
   /** Oracle twin of [[langIdPredictions]] (the q32 oracle body, no
     * ORDER BY — embeddable as a CTE). */
   private lazy val langIdSql =
@@ -498,29 +528,8 @@ object TextQueries {
     // stopword ratio, and token-length signals (identical scalar float
     // expression in both engines).
     EngineQuery("q33_quality_score",
-      (s, dir) => tokens(s, dir)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(length(col("tok"))).as("sum_len"),
-          sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
-            .as("n_stop"))
-        .select(col("doc_id"), col("n_tokens"),
-          (least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.3 +
-            (lit(1.0) - col("n_stop").cast("double") /
-              col("n_tokens").cast("double")) * 0.4 +
-            least(lit(1.0), (col("sum_len").cast("double") /
-              col("n_tokens").cast("double")) / 8.0) * 0.3)
-            .as("quality_score"))
-        .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, n_tokens,
-              |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
-              |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
-              |  + least(1.0, (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.3 AS quality_score
-              |FROM (
-              |  SELECT doc_id, COUNT(*) AS n_tokens,
-              |    CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
-              |    CAST(SUM(CASE WHEN tok IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-              |  FROM ($tokensSql) toks GROUP BY doc_id) t
+      (s, dir) => qualityScores(s, dir).orderBy("doc_id"),
+      Some(s"""SELECT * FROM ($qualitySql) q
               |ORDER BY doc_id""".stripMargin)),
 
     // Q34 — token counting: whitespace tokens + a BPE-ish regex count.
@@ -1365,7 +1374,47 @@ object TextQueries {
               |    COUNT(*) AS n_terms
               |  FROM scored GROUP BY 1
               |  ORDER BY bm25_fp DESC, doc_id LIMIT 20) t
-              |ORDER BY rank""".stripMargin))
+              |ORDER BY rank""".stripMargin)),
+
+    // EXT — quality × duplication calibration: exact-dup rate per
+    // quality bin — the curve that says whether the quality score is a
+    // usable dedup prior (low-quality boilerplate usually duplicates
+    // more). Bins are FIXED-WIDTH (floor(score·10), clamped), not
+    // ntile deciles: deciles need a global rank over |docs|, fixed
+    // bins are a pure per-row function — the scale-safe calibration
+    // shape. The dup flag rides a window over the content-hash key.
+    EngineQuery("q145_quality_dup_calibration",
+      (s, dir) => {
+        val dup = docs(s, dir)
+          .select(col("doc_id"),
+            (count(lit(1)).over(Window.partitionBy(sha2(col("text"), 256)))
+              > 1).as("is_dup"))
+        qualityScores(s, dir).join(dup, "doc_id")
+          .select(least(lit(9L),
+            floor(col("quality_score") * 10).cast("long")).as("q_bin"),
+            col("is_dup"))
+          .groupBy("q_bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+          .select(col("q_bin"), col("n_docs"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_docs"))
+              .as("dup_rate"))
+          .orderBy("q_bin")
+      },
+      Some(s"""WITH q AS ($qualitySql),
+              |dup AS (
+              |  SELECT doc_id,
+              |    COUNT(*) OVER (PARTITION BY sha256(text)) > 1 AS is_dup
+              |  FROM documents)
+              |SELECT least(9, CAST(floor(q.quality_score * 10) AS BIGINT))
+              |    AS q_bin,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dup,
+              |  CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / COUNT(*) AS dup_rate
+              |FROM q JOIN dup ON dup.doc_id = q.doc_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

@@ -440,6 +440,38 @@ object WindowQueries {
              |    PARTITION BY user_id ORDER BY ts
              |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
              |    AS n_in_window
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // EXT — hour-of-day seasonality profile: per (event_type, hour)
+    // counts and each hour's share of its type — the traffic-shape
+    // report behind capacity planning and anomaly baselines. One keyed
+    // aggregation; the per-type totals join back as a broadcast.
+    EngineQuery("q146_hourly_seasonality",
+      (s, dir) => {
+        val byHour = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            hour(col("ts")).cast("long").as("hour_of_day"))
+          .agg(count(lit(1)).as("n_events"))
+        val totals = byHour.groupBy("event_type")
+          .agg(sum("n_events").as("type_total"))
+        byHour.join(broadcast(totals), "event_type")
+          .select(col("event_type"), col("hour_of_day"), col("n_events"),
+            (col("n_events").cast("double") / col("type_total"))
+              .as("hour_share"))
+          .orderBy("event_type", "hour_of_day")
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+             |    COUNT(*) AS n_events
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, CAST(SUM(n_events) AS BIGINT)
+             |    AS type_total
+             |  FROM h GROUP BY 1)
+             |SELECT h.event_type, h.hour_of_day, h.n_events,
+             |  CAST(h.n_events AS DOUBLE) / t.type_total AS hour_share
+             |FROM h JOIN t ON t.event_type = h.event_type
+             |ORDER BY h.event_type, h.hour_of_day""".stripMargin))
   )
 }
