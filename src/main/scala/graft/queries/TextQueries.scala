@@ -1414,7 +1414,120 @@ object TextQueries {
               |  CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
               |    / COUNT(*) AS dup_rate
               |FROM q JOIN dup ON dup.doc_id = q.doc_id
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — sampling-bias audit of the deterministic 20% sampler: per
+    // language, the population share vs the share inside the sample,
+    // and the absolute bias — the fairness check a sampling stage
+    // ships with (a hash sampler is unbiased in expectation; this
+    // measures the realized skew). Two keyed aggregations over one
+    // scan; the two 1-row totals broadcast back.
+    EngineQuery("q147_sampling_bias_audit",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("lang"),
+          (hashBucket(concat(lit("doc-"), col("doc_id"))) < 0.2)
+            .as("in_sample"))
+        val byLang = base.groupBy("lang")
+          .agg(count(lit(1)).as("n_pop"),
+            sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"))
+        val tot = byLang.agg(sum("n_pop").as("pop_total"),
+          sum("n_sample").as("sample_total"))
+        byLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_pop"), col("n_sample"),
+            (col("n_pop").cast("double") / col("pop_total"))
+              .as("pop_share"),
+            (col("n_sample").cast("double") / col("sample_total"))
+              .as("sample_share"),
+            abs(col("n_sample").cast("double") / col("sample_total")
+              - col("n_pop").cast("double") / col("pop_total"))
+              .as("abs_bias"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang,
+             |    CAST('0x' || substr(sha256('doc-' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967295.0 < 0.2 AS in_sample
+             |  FROM documents),
+             |l AS (
+             |  SELECT lang, COUNT(*) AS n_pop,
+             |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_sample
+             |  FROM b GROUP BY 1),
+             |t AS (
+             |  SELECT CAST(SUM(n_pop) AS BIGINT) AS pop_total,
+             |    CAST(SUM(n_sample) AS BIGINT) AS sample_total FROM l)
+             |SELECT lang, n_pop, n_sample,
+             |  CAST(n_pop AS DOUBLE) / pop_total AS pop_share,
+             |  CAST(n_sample AS DOUBLE) / sample_total AS sample_share,
+             |  abs(CAST(n_sample AS DOUBLE) / sample_total
+             |    - CAST(n_pop AS DOUBLE) / pop_total) AS abs_bias
+             |FROM l CROSS JOIN t ORDER BY lang""".stripMargin)),
+
+    // EXT — entity-resolution clusters: connected components over the
+    // q107 fuzzy-match pairs, with the smallest key as the canonical
+    // entity — the full dedup-entities composition (blocking →
+    // verification → transitive closure → canonical pick). The engine
+    // walks the same pointer-jumping loop as q75; the oracle replays
+    // the closure with a recursive CTE over levenshtein-verified
+    // variant pairs.
+    EngineQuery("q148_entity_clusters",
+      (s, dir) => {
+        val cust = Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        val variants = cust
+          .select(col("c_custkey"), col("c_name"),
+            explode(sequence(lit(0), length(col("c_name")))).as("i"))
+          .select(col("c_custkey"), col("c_name"),
+            when(col("i") === 0, col("c_name"))
+              .otherwise(concat(expr("substring(c_name, 1, i - 1)"),
+                expr("substring(c_name, i + 1, length(c_name))"))).as("key"))
+          .distinct()
+        val hashed = variants.select(xxhash64(col("key")).as("hkey"),
+          col("c_custkey"), col("c_name"))
+        val edges = hashed.select(col("hkey"), col("c_custkey").as("key_a"),
+            col("c_name").as("name_a"))
+          .join(hashed.select(col("hkey"), col("c_custkey").as("key_b"),
+            col("c_name").as("name_b")), Seq("hkey"))
+          .filter(col("key_a") < col("key_b"))
+          .groupBy("key_a", "key_b")
+          .agg(max(col("name_a")).as("name_a"),
+            max(col("name_b")).as("name_b"))
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .select("key_a", "key_b")
+        graft.operators.ConnectedComponents.labels(edges,
+            cust.select(col("c_custkey")))
+          .groupBy(col("cluster_id").as("entity_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") > 1)
+          .orderBy("entity_id")
+      },
+      Some(s"""WITH RECURSIVE vars AS (
+              |  SELECT DISTINCT c_custkey, c_name,
+              |    CASE WHEN i = 0 THEN c_name
+              |      ELSE substr(c_name, 1, CAST(i AS INT) - 1) ||
+              |        substr(c_name, CAST(i AS INT) + 1, length(c_name)) END AS key
+              |  FROM customer CROSS JOIN (SELECT unnest(range(0, 64)) AS i) pos
+              |  WHERE i <= length(c_name)),
+              |cand AS (
+              |  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+              |    a.c_name AS name_a, b.c_name AS name_b
+              |  FROM vars a JOIN vars b ON b.key = a.key
+              |    AND a.c_custkey < b.c_custkey),
+              |er_pairs AS (
+              |  SELECT key_a, key_b FROM cand
+              |  WHERE levenshtein(name_a, name_b) <= 1),
+              |er_edges AS (
+              |  SELECT key_a AS src, key_b AS dst FROM er_pairs
+              |  UNION SELECT key_b AS src, key_a AS dst FROM er_pairs),
+              |er_reach AS (
+              |  SELECT c_custkey AS id, c_custkey AS label FROM customer
+              |  UNION
+              |  SELECT e.dst AS id, r.label
+              |  FROM er_reach r JOIN er_edges e ON e.src = r.id),
+              |er_labels AS (
+              |  SELECT id, MIN(label) AS entity_id FROM er_reach GROUP BY id)
+              |SELECT entity_id, COUNT(*) AS n_members
+              |FROM er_labels GROUP BY 1 HAVING COUNT(*) > 1
+              |ORDER BY entity_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
