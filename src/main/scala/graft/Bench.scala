@@ -197,9 +197,11 @@ object Bench {
     * `parsed` came back null both rounds). Short query keys (the qNN
     * prefix), fixed decimals, and — should the registry outgrow even
     * that — the slowest-N subset with an explicit omitted count. The
-    * first candidate under the 1800-char budget wins; the budget leaves
-    * headroom for sbt's trailing "[success] …" line inside the capture
-    * window.
+    * first candidate under the 1870-char budget wins; the budget leaves
+    * headroom for sbt's trailing "[success] …" line (~75 chars) inside
+    * the 2000-char capture window. The 1-decimal rung keeps FULL query
+    * coverage ahead of the slowest-N fallbacks — per-query precision
+    * lives in bench_out.json either way.
     */
   private[graft] def compactJson(
       results: Seq[(String, Double)], total: Double, totalFirst: Double,
@@ -218,8 +220,9 @@ object Bench {
         (if (omitted > 0) s""","queries_omitted":$omitted""" else "") +
         s""","detail":"$outPath"}"""
     }
-    val budget = 1800
+    val budget = 1870
     Seq(candidate(3, Int.MaxValue), candidate(2, Int.MaxValue),
-      candidate(2, 60)).find(_.length <= budget).getOrElse(candidate(1, 40))
+      candidate(1, Int.MaxValue), candidate(2, 60))
+      .find(_.length <= budget).getOrElse(candidate(1, 40))
   }
 }

@@ -130,10 +130,14 @@ class QueryRegistrySpec extends AnyFunSuite {
     val timings = QueryRegistry.all.map(q => q.name -> 12.345678901)
     val line = Bench.compactJson(timings, 1234.567, 2345.678, 3,
       "sf0.1", 1234567L, "bench_out.json")
-    assert(line.length <= 1800, s"compact bench line is ${line.length} chars")
+    assert(line.length <= 1870, s"compact bench line is ${line.length} chars")
     // and it must remain parseable JSON with the contract fields
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
     assert(line.contains("\"queries\":{\"q01\":"))
+    // at the CURRENT registry size the line must still cover EVERY
+    // query (no slowest-N truncation)
+    assert(!line.contains("queries_omitted"),
+      "compact line dropped to the slowest-N fallback at current size")
     // short keys must still be unique (q17 vs q17b both exist)
     val shortKeys = QueryRegistry.all.map(_.name.takeWhile(_ != '_'))
     assert(shortKeys.distinct.size === shortKeys.size)
@@ -142,6 +146,6 @@ class QueryRegistrySpec extends AnyFunSuite {
     val grown = timings ++ (1 to 60).map(i => f"q$i%03d_future_entry" -> 9.87654321)
     val grownLine = Bench.compactJson(grown, 9999.9, 9999.9, 3,
       "sf0.1", 1234567L, "bench_out.json")
-    assert(grownLine.length <= 1800, s"grown line is ${grownLine.length} chars")
+    assert(grownLine.length <= 1870, s"grown line is ${grownLine.length} chars")
   }
 }
