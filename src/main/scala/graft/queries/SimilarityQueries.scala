@@ -1181,6 +1181,42 @@ object SimilarityQueries {
               |    row_number() OVER (PARTITION BY q_id
               |      ORDER BY rrf DESC, vec_id) AS rn
               |  FROM fused) t
-              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
+              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // EXT — mutual-KNN degree distribution: how many reciprocated
+    // neighbours each vector keeps, as a degree histogram plus each
+    // degree's share — the connectivity audit behind the q108
+    // clustering (a heavy tail here means the mutual filter isn't
+    // pruning hub noise). Reads the SHARED reciprocated-edge frame;
+    // the histogram is two keyed aggregations.
+    EngineQuery("q149_knn_degree_histogram",
+      (s, dir) => {
+        val deg = preparedShared(s, dir).select(col("vec_id"))
+          .join(mutualShared(s, dir).groupBy("vec_id")
+            .agg(count(lit(1)).as("degree")), Seq("vec_id"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_vecs"))
+        val tot = hist.agg(sum("n_vecs").as("total"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("degree"), col("n_vecs"),
+            (col("n_vecs").cast("double") / col("total")).as("share"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |deg AS (
+              |  SELECT n.vec_id,
+              |    CAST(COUNT(m.dst) AS BIGINT) AS degree
+              |  FROM n LEFT JOIN mutual m ON m.src = n.vec_id
+              |  GROUP BY 1),
+              |hist AS (
+              |  SELECT degree, COUNT(*) AS n_vecs FROM deg GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM hist)
+              |SELECT degree, n_vecs,
+              |  CAST(n_vecs AS DOUBLE) / total AS share
+              |FROM hist CROSS JOIN t ORDER BY degree""".stripMargin))
   )
 }

@@ -472,6 +472,42 @@ object WindowQueries {
              |SELECT h.event_type, h.hour_of_day, h.n_events,
              |  CAST(h.n_events AS DOUBLE) / t.type_total AS hour_share
              |FROM h JOIN t ON t.event_type = h.event_type
-             |ORDER BY h.event_type, h.hour_of_day""".stripMargin))
+             |ORDER BY h.event_type, h.hour_of_day""".stripMargin)),
+
+    // EXT — view→purchase conversion lag: per user, the time from the
+    // FIRST view to the first purchase at-or-after it (the funnel
+    // latency metric behind q73's step counts). The lag is an exact
+    // microsecond BIGINT — no float anywhere. Two keyed aggregations
+    // plus one join on the user key.
+    EngineQuery("q150_conversion_lag",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ts_us") >= col("first_view_us"))
+          .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
+        fv.join(fp, "user_id")
+          .select(col("user_id"),
+            (col("first_purchase_us") - col("first_view_us"))
+              .as("lag_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH fv AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+             |  FROM events e JOIN fv ON fv.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND epoch_us(e.ts) >= fv.first_view_us
+             |  GROUP BY 1)
+             |SELECT fv.user_id,
+             |  fp.first_purchase_us - fv.first_view_us AS lag_us
+             |FROM fv JOIN fp ON fp.user_id = fv.user_id
+             |ORDER BY fv.user_id""".stripMargin))
   )
 }
