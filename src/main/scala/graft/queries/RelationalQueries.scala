@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.CoreFunctions._
 
@@ -406,6 +407,162 @@ object RelationalQueries {
              |    AS sum_price
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
-             |ORDER BY returnflag, linestatus""".stripMargin))
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // EXT — OLS trend fit: per order priority, the least-squares
+    // slope/intercept of daily order volume and daily revenue against a
+    // day index — the "is this segment growing?" report. Two keyed
+    // aggregations (orders → |priority × day| rows → |priority| rows);
+    // every sufficient statistic (n, Σx, Σx², Σy, Σxy) is exact
+    // BIGINT/DECIMAL and only the final normal-equation arithmetic runs
+    // in doubles, written in the SAME shape in both engines so the
+    // rounding sequence is identical.
+    EngineQuery("q152_ols_trend",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1990-01-01").cast("date")).cast("long").as("x"),
+            money(col("o_totalprice")).as("p"))
+          .groupBy("o_orderpriority", "x")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("p")).cast("decimal(18,2)").as("rev"))
+        val stats = daily.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("cnt")).as("sy_cnt"),
+            sum(col("x") * col("cnt")).as("sxy_cnt"),
+            sum(col("rev")).cast("double").as("sy_rev"),
+            sum(col("x").cast("decimal(10,0)") * col("rev"))
+              .cast("double").as("sxy_rev"))
+        val (nd, sxd, sxxd) = (col("n").cast("double"),
+          col("sx").cast("double"), col("sxx").cast("double"))
+        val den = nd * sxxd - sxd * sxd
+        val slopeCnt = (nd * col("sxy_cnt").cast("double") -
+          sxd * col("sy_cnt").cast("double")) / den
+        val slopeRev = (nd * col("sxy_rev") - sxd * col("sy_rev")) / den
+        stats.select(col("o_orderpriority"), col("n").as("n_days"),
+            slopeCnt.as("slope_orders_per_day"),
+            slopeRev.as("slope_revenue_per_day"),
+            ((col("sy_rev") - slopeRev * sxd) / nd).as("intercept_revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_orderpriority,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             |    COUNT(*) AS cnt,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT o_orderpriority,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(cnt) AS BIGINT) AS sy_cnt,
+             |    CAST(SUM(x * cnt) AS BIGINT) AS sxy_cnt,
+             |    CAST(SUM(rev) AS DOUBLE) AS sy_rev,
+             |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * rev) AS DOUBLE)
+             |      AS sxy_rev
+             |  FROM daily GROUP BY 1)
+             |SELECT o_orderpriority, n AS n_days,
+             |  (CAST(n AS DOUBLE) * CAST(sxy_cnt AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy_cnt AS DOUBLE))
+             |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    AS slope_orders_per_day,
+             |  (CAST(n AS DOUBLE) * sxy_rev
+             |    - CAST(sx AS DOUBLE) * sy_rev)
+             |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    AS slope_revenue_per_day,
+             |  (sy_rev
+             |    - (CAST(n AS DOUBLE) * sxy_rev
+             |        - CAST(sx AS DOUBLE) * sy_rev)
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * CAST(sx AS DOUBLE))
+             |  / CAST(n AS DOUBLE) AS intercept_revenue
+             |FROM stats ORDER BY o_orderpriority""".stripMargin)),
+
+    // EXT — Benford first-digit audit: the classic fraud/quality screen
+    // over o_totalprice. First digits come from exact integer cents via
+    // string heads (never float log10 of a price), expected shares are
+    // inlined double literals (no libm log10 divergence between
+    // engines), and the χ² accumulates over a 9-row ordered frame — the
+    // bounded-window discipline. One keyed aggregation over the scan.
+    EngineQuery("q158_benford_audit",
+      (s, dir) => {
+        val benford = Seq(
+          1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+          3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+          5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+          7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+          9 -> 0.04575749056067514)
+        val expCol = benford.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+          when(col("digit") === d, lit(p)).otherwise(acc)
+        }
+        val counts = t(s, dir, "orders")
+          .select(substring((money(col("o_totalprice")) * 100)
+            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val wAll = Window.partitionBy()
+        val wRun = Window.orderBy("digit")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        counts
+          .withColumn("n_total", sum(col("n_obs")).over(wAll))
+          .withColumn("p_expected", expCol)
+          .withColumn("p_observed",
+            col("n_obs").cast("double") / col("n_total").cast("double"))
+          .withColumn("chi2_term",
+            (col("n_obs").cast("double") -
+              col("p_expected") * col("n_total").cast("double")) *
+              (col("n_obs").cast("double") -
+                col("p_expected") * col("n_total").cast("double")) /
+              (col("p_expected") * col("n_total").cast("double")))
+          .withColumn("chi2_running", sum(col("chi2_term")).over(wRun))
+          .select(col("digit"), col("n_obs"), col("p_observed"),
+            col("p_expected"), col("chi2_term"), col("chi2_running"))
+          .orderBy("digit")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(substr(CAST(CAST(
+             |      CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS VARCHAR), 1, 1) AS INT) AS digit,
+             |    COUNT(*) AS n_obs
+             |  FROM orders GROUP BY 1),
+             |e AS (
+             |  SELECT digit, n_obs,
+             |    CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total,
+             |    CAST(CASE digit
+             |      WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+             |      WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+             |      WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+             |      WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+             |      WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+             |      WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+             |      WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+             |      WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+             |      WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS DOUBLE) AS p_expected
+             |  FROM c),
+             |terms AS (
+             |  SELECT digit, n_obs,
+             |    CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+             |      AS p_observed,
+             |    p_expected,
+             |    (CAST(n_obs AS DOUBLE)
+             |       - p_expected * CAST(n_total AS DOUBLE))
+             |    * (CAST(n_obs AS DOUBLE)
+             |       - p_expected * CAST(n_total AS DOUBLE))
+             |    / (p_expected * CAST(n_total AS DOUBLE)) AS chi2_term
+             |  FROM e)
+             |SELECT digit, n_obs, p_observed, p_expected, chi2_term,
+             |  SUM(chi2_term) OVER (ORDER BY digit
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS chi2_running
+             |FROM terms ORDER BY digit""".stripMargin))
   )
 }

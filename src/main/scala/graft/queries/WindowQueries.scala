@@ -508,6 +508,128 @@ object WindowQueries {
              |SELECT fv.user_id,
              |  fp.first_purchase_us - fv.first_view_us AS lag_us
              |FROM fv JOIN fp ON fp.user_id = fv.user_id
-             |ORDER BY fv.user_id""".stripMargin))
+             |ORDER BY fv.user_id""".stripMargin)),
+
+    // EXT — event-type Markov transition matrix: per user, adjacent
+    // (from → to) event-type pairs in time order, with row-normalized
+    // transition probabilities — the session-flow model behind funnel
+    // design and next-event prediction baselines. One per-user window
+    // (parallel across users), one keyed aggregation; the per-from-type
+    // totals join back as a broadcast (|event types| rows at any SF).
+    // p_trans is one exact-BIGINT division — identical in both engines.
+    EngineQuery("q151_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        val totals = pairs.groupBy("from_type")
+          .agg(sum(col("n_trans")).as("from_total"))
+        pairs.join(broadcast(totals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n_trans"),
+            (col("n_trans").cast("double") /
+              col("from_total").cast("double")).as("p_trans"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type AS from_type, to_type, COUNT(*) AS n_trans
+             |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (
+             |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS from_total
+             |  FROM m GROUP BY 1)
+             |SELECT m.from_type, m.to_type, m.n_trans,
+             |  CAST(m.n_trans AS DOUBLE) / CAST(t.from_total AS DOUBLE)
+             |    AS p_trans
+             |FROM m JOIN t ON t.from_type = m.from_type
+             |ORDER BY m.from_type, m.to_type""".stripMargin)),
+
+    // EXT — A/B two-proportion z-test: cohort = user_id parity (the
+    // deterministic assignment), conversion = "user emitted ≥14 events
+    // of the target type" (an engagement threshold that genuinely splits
+    // the population — "≥1" saturates at 100% on this corpus and the z
+    // statistic degenerates), one row per target type with counts, rates
+    // and the pooled z. All rates derive from exact BIGINT counts
+    // through a FIXED-shape double formula (same operation order in both
+    // engines; sqrt is correctly-rounded IEEE), so the gate hashes
+    // bit-identical doubles; the degenerate all/none case guards z to
+    // NULL via an exact integer predicate, not a float compare. Two
+    // keyed aggregations (|users × types| then |types| rows) plus a
+    // broadcast of the 1-row cohort sizes — nothing driver-side.
+    EngineQuery("q153_ab_conversion",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            pmod(col("user_id"), lit(2)).as("cohort"))
+        val sizes = ev.select(col("user_id"), col("cohort")).distinct()
+          .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"))
+        val perUser = ev.groupBy("user_id", "cohort", "event_type")
+          .agg(count(lit(1)).as("n_ev"))
+        val conv = perUser
+          .groupBy(col("event_type").as("target_type"))
+          .agg(sum(when(col("cohort") === 0 && col("n_ev") >= 14, 1L)
+            .otherwise(0L)).as("c0"),
+            sum(when(col("cohort") === 1 && col("n_ev") >= 14, 1L)
+              .otherwise(0L)).as("c1"))
+        val j = conv.crossJoin(broadcast(sizes))
+        val (n0d, n1d) = (col("n0").cast("double"), col("n1").cast("double"))
+        val p0 = col("c0").cast("double") / n0d
+        val p1 = col("c1").cast("double") / n1d
+        val pp = (col("c0") + col("c1")).cast("double") /
+          (col("n0") + col("n1")).cast("double")
+        val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0d + lit(1.0) / n1d))
+        val z = when(col("c0") + col("c1") === 0 ||
+            col("c0") + col("c1") === col("n0") + col("n1"),
+            lit(null).cast("double"))
+          .otherwise((p1 - p0) / se)
+        j.select(col("target_type"), col("n0"), col("n1"), col("c0"),
+            col("c1"), p0.as("p0"), p1.as("p1"), z.as("z"))
+          .orderBy("target_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, user_id % 2 AS cohort
+             |  FROM events),
+             |sizes AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n0,
+             |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1
+             |  FROM (SELECT DISTINCT user_id, cohort FROM ev)),
+             |pu AS (
+             |  SELECT user_id, cohort, event_type, COUNT(*) AS n_ev
+             |  FROM ev GROUP BY 1, 2, 3),
+             |conv AS (
+             |  SELECT event_type AS target_type,
+             |    CAST(SUM(CASE WHEN cohort = 0 AND n_ev >= 14
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             |    CAST(SUM(CASE WHEN cohort = 1 AND n_ev >= 14
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+             |  FROM pu GROUP BY 1)
+             |SELECT target_type, n0, n1, c0, c1,
+             |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+             |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+             |  ELSE
+             |    (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |    / sqrt(
+             |        (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             |        * (1.0 - CAST(c0 + c1 AS DOUBLE)
+             |            / CAST(n0 + n1 AS DOUBLE))
+             |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+             |  END AS z
+             |FROM conv CROSS JOIN sizes
+             |ORDER BY target_type""".stripMargin))
   )
 }
