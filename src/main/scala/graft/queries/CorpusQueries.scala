@@ -1123,6 +1123,48 @@ object CorpusQueries {
               |  CAST(SUM(CASE WHEN (cum_before % $PackContext) + n_tokens
               |    > $PackContext THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_spanning
-              |FROM packc""".stripMargin))
+              |FROM packc""".stripMargin)),
+
+    // EXT — Flesch reading-ease readability: the curation-pipeline
+    // quality signal next to q33's ratio score and q113's Gopher rules.
+    // Words/sentences/syllable-proxies are exact BIGINT regexp counts
+    // (syllables ≈ vowel groups — the standard dictionary-free
+    // heuristic); the score is one fixed-shape double expression, so
+    // both engines round identically. Pure per-row projection — no
+    // shuffle at any scale beyond the ordered dump.
+    EngineQuery("q155_readability",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          greatest(size(split(col("text"), " ")), lit(1)).cast("long")
+            .as("n_words"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+            lit(0))), lit(1)).cast("long").as("n_sentences"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+            lit(0))).cast("long").as("n_syllables"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          col("n_sentences"), col("n_syllables"),
+          (lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))).as("flesch"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT doc_id, lang,
+             |    GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+             |      AS n_words,
+             |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+             |      AS BIGINT), 1) AS n_sentences,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |      AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+             |  CAST(206.835 AS DOUBLE)
+             |    - CAST(1.015 AS DOUBLE)
+             |      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             |    - CAST(84.6 AS DOUBLE)
+             |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             |    AS flesch
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

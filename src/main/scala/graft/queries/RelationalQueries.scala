@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -563,6 +563,76 @@ object RelationalQueries {
              |  SUM(chi2_term) OVER (ORDER BY digit
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS chi2_running
-             |FROM terms ORDER BY digit""".stripMargin))
+             |FROM terms ORDER BY digit""".stripMargin)),
+
+    // EXT — Pearson correlation battery: per return flag, the
+    // quantity↔price and discount↔tax correlations from exact sufficient
+    // statistics (quantity/counts as BIGINT, money columns as DECIMAL
+    // products — scale-4 exact), combined in ONE fixed-shape double
+    // expression per coefficient. A single map-side-partial aggregation
+    // over the scan; nothing but |flags| rows ever leave the executors.
+    EngineQuery("q156_corr_battery",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("q"),
+          money(col("l_extendedprice")).as("p"),
+          money(col("l_discount")).as("d"),
+          money(col("l_tax")).as("x"))
+        val stats = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("p")).cast("double").as("sp"),
+          sum(col("p") * col("p")).cast("double").as("spp"),
+          sum(col("q").cast("decimal(10,0)") * col("p")).cast("double")
+            .as("sqp"),
+          sum(col("d")).cast("double").as("sd"),
+          sum(col("d") * col("d")).cast("double").as("sdd"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("d") * col("x")).cast("double").as("sdx"))
+        val nd = col("n").cast("double")
+        def corr2(sxy: Column, sa: Column, sb: Column,
+            saa: Column, sbb: Column): Column =
+          (nd * sxy - sa * sb) /
+            (sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb))
+        stats.select(col("l_returnflag"), col("n"),
+            corr2(col("sqp"), col("sq").cast("double"), col("sp"),
+              col("sqq").cast("double"), col("spp")).as("corr_qty_price"),
+            corr2(col("sdx"), col("sd"), col("sx"), col("sdd"), col("sxx"))
+              .as("corr_disc_tax"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag,
+             |    CAST(round(l_quantity) AS BIGINT) AS q,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             |    CAST(l_discount AS DECIMAL(18,2)) AS d,
+             |    CAST(l_tax AS DECIMAL(18,2)) AS x
+             |  FROM lineitem),
+             |stats AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(q) AS BIGINT) AS sq,
+             |    CAST(SUM(q * q) AS BIGINT) AS sqq,
+             |    CAST(SUM(p) AS DOUBLE) AS sp,
+             |    CAST(SUM(p * p) AS DOUBLE) AS spp,
+             |    CAST(SUM(CAST(q AS DECIMAL(10,0)) * p) AS DOUBLE) AS sqp,
+             |    CAST(SUM(d) AS DOUBLE) AS sd,
+             |    CAST(SUM(d * d) AS DOUBLE) AS sdd,
+             |    CAST(SUM(x) AS DOUBLE) AS sx,
+             |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             |    CAST(SUM(d * x) AS DOUBLE) AS sdx
+             |  FROM li GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+             |  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+             |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             |    * sqrt(CAST(n AS DOUBLE) * spp - sp * sp))
+             |    AS corr_qty_price,
+             |  (CAST(n AS DOUBLE) * sdx - sd * sx)
+             |  / (sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)
+             |    * sqrt(CAST(n AS DOUBLE) * sxx - sx * sx))
+             |    AS corr_disc_tax
+             |FROM stats ORDER BY l_returnflag""".stripMargin))
   )
 }

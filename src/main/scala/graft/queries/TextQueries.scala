@@ -1542,7 +1542,67 @@ object TextQueries {
               |  SELECT id, MIN(label) AS entity_id FROM er_reach GROUP BY id)
               |SELECT entity_id, COUNT(*) AS n_members
               |FROM er_labels GROUP BY 1 HAVING COUNT(*) > 1
-              |ORDER BY entity_id""".stripMargin))
+              |ORDER BY entity_id""".stripMargin)),
+
+    // EXT — sorted-neighborhood candidate pairs (Hernández/Stolfo SNM):
+    // the OTHER classic entity-resolution candidate discipline next to
+    // q107/q148's equality blocking — sort records by a key, slide a
+    // fixed window, verify adjacent pairs. The engine partitions the
+    // sort by a blocking key (noun + first letter of the name) so each
+    // window is a bounded per-block task, never a global single-
+    // partition sort; pairs crossing block boundaries are out of scope
+    // by design (the standard SNM blocking trade-off — documented, not
+    // hidden). One window pass emits BOTH window offsets via a single
+    // explode; levenshtein (exact integer) verifies.
+    EngineQuery("q154_sorted_neighborhood",
+      (s, dir) => {
+        val blocked = Tables.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            concat_ws("|", element_at(split(col("p_name"), " "), 2),
+              substring(col("p_name"), 1, 1)).as("blk"))
+        val w = Window.partitionBy(col("blk"))
+          .orderBy(col("p_name"), col("p_partkey"))
+        blocked
+          .withColumn("key_a1", lag(col("p_partkey"), 1).over(w))
+          .withColumn("name_a1", lag(col("p_name"), 1).over(w))
+          .withColumn("key_a2", lag(col("p_partkey"), 2).over(w))
+          .withColumn("name_a2", lag(col("p_name"), 2).over(w))
+          .select(col("p_partkey"), col("p_name"), explode(array(
+            struct(col("key_a1").as("key_a"), col("name_a1").as("name_a"),
+              lit(1).as("gap")),
+            struct(col("key_a2").as("key_a"), col("name_a2").as("name_a"),
+              lit(2).as("gap")))).as("pp"))
+          .select(col("pp.key_a"), col("p_partkey").as("key_b"),
+            col("pp.name_a"), col("p_name").as("name_b"), col("pp.gap"))
+          .filter(col("key_a").isNotNull)
+          .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("lev") <= 3)
+          .orderBy("key_a", "key_b")
+      },
+      Some("""WITH blocked AS (
+             |  SELECT p_partkey, p_name,
+             |    string_split(p_name, ' ')[2] || '|' || substr(p_name, 1, 1)
+             |      AS blk
+             |  FROM part),
+             |lagged AS (
+             |  SELECT p_partkey, p_name,
+             |    lag(p_partkey, 1) OVER w AS key_a1,
+             |    lag(p_name, 1) OVER w AS name_a1,
+             |    lag(p_partkey, 2) OVER w AS key_a2,
+             |    lag(p_name, 2) OVER w AS name_a2
+             |  FROM blocked
+             |  WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+             |pairs AS (
+             |  SELECT key_a1 AS key_a, p_partkey AS key_b,
+             |    name_a1 AS name_a, p_name AS name_b, CAST(1 AS INT) AS gap
+             |  FROM lagged WHERE key_a1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT key_a2, p_partkey, name_a2, p_name, CAST(2 AS INT)
+             |  FROM lagged WHERE key_a2 IS NOT NULL)
+             |SELECT key_a, key_b, name_a, name_b, gap,
+             |  CAST(levenshtein(name_a, name_b) AS INT) AS lev
+             |FROM pairs WHERE levenshtein(name_a, name_b) <= 3
+             |ORDER BY key_a, key_b""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

@@ -630,6 +630,67 @@ object WindowQueries {
              |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
              |  END AS z
              |FROM conv CROSS JOIN sizes
-             |ORDER BY target_type""".stripMargin))
+             |ORDER BY target_type""".stripMargin)),
+
+    // EXT — Neyman-optimal stratified sample allocation: per stratum
+    // (event_type), allocate a 10k-row sample budget ∝ N_h·s_h — the
+    // survey-sampling complement to q68's proportional stratification.
+    // Stratum std-devs come from exact DECIMAL sufficient statistics;
+    // the cross-stratum total accumulates over an ORDERED |strata|-row
+    // running window (the only double summation — sequential adds in a
+    // defined order in both engines), and the grand total is the MAX of
+    // the monotone running sum (weights are ≥0), an order-independent
+    // reduction. One keyed aggregation over the scan; windows only ever
+    // see |strata| rows.
+    EngineQuery("q157_neyman_allocation",
+      (s, dir) => {
+        val stats = Tables.events(s, dir)
+          .select(col("event_type"), money(col("value")).as("v"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_h"),
+            sum(col("v")).cast("double").as("sx"),
+            sum(col("v") * col("v")).cast("double").as("sxx"))
+        val nh = col("n_h").cast("double")
+        val sH = sqrt((nh * col("sxx") - col("sx") * col("sx")) /
+          (nh * (nh - lit(1.0))))
+        val wRun = Window.orderBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy()
+        stats
+          .withColumn("s_h", sH)
+          .withColumn("weight", nh * col("s_h"))
+          .withColumn("running", sum(col("weight")).over(wRun))
+          .withColumn("total", max(col("running")).over(wAll))
+          .select(col("event_type"), col("n_h"), col("s_h"),
+            (col("weight") / col("total")).as("alloc_share"),
+            floor(lit(10000.0) * (col("weight") / col("total")))
+              .cast("long").as("alloc_n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type, COUNT(*) AS n_h,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+             |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             |  FROM events GROUP BY 1),
+             |w AS (
+             |  SELECT event_type, n_h,
+             |    sqrt((CAST(n_h AS DOUBLE) * sxx - sx * sx)
+             |      / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+             |      AS s_h
+             |  FROM stats),
+             |r AS (
+             |  SELECT event_type, n_h, s_h,
+             |    CAST(n_h AS DOUBLE) * s_h AS weight,
+             |    SUM(CAST(n_h AS DOUBLE) * s_h) OVER (ORDER BY event_type
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS running
+             |  FROM w),
+             |t AS (SELECT event_type, n_h, s_h, weight,
+             |    MAX(running) OVER () AS total FROM r)
+             |SELECT event_type, n_h, s_h,
+             |  weight / total AS alloc_share,
+             |  CAST(floor(10000.0 * (weight / total)) AS BIGINT) AS alloc_n
+             |FROM t ORDER BY event_type""".stripMargin))
   )
 }
