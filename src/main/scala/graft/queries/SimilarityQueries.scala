@@ -1217,6 +1217,89 @@ object SimilarityQueries {
               |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM hist)
               |SELECT degree, n_vecs,
               |  CAST(n_vecs AS DOUBLE) / total AS share
-              |FROM hist CROSS JOIN t ORDER BY degree""".stripMargin))
+              |FROM hist CROSS JOIN t ORDER BY degree""".stripMargin)),
+
+    // EXT — centroid-based silhouette score: per vector, cosine
+    // distance to its own label centroid (a) vs the nearest OTHER
+    // centroid (b), silhouette = (b−a)/max(a,b) — the clustering-
+    // quality report for the label space (the O(n·k) centroid variant;
+    // true silhouette's O(n²) pairwise pass is exactly what it exists
+    // to avoid at scale). Centroids use the q71 exact fixed-point
+    // construction (1e6-scaled BIGINT sums → one double division per
+    // component), the k-row centroid frame broadcasts, and the per-
+    // vector min over other centroids is an order-independent
+    // reduction. The degenerate a=b=0 case guards via an exact float
+    // compare mirrored in both engines.
+    EngineQuery("q159_silhouette",
+      (s, dir) => {
+        val scaled = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1e6).cast("long")).as("sv"))
+        val cents = scaled
+          .select(col("label"), posexplode(col("sv")))
+          .groupBy("label", "pos")
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("s").cast("double") / col("n").cast("double")).as("c"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+            .as("pc"))
+          .select(col("label").as("label2"),
+            transform(col("pc"), p => p.getField("c")).as("cent"))
+        val svd = transform(col("sv"), x => x.cast("double"))
+        val dist = lit(1.0) - Similarity.dot(svd, col("cent")) /
+          (sqrt(Similarity.dot(svd, svd)) *
+            sqrt(Similarity.dot(col("cent"), col("cent"))))
+        val ab = scaled.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("label2"),
+            dist.as("dist"))
+          .groupBy("vec_id", "label")
+          .agg(max(when(col("label2") === col("label"), col("dist")))
+            .as("a_dist"),
+            min(when(col("label2") =!= col("label"), col("dist")))
+              .as("b_dist"))
+        ab.select(col("vec_id"), col("label"), col("a_dist"),
+            col("b_dist"),
+            when(greatest(col("a_dist"), col("b_dist")) === 0.0, lit(0.0))
+              .otherwise((col("b_dist") - col("a_dist")) /
+                greatest(col("a_dist"), col("b_dist"))).as("sil"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH sv AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+             |      AS sv
+             |  FROM embeddings),
+             |comps AS (
+             |  SELECT label, unnest(sv) AS s,
+             |    unnest(range(1, len(sv) + 1)) AS pos
+             |  FROM sv),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM comps GROUP BY 1, 2),
+             |centl AS (
+             |  SELECT label AS label2, list(c ORDER BY pos) AS cent
+             |  FROM cent GROUP BY label),
+             |pv AS (
+             |  SELECT v.vec_id, v.label, c.label2,
+             |    1.0 - list_dot_product(
+             |        list_transform(v.sv, x -> CAST(x AS DOUBLE)), c.cent)
+             |      / (sqrt(list_dot_product(
+             |            list_transform(v.sv, x -> CAST(x AS DOUBLE)),
+             |            list_transform(v.sv, x -> CAST(x AS DOUBLE))))
+             |         * sqrt(list_dot_product(c.cent, c.cent))) AS dist
+             |  FROM sv v CROSS JOIN centl c),
+             |ab AS (
+             |  SELECT vec_id, label,
+             |    MAX(CASE WHEN label2 = label THEN dist END) AS a_dist,
+             |    MIN(CASE WHEN label2 <> label THEN dist END) AS b_dist
+             |  FROM pv GROUP BY 1, 2)
+             |SELECT vec_id, label, a_dist, b_dist,
+             |  CASE WHEN greatest(a_dist, b_dist) = 0.0 THEN 0.0
+             |  ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END AS sil
+             |FROM ab ORDER BY vec_id""".stripMargin))
   )
 }

@@ -1602,7 +1602,29 @@ object TextQueries {
              |SELECT key_a, key_b, name_a, name_b, gap,
              |  CAST(levenshtein(name_a, name_b) AS INT) AS lev
              |FROM pairs WHERE levenshtein(name_a, name_b) <= 3
-             |ORDER BY key_a, key_b""".stripMargin))
+             |ORDER BY key_a, key_b""".stripMargin)),
+
+    // EXT — leakage-safe k-fold assignment: q81's train/val discipline
+    // generalized to cross-validation — the fold is a deterministic
+    // hash of the duplicate CLUSTER, never the document, so near-
+    // duplicates can never straddle folds and inflate eval scores.
+    // Reuses the shared q75 labels frame; the fold id is one fused
+    // sha256-prefix expression, exactly mirrored by the oracle.
+    EngineQuery("q160_kfold_split",
+      (s, dir) => dupClusterLabels(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          pmod(sha256PrefixLong(concat(lit("fold:"),
+            col("cluster_id").cast("string"))), lit(5L)).as("fold"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$ccLabelsSql
+              |SELECT doc_id, cluster_id,
+              |  CAST('0x' || substr(sha256('fold:' ||
+              |    CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 5
+              |    AS fold
+              |FROM cc_labels
+              |ORDER BY doc_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
