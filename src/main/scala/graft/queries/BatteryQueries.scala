@@ -412,6 +412,75 @@ object BatteryQueries {
              |FROM events
              |WHERE event_type IN ('click', 'error', 'purchase',
              |  'signup', 'view')
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // EXT — Hill tail-index estimator: per event_type, the Pareto
+    // shape of the top-100 values — the heavy-tail diagnostic behind
+    // capacity planning and outlier-threshold choices. The rank-≤-k
+    // window compiles to WindowGroupLimitExec in Spark 4 (map-side
+    // partial top-k per partition, then per-key top-k — NOT a full
+    // per-type sort), so the plan stays scale-safe; everything after
+    // the rank filter runs over ≤ k rows per type. ln() terms are
+    // nonneg (values sorted descending), so the running sum is
+    // monotone and the per-type total is its MAX — an order-
+    // independent reduction over an ordered sequential accumulation.
+    EngineQuery("q162_hill_tail",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 100
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))
+        val top = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+        val vk = top.filter(col("rnk") === k)
+          .select(col("event_type"), col("value").as("v_k"))
+        val terms = top.filter(col("rnk") < k)
+          .join(vk, "event_type")
+          .withColumn("lnr", log(col("value") / col("v_k")))
+        val wRun = Window.partitionBy(col("event_type")).orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy(col("event_type"))
+        terms
+          .withColumn("run", sum(col("lnr")).over(wRun))
+          .withColumn("tot", max(col("run")).over(wAll))
+          .filter(col("rnk") === 1)
+          // round(6): ln() is libm, not correctly-rounded IEEE — the two
+          // engines drift a final ulp; 6 decimals absorbs it (q71 et al.)
+          .select(col("event_type"), col("v_k"),
+            round(col("tot") / lit((k - 1).toDouble), 6)
+              .as("hill_mean_log"),
+            round(lit((k - 1).toDouble) / col("tot"), 6).as("tail_alpha"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id) AS rnk
+             |  FROM events),
+             |top AS (SELECT * FROM ranked WHERE rnk <= 100),
+             |vk AS (
+             |  SELECT event_type, value AS v_k FROM top WHERE rnk = 100),
+             |terms AS (
+             |  SELECT t.event_type, t.rnk, vk.v_k,
+             |    ln(t.value / vk.v_k) AS lnr
+             |  FROM top t JOIN vk ON vk.event_type = t.event_type
+             |  WHERE t.rnk < 100),
+             |runs AS (
+             |  SELECT event_type, rnk, v_k,
+             |    SUM(lnr) OVER (PARTITION BY event_type ORDER BY rnk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS run
+             |  FROM terms),
+             |tots AS (
+             |  SELECT event_type, rnk, v_k,
+             |    MAX(run) OVER (PARTITION BY event_type) AS tot
+             |  FROM runs)
+             |SELECT event_type, v_k,
+             |  round(tot / CAST(99.0 AS DOUBLE), 6) AS hill_mean_log,
+             |  round(CAST(99.0 AS DOUBLE) / tot, 6) AS tail_alpha
+             |FROM tots WHERE rnk = 1
+             |ORDER BY event_type""".stripMargin))
   )
 }

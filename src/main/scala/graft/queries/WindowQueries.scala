@@ -691,6 +691,209 @@ object WindowQueries {
              |SELECT event_type, n_h, s_h,
              |  weight / total AS alloc_share,
              |  CAST(floor(10000.0 * (weight / total)) AS BIGINT) AS alloc_n
-             |FROM t ORDER BY event_type""".stripMargin))
+             |FROM t ORDER BY event_type""".stripMargin)),
+
+    // EXT — population-stability-index (PSI) drift report: value
+    // distribution of the first time-half vs the second, over FIXED
+    // 50-unit bins (the q145 discipline — data-dependent quantile bins
+    // would need a global rank). Bin ids come from exact integer-cents
+    // floor-division; counts are exact; the only float work is the
+    // smoothed share division and the ln() term, identical shapes in
+    // both engines. The split point is the integer midpoint of the
+    // corpus time range (one broadcast 1-row frame); the PSI total
+    // accumulates over the 10-row ordered bin frame.
+    EngineQuery("q161_psi_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            (money(col("value")) * 100).cast("long").as("cents"))
+        // integer midpoint via BIGINT floor-div — a double round-trip
+        // would round differently on the long cast in the two engines
+        val mid = ev.agg(expr(
+          "min(ts_us) + (max(ts_us) - min(ts_us)) div 2").as("mid_us"))
+        val binned = ev.crossJoin(broadcast(mid))
+          .select(least(expr("cents div 5000"), lit(9L)).as("bin"),
+            when(col("ts_us") < col("mid_us"), 0).otherwise(1).as("half"))
+          .groupBy("bin")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+        val wAll = Window.partitionBy()
+        val wRun = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val p0 = (col("n0").cast("double") + lit(0.5)) /
+          (col("t0").cast("double") + lit(5.0))
+        val p1 = (col("n1").cast("double") + lit(0.5)) /
+          (col("t1").cast("double") + lit(5.0))
+        binned
+          .withColumn("t0", sum(col("n0")).over(wAll))
+          .withColumn("t1", sum(col("n1")).over(wAll))
+          .withColumn("p0", p0)
+          .withColumn("p1", p1)
+          // round the term BEFORE accumulating: ln() is libm (±1 ulp
+          // across engines); summing identical 6-decimal terms keeps
+          // the running total bit-identical too
+          .withColumn("psi_term",
+            round((col("p1") - col("p0")) * log(col("p1") / col("p0")), 6))
+          .withColumn("psi_running", sum(col("psi_term")).over(wRun))
+          .select(col("bin"), col("n0"), col("n1"), col("p0"), col("p1"),
+            col("psi_term"), col("psi_running"))
+          .orderBy("bin")
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) AS ts_us,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events),
+             |mid AS (
+             |  SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2
+             |    AS mid_us
+             |  FROM ev),
+             |binned AS (
+             |  SELECT LEAST(cents // 5000, 9) AS bin,
+             |    CAST(SUM(CASE WHEN ts_us < mid_us THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n0,
+             |    CAST(SUM(CASE WHEN ts_us >= mid_us THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n1
+             |  FROM ev CROSS JOIN mid GROUP BY 1),
+             |tot AS (
+             |  SELECT bin, n0, n1,
+             |    CAST(SUM(n0) OVER () AS BIGINT) AS t0,
+             |    CAST(SUM(n1) OVER () AS BIGINT) AS t1
+             |  FROM binned),
+             |terms AS (
+             |  SELECT bin, n0, n1,
+             |    (CAST(n0 AS DOUBLE) + 0.5) / (CAST(t0 AS DOUBLE) + 5.0)
+             |      AS p0,
+             |    (CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0)
+             |      AS p1
+             |  FROM tot),
+             |psi AS (
+             |  SELECT bin, n0, n1, p0, p1,
+             |    round((p1 - p0) * ln(p1 / p0), 6) AS psi_term
+             |  FROM terms)
+             |SELECT bin, n0, n1, p0, p1, psi_term,
+             |  SUM(psi_term) OVER (ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS psi_running
+             |FROM psi ORDER BY bin""".stripMargin)),
+
+    // EXT — Kaplan-Meier survival of view→purchase conversion: the
+    // censoring-aware upgrade of q150's converter-only lags. Durations
+    // are exact integer days (converters: first purchase − first view;
+    // non-converters: censored at corpus end). The at-risk counts and
+    // event counts are exact BIGINTs via running sums over the
+    // |distinct days| frame (bounded by the corpus time span); the
+    // survival curve is exp(Σ ln(1 − d/n)) accumulated in rank order,
+    // with the d = n collapse guarded by an exact integer predicate
+    // (survival pins to 0 from that day on, never ln(0)).
+    EngineQuery("q163_km_survival",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val maxTs = ev.agg(max("ts_us").as("max_us"))
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ts_us") >= col("first_view_us"))
+          .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
+        // BIGINT floor-div day bucketing — `div` truncation matches
+        // DuckDB `//` exactly for these nonnegative durations
+        val durs = fv.join(fp, Seq("user_id"), "left")
+          .crossJoin(broadcast(maxTs))
+          .select(
+            when(col("first_purchase_us").isNotNull,
+              expr("(first_purchase_us - first_view_us) div 86400000000"))
+              .otherwise(
+                expr("(max_us - first_view_us) div 86400000000"))
+              .as("t_days"),
+            when(col("first_purchase_us").isNotNull, 1L).otherwise(0L)
+              .as("ev"))
+        val byDay = durs.groupBy("t_days")
+          .agg(sum(col("ev")).as("d"),
+            sum(lit(1L) - col("ev")).as("c"))
+        val wRun = Window.orderBy("t_days")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wPrev = Window.orderBy("t_days")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy()
+        byDay
+          .withColumn("total", sum(col("d") + col("c")).over(wAll))
+          .withColumn("gone",
+            coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          .withColumn("n_risk", col("total") - col("gone"))
+          .withColumn("ln_term",
+            when(col("d") < col("n_risk"),
+              log((col("n_risk") - col("d")).cast("double") /
+                col("n_risk").cast("double"))).otherwise(lit(0.0)))
+          .withColumn("collapsed",
+            max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+              .over(wRun))
+          .withColumn("run_ln", sum(col("ln_term")).over(wRun))
+          // round(6): ln/exp are libm, not correctly-rounded IEEE — the
+          // engines drift a final ulp; 6 decimals absorbs it
+          .select(col("t_days"), col("n_risk"), col("d").as("d_events"),
+            col("c").as("n_censored"),
+            when(col("collapsed") === 1L, lit(0.0))
+              .otherwise(round(exp(col("run_ln")), 6)).as("survival"))
+          .orderBy("t_days")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+             |  FROM events),
+             |mx AS (SELECT MAX(ts_us) AS max_us FROM ev),
+             |fv AS (
+             |  SELECT user_id, MIN(ts_us) AS first_view_us
+             |  FROM ev WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, MIN(e.ts_us) AS first_purchase_us
+             |  FROM ev e JOIN fv ON fv.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND e.ts_us >= fv.first_view_us
+             |  GROUP BY 1),
+             |durs AS (
+             |  SELECT
+             |    CASE WHEN fp.first_purchase_us IS NOT NULL
+             |      THEN (fp.first_purchase_us - fv.first_view_us)
+             |        // 86400000000
+             |      ELSE (mx.max_us - fv.first_view_us)
+             |        // 86400000000 END AS t_days,
+             |    CASE WHEN fp.first_purchase_us IS NOT NULL
+             |      THEN 1 ELSE 0 END AS ev
+             |  FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id
+             |  CROSS JOIN mx),
+             |byday AS (
+             |  SELECT t_days, CAST(SUM(ev) AS BIGINT) AS d,
+             |    CAST(SUM(1 - ev) AS BIGINT) AS c
+             |  FROM durs GROUP BY 1),
+             |risk AS (
+             |  SELECT t_days, d, c,
+             |    CAST(SUM(d + c) OVER () AS BIGINT) AS total,
+             |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t_days
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS gone
+             |  FROM byday),
+             |terms AS (
+             |  SELECT t_days, d, c, total - gone AS n_risk,
+             |    CASE WHEN d < total - gone
+             |      THEN ln(CAST((total - gone) - d AS DOUBLE)
+             |        / CAST(total - gone AS DOUBLE))
+             |      ELSE CAST(0.0 AS DOUBLE) END AS ln_term,
+             |    CASE WHEN d = total - gone THEN 1 ELSE 0 END AS coll
+             |  FROM risk),
+             |curve AS (
+             |  SELECT t_days, n_risk, d, c,
+             |    MAX(coll) OVER (ORDER BY t_days
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS collapsed,
+             |    SUM(ln_term) OVER (ORDER BY t_days
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS run_ln
+             |  FROM terms)
+             |SELECT t_days, n_risk, d AS d_events, c AS n_censored,
+             |  CASE WHEN collapsed = 1 THEN CAST(0.0 AS DOUBLE)
+             |  ELSE round(exp(run_ln), 6) END AS survival
+             |FROM curve ORDER BY t_days""".stripMargin))
   )
 }
