@@ -633,6 +633,72 @@ object RelationalQueries {
              |  / (sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)
              |    * sqrt(CAST(n AS DOUBLE) * sxx - sx * sx))
              |    AS corr_disc_tax
-             |FROM stats ORDER BY l_returnflag""".stripMargin))
+             |FROM stats ORDER BY l_returnflag""".stripMargin)),
+
+    // EXT — lag-1 autocorrelation of daily order volume per priority:
+    // the serial-dependence diagnostic behind q152's trend fit (is the
+    // residual noise white?). Consecutive-calendar-day pairs come from
+    // a per-priority lag window over the |priority × day| aggregate
+    // frame (bounded by the corpus time span — never raw orders); all
+    // sufficient statistics are exact BIGINTs and the coefficient is
+    // one fixed-shape double expression.
+    EngineQuery("q164_autocorr_daily",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1990-01-01").cast("date")).cast("long").as("x"))
+          .groupBy("o_orderpriority", "x")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("x")
+        val pairs = daily
+          .withColumn("prev_x", lag(col("x"), 1).over(w))
+          .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+          .filter(col("x") - col("prev_x") === 1)
+        val stats = pairs.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("prev_cnt")).as("sa"),
+            sum(col("cnt")).as("sb"),
+            sum(col("prev_cnt") * col("prev_cnt")).as("saa"),
+            sum(col("cnt") * col("cnt")).as("sbb"),
+            sum(col("prev_cnt") * col("cnt")).as("sab"))
+        val nd = col("n_pairs").cast("double")
+        val (sa, sb) = (col("sa").cast("double"), col("sb").cast("double"))
+        stats.select(col("o_orderpriority"), col("n_pairs"),
+            ((nd * col("sab").cast("double") - sa * sb) /
+              (sqrt(nd * col("saa").cast("double") - sa * sa) *
+                sqrt(nd * col("sbb").cast("double") - sb * sb)))
+              .as("autocorr_lag1"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_orderpriority,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             |    COUNT(*) AS cnt
+             |  FROM orders GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT o_orderpriority,
+             |    lag(x, 1) OVER w AS prev_x,
+             |    lag(cnt, 1) OVER w AS prev_cnt, x, cnt
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY x)),
+             |stats AS (
+             |  SELECT o_orderpriority, COUNT(*) AS n_pairs,
+             |    CAST(SUM(prev_cnt) AS BIGINT) AS sa,
+             |    CAST(SUM(cnt) AS BIGINT) AS sb,
+             |    CAST(SUM(prev_cnt * prev_cnt) AS BIGINT) AS saa,
+             |    CAST(SUM(cnt * cnt) AS BIGINT) AS sbb,
+             |    CAST(SUM(prev_cnt * cnt) AS BIGINT) AS sab
+             |  FROM pairs WHERE x - prev_x = 1 GROUP BY 1)
+             |SELECT o_orderpriority, n_pairs,
+             |  (CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+             |    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             |  / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+             |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             |    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+             |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+             |    AS autocorr_lag1
+             |FROM stats ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -894,6 +894,121 @@ object WindowQueries {
              |SELECT t_days, n_risk, d AS d_events, c AS n_censored,
              |  CASE WHEN collapsed = 1 THEN CAST(0.0 AS DOUBLE)
              |  ELSE round(exp(run_ln), 6) END AS survival
-             |FROM curve ORDER BY t_days""".stripMargin))
+             |FROM curve ORDER BY t_days""".stripMargin)),
+
+    // EXT — burstiness profile: per event_type, the Fano factor
+    // (variance-to-mean ratio of daily counts — 1 under Poisson
+    // arrivals, >1 bursty) and coefficient of variation. Daily counts
+    // are exact BIGINTs; mean/variance come from exact sums through
+    // fixed-shape double arithmetic. Two keyed aggregations, the
+    // second over the bounded |type × day| frame.
+    EngineQuery("q165_fano_burstiness",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"),
+              lit("1990-01-01").cast("date")).cast("long").as("x"))
+          .groupBy("event_type", "x")
+          .agg(count(lit(1)).as("c"))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("c")).as("sx"),
+            sum(col("c") * col("c")).as("sxx"))
+        val nd = col("n_days").cast("double")
+        val sxd = col("sx").cast("double")
+        val mean = sxd / nd
+        val variance = (nd * col("sxx").cast("double") - sxd * sxd) /
+          (nd * (nd - lit(1.0)))
+        stats.select(col("event_type"), col("n_days"),
+            mean.as("mean_daily"), variance.as("var_daily"),
+            (variance / mean).as("fano"),
+            (sqrt(variance) / mean).as("cv"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) AS x,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(c) AS BIGINT) AS sx,
+             |    CAST(SUM(c * c) AS BIGINT) AS sxx
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, n_days,
+             |  CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+             |  (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |  / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))
+             |    AS var_daily,
+             |  ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |  / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+             |  / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano,
+             |  sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |  / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+             |  / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS cv
+             |FROM stats ORDER BY event_type""".stripMargin)),
+
+    // EXT — CUSUM change-point detection: per event_type, the running
+    // cumulative deviation of daily counts from the type mean, and the
+    // day where |CUSUM| peaks — the classic level-shift locator. Daily
+    // counts and means come from exact integers; the CUSUM accumulates
+    // over the bounded per-type day frame in day order (sequential adds
+    // in both engines), and the peak row is a rank-1 pick with an
+    // exact-integer day tie-break.
+    EngineQuery("q166_cusum_changepoint",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"),
+              lit("1990-01-01").cast("date")).cast("long").as("x"))
+          .groupBy("event_type", "x")
+          .agg(count(lit(1)).as("c"))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sx"))
+        val wRun = Window.partitionBy("event_type").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cusumed = daily.join(broadcast(stats), "event_type")
+          .withColumn("dev", col("c").cast("double") -
+            col("sx").cast("double") / col("n_days").cast("double"))
+          .withColumn("cusum", sum(col("dev")).over(wRun))
+        val wRank = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("x"))
+        cusumed.withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") === 1)
+          .select(col("event_type"), col("x").as("cp_day"),
+            col("c").as("count_at_cp"), col("cusum").as("cusum_at_cp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) AS x,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(c) AS BIGINT) AS sx
+             |  FROM daily GROUP BY 1),
+             |cus AS (
+             |  SELECT d.event_type, d.x, d.c,
+             |    SUM(CAST(d.c AS DOUBLE)
+             |      - CAST(s.sx AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+             |      OVER (PARTITION BY d.event_type ORDER BY d.x
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cusum
+             |  FROM daily d JOIN stats s ON s.event_type = d.event_type),
+             |ranked AS (
+             |  SELECT event_type, x, c, cusum,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(cusum) DESC, x) AS rnk
+             |  FROM cus)
+             |SELECT event_type, x AS cp_day, c AS count_at_cp,
+             |  cusum AS cusum_at_cp
+             |FROM ranked WHERE rnk = 1
+             |ORDER BY event_type""".stripMargin))
   )
 }
