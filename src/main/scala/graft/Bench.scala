@@ -222,7 +222,7 @@ object Bench {
     }
     val budget = 1870
     Seq(candidate(3, Int.MaxValue), candidate(2, Int.MaxValue),
-      candidate(1, Int.MaxValue), candidate(2, 60))
+      candidate(1, Int.MaxValue), candidate(1, 100), candidate(2, 60))
       .find(_.length <= budget).getOrElse(candidate(1, 40))
   }
 }
