@@ -1165,6 +1165,66 @@ object CorpusQueries {
              |    - CAST(84.6 AS DOUBLE)
              |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
              |    AS flesch
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // EXT — corpus novelty curve: as documents accumulate in doc_id
+    // order, what fraction of all shingles seen so far were NEW at
+    // first sight — the diminishing-returns report behind "do we keep
+    // collecting from this source?". A gram is new for exactly the doc
+    // holding its MIN doc_id (one keyed aggregation over the shared
+    // shingle stream); the cumulative counters use the q86 shard-
+    // decomposed prefix sum (shard-local running windows in parallel +
+    // a broadcast |shards|-row prefix join), never a one-partition
+    // window over the corpus. The oracle states the same algebra as one
+    // plain running window.
+    EngineQuery("q167_novelty_curve",
+      (s, dir) => {
+        val gc = TextQueries.gramsDf(s, dir)
+          .select(col("doc_id"), col("gram")).distinct()
+        val firstDoc = gc.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        val perDoc = gc.join(firstDoc, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_new"))
+          .withColumn("shard", floor(col("doc_id") / PackShard).cast("long"))
+        val wIn = Window.partitionBy("shard").orderBy("doc_id")
+        val within = perDoc
+          .withColumn("cin_g", sum(col("n_grams")).over(wIn))
+          .withColumn("cin_n", sum(col("n_new")).over(wIn))
+        val wSh = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prefix = perDoc.groupBy("shard")
+          .agg(sum("n_grams").as("sg"), sum("n_new").as("sn"))
+          .withColumn("pg", sum(col("sg")).over(wSh) - col("sg"))
+          .withColumn("pn", sum(col("sn")).over(wSh) - col("sn"))
+          .select("shard", "pg", "pn")
+        within.join(broadcast(prefix), Seq("shard"))
+          .select(col("doc_id"), col("n_grams"), col("n_new"),
+            (col("pg") + col("cin_g")).as("cum_grams"),
+            (col("pn") + col("cin_n")).as("cum_new"),
+            ((col("pn") + col("cin_n")).cast("double") /
+              (col("pg") + col("cin_g")).cast("double")).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS (${TextQueries.gramsSql}),
+              |gc AS (SELECT DISTINCT doc_id, gram FROM grams),
+              |fd AS (
+              |  SELECT gram, MIN(doc_id) AS first_doc FROM gc GROUP BY 1),
+              |pd AS (
+              |  SELECT gc.doc_id, COUNT(*) AS n_grams,
+              |    CAST(SUM(CASE WHEN fd.first_doc = gc.doc_id
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+              |  FROM gc JOIN fd ON fd.gram = gc.gram GROUP BY 1),
+              |c AS (
+              |  SELECT doc_id, n_grams, n_new,
+              |    CAST(SUM(n_grams) OVER w AS BIGINT) AS cum_grams,
+              |    CAST(SUM(n_new) OVER w AS BIGINT) AS cum_new
+              |  FROM pd WINDOW w AS (ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT doc_id, n_grams, n_new, cum_grams, cum_new,
+              |  CAST(cum_new AS DOUBLE) / CAST(cum_grams AS DOUBLE)
+              |    AS novelty
+              |FROM c ORDER BY doc_id""".stripMargin))
   )
 }
