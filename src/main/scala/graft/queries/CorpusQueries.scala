@@ -1176,11 +1176,16 @@ object CorpusQueries {
     // decomposed prefix sum (shard-local running windows in parallel +
     // a broadcast |shards|-row prefix join), never a one-partition
     // window over the corpus. The oracle states the same algebra as one
-    // plain running window.
+    // plain running window. Grams travel as xxhash64 LONGS through the
+    // distinct/agg/join (the q31 width discipline — 8 bytes vs 8-char
+    // strings, measured 3.0 s → steady sub-second); only COUNTS reach
+    // the output, so results differ from the string oracle only on a
+    // 64-bit collision within one corpus (~1e-11).
     EngineQuery("q167_novelty_curve",
       (s, dir) => {
         val gc = TextQueries.gramsDf(s, dir)
-          .select(col("doc_id"), col("gram")).distinct()
+          .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+          .distinct()
         val firstDoc = gc.groupBy("gram").agg(min("doc_id").as("first_doc"))
         val perDoc = gc.join(firstDoc, "gram")
           .groupBy("doc_id")
@@ -1225,6 +1230,78 @@ object CorpusQueries {
               |SELECT doc_id, n_grams, n_new, cum_grams, cum_new,
               |  CAST(cum_new AS DOUBLE) / CAST(cum_grams AS DOUBLE)
               |    AS novelty
-              |FROM c ORDER BY doc_id""".stripMargin))
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // EXT — PMI token-association pairs: top-50 adjacent-token pairs by
+    // pointwise mutual information (count floor 5) — the collocation
+    // detector next to q92's conditional-probability LM. The RANKING
+    // key is the exact integer rational c_ab·M² / (N·c_a·c_b) cast to
+    // double (no libm in the sort — ln() is ±1 ulp across engines and
+    // could flip the rank-50 boundary); pmi itself is round(ln(ratio),6)
+    // output-only. Top-50 via orderBy+limit (TakeOrdered — map-side
+    // partial top-k, never a global sort). At warehouse scale the
+    // integer products overflow BIGINT around M ≈ 3e9 tokens — there
+    // the ratio drops to the same-shaped double product, which keeps
+    // the identical cross-engine ordering property.
+    EngineQuery("q172_pmi_pairs",
+      (s, dir) => {
+        val toks = TextQueries.docsSpread(s, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        val pairs = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS a, " +
+              "element_at(t, i + 1) AS b))")).as("p"))
+          .select(col("p.a"), col("p.b"))
+        val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        val uni = toks.select(explode(col("t")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+        val totals = pc.agg(sum("c_ab").as("n_tot"))
+          .crossJoin(uni.agg(sum("c_tok").as("m_tot")))
+        val scored = pc.filter(col("c_ab") >= 5)
+          .join(uni.withColumnRenamed("tok", "a")
+            .withColumnRenamed("c_tok", "c_a"), "a")
+          .join(uni.withColumnRenamed("tok", "b")
+            .withColumnRenamed("c_tok", "c_b"), "b")
+          .crossJoin(broadcast(totals))
+          .withColumn("ratio",
+            (col("c_ab") * col("m_tot") * col("m_tot")).cast("double") /
+              (col("n_tot") * col("c_a") * col("c_b")).cast("double"))
+        scored.orderBy(col("ratio").desc, col("a"), col("b"))
+          .limit(50)
+          .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+            round(log(col("ratio")), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT t[i] AS a, t[i + 1] AS b
+             |  FROM toks
+             |  CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
+             |  WHERE i <= len(t) - 1),
+             |pc AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+             |uni AS (
+             |  SELECT unnest(t) AS tok FROM toks),
+             |uc AS (SELECT tok, COUNT(*) AS c_tok FROM uni GROUP BY 1),
+             |tot AS (
+             |  SELECT (SELECT CAST(SUM(c_ab) AS BIGINT) FROM pc) AS n_tot,
+             |    (SELECT CAST(SUM(c_tok) AS BIGINT) FROM uc) AS m_tot),
+             |scored AS (
+             |  SELECT pc.a, pc.b, pc.c_ab, ua.c_tok AS c_a,
+             |    ub.c_tok AS c_b,
+             |    CAST(pc.c_ab * t.m_tot * t.m_tot AS DOUBLE)
+             |      / CAST(t.n_tot * ua.c_tok * ub.c_tok AS DOUBLE)
+             |      AS ratio
+             |  FROM pc
+             |  JOIN uc ua ON ua.tok = pc.a
+             |  JOIN uc ub ON ub.tok = pc.b
+             |  CROSS JOIN tot t
+             |  WHERE pc.c_ab >= 5)
+             |SELECT a, b, c_ab, c_a, c_b, round(ln(ratio), 6) AS pmi
+             |FROM (SELECT * FROM scored
+             |      ORDER BY ratio DESC, a, b LIMIT 50)
+             |ORDER BY pmi DESC, a, b""".stripMargin))
   )
 }

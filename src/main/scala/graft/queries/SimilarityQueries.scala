@@ -1300,6 +1300,55 @@ object SimilarityQueries {
              |SELECT vec_id, label, a_dist, b_dist,
              |  CASE WHEN greatest(a_dist, b_dist) = 0.0 THEN 0.0
              |  ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END AS sil
-             |FROM ab ORDER BY vec_id""".stripMargin))
+             |FROM ab ORDER BY vec_id""".stripMargin)),
+
+    // EXT — embedding norm profile per label: min/max/RMS L2 norms —
+    // the "are these vectors normalized?" sanity gate before any
+    // cosine-vs-dot decision. Squared norms are EXACT BIGINTs in the
+    // q71 1e-6 fixed point (component² ≤ 1e12 × 64 dims — no overflow),
+    // so min/max/mean are integer reductions and the only doubles are
+    // final sqrt's of exact values. One keyed aggregation.
+    EngineQuery("q170_norm_profile",
+      (s, dir) => {
+        val scaled = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1e6).cast("long")).as("sv"))
+        val norms = scaled.select(col("label"),
+          expr("aggregate(sv, 0L, (a, x) -> a + x * x)").as("norm2"))
+        norms.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("norm2")).as("min_n2"),
+            max(col("norm2")).as("max_n2"),
+            sum(col("norm2")).as("sum_n2"))
+          .select(col("label"), col("n_vecs"),
+            (sqrt(col("min_n2").cast("double")) / lit(1e6)).as("min_norm"),
+            (sqrt(col("max_n2").cast("double")) / lit(1e6)).as("max_norm"),
+            (sqrt(col("sum_n2").cast("double") /
+              col("n_vecs").cast("double")) / lit(1e6)).as("rms_norm"))
+          .orderBy("label")
+      },
+      Some("""WITH sv AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+             |      AS sv
+             |  FROM embeddings),
+             |n2 AS (
+             |  SELECT label,
+             |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT)
+             |      AS norm2
+             |  FROM sv),
+             |agg AS (
+             |  SELECT label, COUNT(*) AS n_vecs,
+             |    MIN(norm2) AS min_n2, MAX(norm2) AS max_n2,
+             |    CAST(SUM(norm2) AS BIGINT) AS sum_n2
+             |  FROM n2 GROUP BY 1)
+             |SELECT label, n_vecs,
+             |  sqrt(CAST(min_n2 AS DOUBLE)) / 1000000.0 AS min_norm,
+             |  sqrt(CAST(max_n2 AS DOUBLE)) / 1000000.0 AS max_norm,
+             |  sqrt(CAST(sum_n2 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+             |    / 1000000.0 AS rms_norm
+             |FROM agg ORDER BY label""".stripMargin))
   )
 }

@@ -1624,7 +1624,59 @@ object TextQueries {
               |    CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 5
               |    AS fold
               |FROM cc_labels
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // EXT — effective training tokens per source: raw vs dedup-surviving
+    // docs/tokens and the token-savings fraction, per source — the
+    // number a curation run quotes when it says "source X is 40%
+    // redundant". Survivors keep the LOWEST doc_id per duplicate
+    // cluster (the q111 SemDeDup canonical-pick rule, deterministic);
+    // clusters come from the SHARED q75 labels frame, so steady-state
+    // cost is two keyed aggregations over |docs| rows plus the
+    // |clusters|-row min-join.
+    EngineQuery("q169_effective_tokens",
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val keep = dupClusterLabels(s, dir)
+          .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val joined = toks.join(keep.withColumn("survives", lit(1L)),
+          Seq("doc_id"), "left")
+        joined.groupBy("source")
+          .agg(count(lit(1)).as("raw_docs"),
+            sum(col("n_tokens")).as("raw_tokens"),
+            sum(coalesce(col("survives"), lit(0L))).as("kept_docs"),
+            sum(when(col("survives").isNotNull, col("n_tokens"))
+              .otherwise(0L)).as("kept_tokens"))
+          .select(col("source"), col("raw_docs"), col("raw_tokens"),
+            col("kept_docs"), col("kept_tokens"),
+            (lit(1.0) - col("kept_tokens").cast("double") /
+              col("raw_tokens").cast("double")).as("token_savings"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$ccLabelsSql,
+              |keep AS (
+              |  SELECT MIN(doc_id) AS doc_id FROM cc_labels
+              |  GROUP BY cluster_id),
+              |toks AS (
+              |  SELECT d.doc_id, d.source,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT)
+              |      AS n_tokens,
+              |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END
+              |      AS survives
+              |  FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id)
+              |SELECT source, COUNT(*) AS raw_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+              |  CAST(SUM(survives) AS BIGINT) AS kept_docs,
+              |  CAST(SUM(CASE WHEN survives = 1 THEN n_tokens ELSE 0 END)
+              |    AS BIGINT) AS kept_tokens,
+              |  1.0 - CAST(SUM(CASE WHEN survives = 1 THEN n_tokens
+              |      ELSE 0 END) AS DOUBLE)
+              |    / CAST(SUM(n_tokens) AS DOUBLE) AS token_savings
+              |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

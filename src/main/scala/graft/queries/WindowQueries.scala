@@ -1009,6 +1009,109 @@ object WindowQueries {
              |SELECT event_type, x AS cp_day, c AS count_at_cp,
              |  cusum AS cusum_at_cp
              |FROM ranked WHERE rnk = 1
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // EXT — daily bounce rate: share of 30-minute gap sessions that
+    // contain exactly one event, per session-start day — the product-
+    // analytics rollup of q24's sessionization (same session_window
+    // operator, same 30-minute gap; the oracle replays the gap-flag
+    // running-sum construction). Session build is the q24 plan (per-user
+    // merge, parallel across the user hash); the rollup is one keyed
+    // aggregation over |sessions| rows.
+    EngineQuery("q168_bounce_rate",
+      (s, dir) => {
+        val sessions = Tables.events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("session_window.start").cast("date").as("day"),
+            col("n_events"))
+        sessions.groupBy("day")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("n_bounces"))
+          .select(col("day"), col("n_sessions"), col("n_bounces"),
+            (col("n_bounces").cast("double") /
+              col("n_sessions").cast("double")).as("bounce_rate"))
+          .orderBy("day")
+      },
+      Some("""WITH flags AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_id
+             |  FROM flags),
+             |agg AS (
+             |  SELECT user_id, session_id,
+             |    CAST(MIN(ts) AS DATE) AS day, COUNT(*) AS n_events
+             |  FROM sess GROUP BY 1, 2),
+             |daily AS (
+             |  SELECT day, COUNT(*) AS n_sessions,
+             |    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_bounces
+             |  FROM agg GROUP BY 1)
+             |SELECT day, n_sessions, n_bounces,
+             |  CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             |    AS bounce_rate
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    // EXT — weekly churn: per week, users active that week who do NOT
+    // return the next week — the retention complement of q94's cohort
+    // triangle (weeks, not months: the corpus spans one calendar month
+    // at every SF). Activity is one distinct-aggregation; the churn
+    // check is a self left-join on (user, week+1); the final week (no
+    // next-week data) is excluded via a broadcast 1-row max. All
+    // integers until one rate division; the week index is BIGINT
+    // floor-division of epoch days (the `div`/`//` parity rule).
+    EngineQuery("q171_weekly_churn",
+      (s, dir) => {
+        val am = Tables.events(s, dir)
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              lit("1990-01-01").cast("date")).cast("long").as("d"))
+          .select(col("user_id"), expr("d div 7").as("m"))
+          .distinct()
+        val maxM = am.agg(max("m").as("max_m"))
+        val nxt = am.select(col("user_id"), (col("m") - 1).as("m"))
+          .withColumn("returns", lit(1L)).distinct()
+        am.join(nxt, Seq("user_id", "m"), "left")
+          .crossJoin(broadcast(maxM))
+          .filter(col("m") < col("max_m"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("returns").isNull, 1L).otherwise(0L))
+              .as("n_churned"))
+          .select(col("m").as("week_idx"), col("n_active"),
+            col("n_churned"),
+            (col("n_churned").cast("double") /
+              col("n_active").cast("double")).as("churn_rate"))
+          .orderBy("week_idx")
+      },
+      Some("""WITH am AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) // 7 AS m
+             |  FROM events),
+             |mx AS (SELECT MAX(m) AS max_m FROM am),
+             |nxt AS (
+             |  SELECT DISTINCT user_id, m - 1 AS m, 1 AS returns FROM am),
+             |j AS (
+             |  SELECT am.m, am.user_id, nxt.returns
+             |  FROM am LEFT JOIN nxt
+             |    ON nxt.user_id = am.user_id AND nxt.m = am.m
+             |  CROSS JOIN mx WHERE am.m < mx.max_m)
+             |SELECT m AS week_idx, COUNT(*) AS n_active,
+             |  CAST(SUM(CASE WHEN returns IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_churned,
+             |  CAST(SUM(CASE WHEN returns IS NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS churn_rate
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
