@@ -1302,6 +1302,56 @@ object CorpusQueries {
              |SELECT a, b, c_ab, c_a, c_b, round(ln(ratio), 6) AS pmi
              |FROM (SELECT * FROM scored
              |      ORDER BY ratio DESC, a, b LIMIT 50)
-             |ORDER BY pmi DESC, a, b""".stripMargin))
+             |ORDER BY pmi DESC, a, b""".stripMargin)),
+
+    // EXT — language-mix entropy per source: Shannon entropy of each
+    // source's language distribution — the "is this source a monoculture
+    // or a grab-bag" signal the mixing report (q102) summarizes by
+    // share. Counts are exact; each −p·ln p term is rounded to 6
+    // decimals BEFORE the per-source accumulation (the q161 libm rule),
+    // and the per-source total is the MAX of the monotone running sum
+    // over the bounded |langs| frame.
+    EngineQuery("q175_lang_mix_entropy",
+      (s, dir) => {
+        val counts = docs(s, dir).groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+        val wSrc = Window.partitionBy("source")
+        val wRun = Window.partitionBy("source").orderBy("lang")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        counts
+          .withColumn("n", sum(col("c")).over(wSrc))
+          .withColumn("k", count(lit(1)).over(wSrc))
+          .withColumn("term", round(-(col("c").cast("double") /
+            col("n").cast("double")) *
+            log(col("c").cast("double") / col("n").cast("double")), 6))
+          .withColumn("run", sum(col("term")).over(wRun))
+          .groupBy("source")
+          .agg(max(col("n")).as("n_docs"), max(col("k")).as("n_langs"),
+            max(col("run")).as("lang_entropy"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+             |  SELECT source, lang, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT source, lang, c,
+             |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+             |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS k
+             |  FROM counts),
+             |terms AS (
+             |  SELECT source, lang, c, n, k,
+             |    round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             |      AS term
+             |  FROM tot),
+             |runs AS (
+             |  SELECT source, n, k,
+             |    SUM(term) OVER (PARTITION BY source ORDER BY lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS run
+             |  FROM terms)
+             |SELECT source, MAX(n) AS n_docs, MAX(k) AS n_langs,
+             |  MAX(run) AS lang_entropy
+             |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -699,6 +699,41 @@ object RelationalQueries {
              |    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
              |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
              |    AS autocorr_lag1
-             |FROM stats ORDER BY o_orderpriority""".stripMargin))
+             |FROM stats ORDER BY o_orderpriority""".stripMargin)),
+
+    // EXT — open-order aging report: per status × age bucket, order
+    // counts and exact-decimal value at risk — the operational "what's
+    // been stuck how long" view. Ages are exact integer days from the
+    // corpus max date (one broadcast 1-row frame); buckets are BIGINT
+    // floor-division (the `div`/`//` parity rule). One keyed
+    // aggregation over the scan.
+    EngineQuery("q174_order_aging",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_totalprice"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1990-01-01").cast("date")).cast("long").as("d"))
+        val mx = o.agg(max("d").as("max_d"))
+        o.crossJoin(broadcast(mx))
+          .select(col("o_orderstatus"),
+            expr("(max_d - d) div 90").as("age_bucket"),
+            col("o_totalprice"))
+          .groupBy("o_orderstatus", "age_bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("total_value"))
+          .orderBy("o_orderstatus", "age_bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderstatus, o_totalprice,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+             |  FROM orders),
+             |mx AS (SELECT MAX(d) AS max_d FROM o)
+             |SELECT o_orderstatus, (max_d - d) // 90 AS age_bucket,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_value
+             |FROM o CROSS JOIN mx
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

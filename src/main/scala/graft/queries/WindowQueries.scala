@@ -1112,6 +1112,42 @@ object WindowQueries {
              |    AS BIGINT) AS n_churned,
              |  CAST(SUM(CASE WHEN returns IS NULL THEN 1 ELSE 0 END)
              |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS churn_rate
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — top event paths: the 20 most frequent length-3 event-type
+    // sequences across user timelines — q151's transition matrix
+    // extended to path mining (the "how do users actually move"
+    // report). Two leads over the per-user window (parallel across
+    // users), one keyed aggregation, top-20 via orderBy+limit
+    // (TakeOrdered — map-side partial top-k). Count ties at the cut
+    // break on the exact path strings.
+    EngineQuery("q173_top_paths",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+            col("t3").as("step3"))
+          .agg(count(lit(1)).as("n_paths"))
+          .orderBy(col("n_paths").desc, col("step1"), col("step2"),
+            col("step3"))
+          .limit(20)
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS step1,
+             |    lead(event_type, 1) OVER w AS step2,
+             |    lead(event_type, 2) OVER w AS step3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT step1, step2, step3, COUNT(*) AS n_paths
+             |FROM seq WHERE step3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n_paths DESC, step1, step2, step3
+             |LIMIT 20""".stripMargin))
   )
 }
