@@ -481,6 +481,59 @@ object BatteryQueries {
              |  round(tot / CAST(99.0 AS DOUBLE), 6) AS hill_mean_log,
              |  round(CAST(99.0 AS DOUBLE) / tot, 6) AS tail_alpha
              |FROM tots WHERE rnk = 1
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // EXT — column profiling report: per events column, row/null/
+    // distinct counts and the null rate — the schema-health scan a
+    // warehouse runs before trusting a new feed. ONE pass over the
+    // table (a single multi-aggregate; the per-column rows come from a
+    // stack generator over the 1-row aggregate, never a per-column
+    // re-scan). Distinct counts are exact because the gate demands it —
+    // the sketch variant of this report is the q17b precedent.
+    EngineQuery("q176_data_profile",
+      (s, dir) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+        val aggs = count(lit(1)).as("n") +:
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c")))
+        val one = Tables.events(s, dir).agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+        one.select(col("n"),
+            expr(s"stack(${cols.size}, $stackArgs) " +
+              "AS (col_name, n_nulls, n_distinct)"))
+          .select(col("col_name"), col("n").as("n_rows"), col("n_nulls"),
+            col("n_distinct"),
+            (col("n_nulls").cast("double") / col("n").cast("double"))
+              .as("null_rate"))
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn1, COUNT(DISTINCT event_id) AS nd1,
+             |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn2, COUNT(DISTINCT ts) AS nd2,
+             |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn3, COUNT(DISTINCT user_id) AS nd3,
+             |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn4, COUNT(DISTINCT event_type) AS nd4,
+             |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn5, COUNT(DISTINCT value) AS nd5,
+             |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn6, COUNT(DISTINCT props) AS nd6
+             |  FROM events)
+             |SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+             |  CAST(n_nulls AS DOUBLE) / CAST(n AS DOUBLE) AS null_rate
+             |FROM (
+             |  SELECT 'event_id' AS col_name, n, nn1 AS n_nulls,
+             |    nd1 AS n_distinct FROM a
+             |  UNION ALL SELECT 'ts', n, nn2, nd2 FROM a
+             |  UNION ALL SELECT 'user_id', n, nn3, nd3 FROM a
+             |  UNION ALL SELECT 'event_type', n, nn4, nd4 FROM a
+             |  UNION ALL SELECT 'value', n, nn5, nd5 FROM a
+             |  UNION ALL SELECT 'props', n, nn6, nd6 FROM a)
+             |ORDER BY col_name""".stripMargin))
   )
 }
