@@ -1148,6 +1148,85 @@ object WindowQueries {
              |FROM seq WHERE step3 IS NOT NULL
              |GROUP BY 1, 2, 3
              |ORDER BY n_paths DESC, step1, step2, step3
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // EXT — session basket pairs: UNORDERED event-type co-occurrence
+    // within 30-minute sessions, with support and lift — market-basket
+    // analysis over q24's session definition (the order-free complement
+    // of q173's paths). Per-session distinct types explode to a<b pairs
+    // via a bounded self-join on the session key (≤ |types|² rows per
+    // session); supports are exact counts and lift is one fixed-shape
+    // division chain from them.
+    EngineQuery("q177_basket_pairs",
+      (s, dir) => {
+        val sess = Tables.events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"),
+            col("user_id"))
+          .agg(collect_set(col("event_type")).as("types"))
+          .select(monotonically_increasing_id().as("sid"), col("types"))
+        val st = sess.select(col("sid"), explode(col("types")).as("t"))
+        val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+        val single = st.groupBy("t").agg(count(lit(1)).as("c_t"))
+        val pairs = st.join(st.withColumnRenamed("t", "t2"), "sid")
+          .filter(col("t") < col("t2"))
+          .groupBy(col("t").as("type_a"), col("t2").as("type_b"))
+          .agg(count(lit(1)).as("c_ab"))
+        pairs
+          .join(broadcast(single.withColumnRenamed("t", "type_a")
+            .withColumnRenamed("c_t", "c_a")), "type_a")
+          .join(broadcast(single.withColumnRenamed("t", "type_b")
+            .withColumnRenamed("c_t", "c_b")), "type_b")
+          .crossJoin(broadcast(nSess))
+          .select(col("type_a"), col("type_b"), col("c_ab"), col("c_a"),
+            col("c_b"),
+            (col("c_ab").cast("double") / col("n_sessions").cast("double"))
+              .as("support"),
+            ((col("c_ab").cast("double") / col("n_sessions").cast("double"))
+              / ((col("c_a").cast("double") /
+                  col("n_sessions").cast("double")) *
+                (col("c_b").cast("double") /
+                  col("n_sessions").cast("double")))).as("lift"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH flags AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, event_type,
+             |    SUM(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_id
+             |  FROM flags),
+             |st AS (
+             |  SELECT DISTINCT user_id, session_id, event_type AS t
+             |  FROM sess),
+             |ns AS (
+             |  SELECT COUNT(*) AS n_sessions FROM
+             |    (SELECT DISTINCT user_id, session_id FROM st)),
+             |single AS (SELECT t, COUNT(*) AS c_t FROM st GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS c_ab
+             |  FROM st a JOIN st b
+             |    ON b.user_id = a.user_id AND b.session_id = a.session_id
+             |    AND b.t > a.t
+             |  GROUP BY 1, 2)
+             |SELECT p.type_a, p.type_b, p.c_ab, sa.c_t AS c_a,
+             |  sb.c_t AS c_b,
+             |  CAST(p.c_ab AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE)
+             |    AS support,
+             |  (CAST(p.c_ab AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE))
+             |  / ((CAST(sa.c_t AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE))
+             |    * (CAST(sb.c_t AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE)))
+             |    AS lift
+             |FROM pairs p
+             |JOIN single sa ON sa.t = p.type_a
+             |JOIN single sb ON sb.t = p.type_b
+             |CROSS JOIN ns
+             |ORDER BY p.type_a, p.type_b""".stripMargin))
   )
 }
