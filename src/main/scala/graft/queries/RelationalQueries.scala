@@ -734,6 +734,60 @@ object RelationalQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |    AS total_value
              |FROM o CROSS JOIN mx
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // EXT — revenue concentration (whale analysis): the top-100
+    // customers by lifetime revenue and the cumulative share curve —
+    // "what fraction of revenue do our biggest accounts hold". Revenue
+    // is exact integer cents; the top-100 ride orderBy+limit
+    // (TakeOrdered — map-side partial top-k, never a global sort or
+    // rank), the cumulative window runs over the bounded 100-row frame,
+    // and the corpus total joins back as a broadcast 1-row frame.
+    EngineQuery("q178_revenue_concentration",
+      (s, dir) => {
+        val perCust = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(money(col("o_totalprice"))) * 100).cast("long")
+            .as("rev_cents"))
+        val total = perCust.agg(sum(col("rev_cents")).as("total_cents"))
+        val top = perCust
+          .orderBy(col("rev_cents").desc, col("o_custkey"))
+          .limit(100)
+        val wRun = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        top.crossJoin(broadcast(total))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rev_cents").desc, col("o_custkey"))))
+          .withColumn("cum_cents", sum(col("rev_cents")).over(wRun))
+          .select(col("rnk"), col("o_custkey"),
+            (col("rev_cents").cast("double") / 100).as("revenue"),
+            (col("cum_cents").cast("double") /
+              col("total_cents").cast("double")).as("cum_share"))
+          .orderBy("rnk")
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             |      AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT)
+             |  AS total_cents FROM pc),
+             |top AS (
+             |  SELECT o_custkey, rev_cents FROM pc
+             |  ORDER BY rev_cents DESC, o_custkey LIMIT 100),
+             |curve AS (
+             |  SELECT o_custkey, rev_cents,
+             |    row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+             |      AS rnk,
+             |    CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC,
+             |      o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |      CURRENT ROW) AS BIGINT) AS cum_cents
+             |  FROM top)
+             |SELECT rnk, o_custkey,
+             |  CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+             |  CAST(cum_cents AS DOUBLE) / CAST(tot.total_cents AS DOUBLE)
+             |    AS cum_share
+             |FROM curve CROSS JOIN tot
+             |ORDER BY rnk""".stripMargin))
   )
 }
