@@ -1352,6 +1352,102 @@ object CorpusQueries {
              |  FROM terms)
              |SELECT source, MAX(n) AS n_docs, MAX(k) AS n_langs,
              |  MAX(run) AS lang_entropy
-             |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — quality-gate funnel: for q113's four Gopher/C4-style rules
+    // applied in their fixed order, how many documents each rule kills
+    // on its own and how many survive the gate so far — the filter-
+    // tuning report (is one rule doing all the work?). One pass
+    // computes all flags; the funnel rows come from a stack over the
+    // 1-row aggregate (the q176 shape). All-integer until the rates.
+    EngineQuery("q179_quality_funnel",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+        val flags = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            aggregate(transform(col("toks"), t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("sum_len"),
+            size(array_distinct(filter(col("toks"),
+              t => t.isin(stop: _*)))).cast("long").as("n_stop_distinct"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+          .select(
+            (col("n_words") >= 50 && col("n_words") <= 100000).as("r1"),
+            (col("sum_len") >= col("n_words") * 3 &&
+              col("sum_len") <= col("n_words") * 10).as("r2"),
+            (col("n_stop_distinct") >= 2).as("r3"),
+            (col("n_distinct") * 10 >= col("n_words") * 4).as("r4"))
+        def b(c: String) = when(col(c), 1L).otherwise(0L)
+        val one = flags.agg(count(lit(1)).as("n_docs"),
+          sum(lit(1L) - b("r1")).as("f1"),
+          sum(lit(1L) - b("r2")).as("f2"),
+          sum(lit(1L) - b("r3")).as("f3"),
+          sum(lit(1L) - b("r4")).as("f4"),
+          sum(b("r1")).as("s1"),
+          sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("r1") && col("r2") && col("r3"), 1L)
+            .otherwise(0L)).as("s3"),
+          sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+            .otherwise(0L)).as("s4"))
+        one.select(col("n_docs"), expr(
+            "stack(4, 1, 'word_count', f1, s1, 2, 'mean_word_len', f2, s2, " +
+              "3, 'stopwords', f3, s3, 4, 'repetition', f4, s4) " +
+              "AS (stage, rule, n_fail_alone, n_survive_through)"))
+          .select(col("stage"), col("rule"), col("n_docs"),
+            col("n_fail_alone"), col("n_survive_through"),
+            (col("n_survive_through").cast("double") /
+              col("n_docs").cast("double")).as("survive_rate"))
+          .orderBy("stage")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(list_aggregate(list_transform(toks, x -> len(x)),
+             |      'sum') AS BIGINT) AS sum_len,
+             |    CAST(len(list_distinct(list_filter(toks, x -> x IN
+             |      ('the','a','of','to','and','in','is','that'))))
+             |      AS BIGINT) AS n_stop_distinct,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+             |  FROM t),
+             |f AS (
+             |  SELECT
+             |    (n_words >= 50 AND n_words <= 100000) AS r1,
+             |    (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+             |      AS r2,
+             |    (n_stop_distinct >= 2) AS r3,
+             |    (n_distinct * 10 >= n_words * 4) AS r4
+             |  FROM s),
+             |agg AS (
+             |  SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS f1,
+             |    CAST(SUM(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS f2,
+             |    CAST(SUM(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) AS f3,
+             |    CAST(SUM(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) AS f4,
+             |    CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS s2,
+             |    CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS s3,
+             |    CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS s4
+             |  FROM f)
+             |SELECT stage, rule, n_docs, n_fail_alone, n_survive_through,
+             |  CAST(n_survive_through AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |    AS survive_rate
+             |FROM (
+             |  SELECT CAST(1 AS INT) AS stage, 'word_count' AS rule,
+             |    n_docs, f1 AS n_fail_alone, s1 AS n_survive_through
+             |  FROM agg
+             |  UNION ALL SELECT CAST(2 AS INT), 'mean_word_len', n_docs,
+             |    f2, s2 FROM agg
+             |  UNION ALL SELECT CAST(3 AS INT), 'stopwords', n_docs,
+             |    f3, s3 FROM agg
+             |  UNION ALL SELECT CAST(4 AS INT), 'repetition', n_docs,
+             |    f4, s4 FROM agg)
+             |ORDER BY stage""".stripMargin))
   )
 }

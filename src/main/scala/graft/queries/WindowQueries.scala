@@ -1227,6 +1227,107 @@ object WindowQueries {
              |JOIN single sa ON sa.t = p.type_a
              |JOIN single sb ON sb.t = p.type_b
              |CROSS JOIN ns
-             |ORDER BY p.type_a, p.type_b""".stripMargin))
+             |ORDER BY p.type_a, p.type_b""".stripMargin)),
+
+    // EXT — Welch's unequal-variance t-test: each event type's mean
+    // value against all OTHER types — the "is this segment actually
+    // different" screen, with the Welch–Satterthwaite degrees of
+    // freedom. The complement's sufficient statistics come from one
+    // broadcast 1-row total minus the group's own (never a second
+    // scan); everything is exact DECIMAL/BIGINT until one fixed-shape
+    // double chain.
+    EngineQuery("q180_welch_ttest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), money(col("value")).as("v"))
+        val per = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n1"),
+            sum(col("v")).cast("double").as("s1"),
+            sum(col("v") * col("v")).cast("double").as("ss1"))
+        val tot = ev.agg(count(lit(1)).as("nt"),
+          sum(col("v")).cast("double").as("st"),
+          sum(col("v") * col("v")).cast("double").as("sst"))
+        val j = per.crossJoin(broadcast(tot))
+        val n1d = col("n1").cast("double")
+        val n0d = (col("nt") - col("n1")).cast("double")
+        val s0 = col("st") - col("s1")
+        val ss0 = col("sst") - col("ss1")
+        val m1 = col("s1") / n1d
+        val m0 = s0 / n0d
+        val v1 = (n1d * col("ss1") - col("s1") * col("s1")) /
+          (n1d * (n1d - lit(1.0)))
+        val v0 = (n0d * ss0 - s0 * s0) / (n0d * (n0d - lit(1.0)))
+        val se2 = v1 / n1d + v0 / n0d
+        val tStat = (m1 - m0) / sqrt(se2)
+        val df = (se2 * se2) /
+          ((v1 / n1d) * (v1 / n1d) / (n1d - lit(1.0)) +
+            (v0 / n0d) * (v0 / n0d) / (n0d - lit(1.0)))
+        j.select(col("event_type"), col("n1").as("n_in"),
+            m1.as("mean_in"), m0.as("mean_rest"), tStat.as("t_welch"),
+            df.as("df_welch"))
+          .orderBy("event_type")
+      },
+      Some("""WITH per AS (
+             |  SELECT event_type, COUNT(*) AS n1,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+             |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss1
+             |  FROM events GROUP BY 1),
+             |tot AS (
+             |  SELECT COUNT(*) AS nt,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS st,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+             |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sst
+             |  FROM events)
+             |SELECT event_type, n1 AS n_in,
+             |  s1 / CAST(n1 AS DOUBLE) AS mean_in,
+             |  (st - s1) / CAST(nt - n1 AS DOUBLE) AS mean_rest,
+             |  (s1 / CAST(n1 AS DOUBLE)
+             |    - (st - s1) / CAST(nt - n1 AS DOUBLE))
+             |  / sqrt(
+             |      (CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+             |        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |        / CAST(n1 AS DOUBLE)
+             |      + (CAST(nt - n1 AS DOUBLE) * (sst - ss1)
+             |          - (st - s1) * (st - s1))
+             |        / (CAST(nt - n1 AS DOUBLE)
+             |          * (CAST(nt - n1 AS DOUBLE) - 1.0))
+             |        / CAST(nt - n1 AS DOUBLE)) AS t_welch,
+             |  ((((CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+             |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |      / CAST(n1 AS DOUBLE))
+             |    + ((CAST(nt - n1 AS DOUBLE) * (sst - ss1)
+             |        - (st - s1) * (st - s1))
+             |      / (CAST(nt - n1 AS DOUBLE)
+             |        * (CAST(nt - n1 AS DOUBLE) - 1.0))
+             |      / CAST(nt - n1 AS DOUBLE)))
+             |  * (((CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+             |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |      / CAST(n1 AS DOUBLE))
+             |    + ((CAST(nt - n1 AS DOUBLE) * (sst - ss1)
+             |        - (st - s1) * (st - s1))
+             |      / (CAST(nt - n1 AS DOUBLE)
+             |        * (CAST(nt - n1 AS DOUBLE) - 1.0))
+             |      / CAST(nt - n1 AS DOUBLE))))
+             |  / (((CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+             |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |      / CAST(n1 AS DOUBLE))
+             |    * ((CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+             |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |      / CAST(n1 AS DOUBLE))
+             |    / (CAST(n1 AS DOUBLE) - 1.0)
+             |    + ((CAST(nt - n1 AS DOUBLE) * (sst - ss1)
+             |        - (st - s1) * (st - s1))
+             |      / (CAST(nt - n1 AS DOUBLE)
+             |        * (CAST(nt - n1 AS DOUBLE) - 1.0))
+             |      / CAST(nt - n1 AS DOUBLE))
+             |    * ((CAST(nt - n1 AS DOUBLE) * (sst - ss1)
+             |        - (st - s1) * (st - s1))
+             |      / (CAST(nt - n1 AS DOUBLE)
+             |        * (CAST(nt - n1 AS DOUBLE) - 1.0))
+             |      / CAST(nt - n1 AS DOUBLE))
+             |    / (CAST(nt - n1 AS DOUBLE) - 1.0)) AS df_welch
+             |FROM per CROSS JOIN tot
+             |ORDER BY event_type""".stripMargin))
   )
 }
