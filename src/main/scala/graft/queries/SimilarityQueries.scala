@@ -1349,6 +1349,87 @@ object SimilarityQueries {
              |  sqrt(CAST(max_n2 AS DOUBLE)) / 1000000.0 AS max_norm,
              |  sqrt(CAST(sum_n2 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
              |    / 1000000.0 AS rms_norm
-             |FROM agg ORDER BY label""".stripMargin))
+             |FROM agg ORDER BY label""".stripMargin)),
+
+    // EXT — dominant principal direction via two power iterations of
+    // XᵀX, ENTIRELY in exact BIGINT fixed point (the q104 integer-
+    // PageRank discipline applied to spectral analysis): vectors are
+    // 1e-6-scaled longs, each iteration is two keyed aggregations
+    // (t = Xv by vec, u = Xᵀt by dim — 64 keys), and magnitudes are
+    // kept in range by EXACT truncating downscales between steps
+    // (bounds in comments; ~1.7e16 max against 2⁶³). Only the final
+    // unit-normalization touches doubles (sqrt of an exact BIGINT).
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    // the oracle mirrors trunc-division with a sign trick. Init is the
+    // all-ones vector; 2 fixed iterations (oracle-unrollable, the q83
+    // rule). Scale: |dims| keys shuffle, nothing to the driver.
+    EngineQuery("q181_power_iteration",
+      (s, dir) => {
+        val comps = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long"))))
+          .select(col("vec_id"), col("pos"), col("col").as("x"))
+        // iteration 1: t1 = X·1 (per-vec sums, |t1| ≤ 64·1e6)
+        val t1 = comps.groupBy("vec_id").agg(sum(col("x")).as("t"))
+        // u = Xᵀ·t1 (≤ |rows|·1e6·6.4e7 ≈ 1.3e17 at sf0.1), then ÷1e9
+        val u = comps.join(t1, "vec_id")
+          .groupBy("pos").agg(sum(col("x") * col("t")).as("u"))
+          .select(col("pos"), expr("u div 1000000000").as("uq"))
+        // iteration 2: t2 = X·u' (≤ 64·1e6·1.3e8 ≈ 8.3e15), ÷1e9
+        val t2 = comps.join(broadcast(u), "pos")
+          .groupBy("vec_id").agg(sum(col("x") * col("uq")).as("t2"))
+          .select(col("vec_id"), expr("t2 div 1000000000").as("t2q"))
+        // w = Xᵀ·t2' (≤ |rows|·1e6·8.3e6 ≈ 1.7e16), ÷1e8 for the norm
+        val w = comps.join(t2, "vec_id")
+          .groupBy("pos").agg(sum(col("x") * col("t2q")).as("w"))
+          .select(col("pos"), expr("w div 100000000").as("wq"))
+        // exact squared norm over the bounded 64-row frame
+        val wAll = Window.partitionBy()
+        w.withColumn("norm2", sum(col("wq") * col("wq")).over(wAll))
+          .select(col("pos").cast("long").as("dim"),
+            col("wq").as("w_fixed"),
+            (col("wq").cast("double") /
+              sqrt(col("norm2").cast("double"))).as("component"))
+          .orderBy("dim")
+      },
+      Some("""WITH comps AS (
+             |  SELECT vec_id,
+             |    unnest(range(0, len(embedding))) AS pos,
+             |    unnest(list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+             |        AS BIGINT))) AS x
+             |  FROM embeddings),
+             |t1 AS (
+             |  SELECT vec_id, CAST(SUM(x) AS BIGINT) AS t
+             |  FROM comps GROUP BY 1),
+             |u AS (
+             |  SELECT pos, CAST(SUM(c.x * t1.t) AS BIGINT) AS u
+             |  FROM comps c JOIN t1 ON t1.vec_id = c.vec_id GROUP BY 1),
+             |uq AS (
+             |  SELECT pos, CASE WHEN u >= 0 THEN u // 1000000000
+             |    ELSE -((-u) // 1000000000) END AS uq
+             |  FROM u),
+             |t2 AS (
+             |  SELECT c.vec_id, CAST(SUM(c.x * uq.uq) AS BIGINT) AS t2
+             |  FROM comps c JOIN uq ON uq.pos = c.pos GROUP BY 1),
+             |t2q AS (
+             |  SELECT vec_id, CASE WHEN t2 >= 0 THEN t2 // 1000000000
+             |    ELSE -((-t2) // 1000000000) END AS t2q
+             |  FROM t2),
+             |w AS (
+             |  SELECT c.pos, CAST(SUM(c.x * t.t2q) AS BIGINT) AS w
+             |  FROM comps c JOIN t2q t ON t.vec_id = c.vec_id GROUP BY 1),
+             |wq AS (
+             |  SELECT pos, CASE WHEN w >= 0 THEN w // 100000000
+             |    ELSE -((-w) // 100000000) END AS wq
+             |  FROM w),
+             |n2 AS (
+             |  SELECT pos, wq,
+             |    CAST(SUM(wq * wq) OVER () AS BIGINT) AS norm2
+             |  FROM wq)
+             |SELECT CAST(pos AS BIGINT) AS dim, wq AS w_fixed,
+             |  CAST(wq AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE))
+             |    AS component
+             |FROM n2 ORDER BY dim""".stripMargin))
   )
 }
