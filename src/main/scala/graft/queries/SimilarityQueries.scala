@@ -1430,6 +1430,102 @@ object SimilarityQueries {
              |SELECT CAST(pos AS BIGINT) AS dim, wq AS w_fixed,
              |  CAST(wq AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE))
              |    AS component
-             |FROM n2 ORDER BY dim""".stripMargin))
+             |FROM n2 ORDER BY dim""".stripMargin)),
+
+    // EXT — IVF list label purity: per inverted list, the majority-label
+    // share and member count — the "do the clusters mean anything"
+    // agreement report between the unsupervised index and the labels.
+    // Reuses the seeded assignment (the q103 blocking stage); majority
+    // pick is an exact-integer argmax with a lowest-label tie-break
+    // (max over (count, −label) structs — order-independent).
+    EngineQuery("q183_list_purity",
+      (s, dir) => {
+        val prep = preparedShared(s, dir)
+        val assigned = Similarity.assignToLists(prep,
+          Similarity.seedCentroids(prep, 16))
+          .select(col("vec_id"), col("list_id"))
+          .join(Tables.table(s, dir, "embeddings")
+            .select(col("vec_id"), col("label")), "vec_id")
+        val byLabel = assigned.groupBy("list_id", "label")
+          .agg(count(lit(1)).as("c"))
+        val top = byLabel.groupBy("list_id")
+          .agg(sum(col("c")).as("n_members"),
+            max(struct(col("c"), (-col("label")).as("nl")))
+              .as("m"))
+        top.select(col("list_id"), col("n_members"),
+            (-col("m.nl")).as("majority_label"),
+            col("m.c").as("majority_count"),
+            (col("m.c").cast("double") /
+              col("n_members").cast("double")).as("purity"))
+          .orderBy("list_id")
+      },
+      Some(s"""WITH $prepSql,
+              |$assignedCteSql,
+              |lab AS (
+              |  SELECT a.vec_id, a.list_id, e.label
+              |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+              |bl AS (
+              |  SELECT list_id, label, COUNT(*) AS c
+              |  FROM lab GROUP BY 1, 2),
+              |top AS (
+              |  SELECT list_id,
+              |    CAST(SUM(c) AS BIGINT) AS n_members,
+              |    MAX(struct_pack(c := c, nl := -label)) AS m
+              |  FROM bl GROUP BY 1)
+              |SELECT list_id, n_members,
+              |  CAST(-m.nl AS INT) AS majority_label,
+              |  CAST(m.c AS BIGINT) AS majority_count,
+              |  CAST(m.c AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
+              |FROM top ORDER BY list_id""".stripMargin)),
+
+    // EXT — KNN-classifier evaluation: predict each vector's label by
+    // majority vote over its (shared) IVF-blocked top-5 neighbours and
+    // score against the true labels, per label — the standard
+    // embedding-quality probe (kNN accuracy tracks representation
+    // quality better than loss). Majority pick is the q183 exact
+    // struct-argmax (count, lowest-label tie-break); vectors whose
+    // list yielded no neighbours are excluded (n_scored reports the
+    // coverage). Steady cost: two keyed aggs over |V|·k edges.
+    EngineQuery("q184_knn_accuracy",
+      (s, dir) => {
+        val labels = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val votes = knnShared(s, dir)
+          .select(col("vec_id"), col("nbr_id"))
+          .join(labels.select(col("vec_id").as("nbr_id"),
+            col("label").as("nbr_label")), "nbr_id")
+          .groupBy("vec_id", "nbr_label")
+          .agg(count(lit(1)).as("c"))
+        val pred = votes.groupBy("vec_id")
+          .agg(max(struct(col("c"), (-col("nbr_label")).as("nl"))).as("m"))
+          .select(col("vec_id"), (-col("m.nl")).as("pred_label"))
+        pred.join(labels, "vec_id")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_scored"),
+            sum(when(col("pred_label") === col("label"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .select(col("label"), col("n_scored"), col("n_correct"),
+            (col("n_correct").cast("double") /
+              col("n_scored").cast("double")).as("accuracy"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |votes AS (
+              |  SELECT k.vec_id, e.label AS nbr_label, COUNT(*) AS c
+              |  FROM knn k JOIN embeddings e ON e.vec_id = k.nbr_id
+              |  GROUP BY 1, 2),
+              |pred AS (
+              |  SELECT vec_id,
+              |    MAX(struct_pack(c := c, nl := -nbr_label)) AS m
+              |  FROM votes GROUP BY 1)
+              |SELECT e.label, COUNT(*) AS n_scored,
+              |  CAST(SUM(CASE WHEN CAST(-p.m.nl AS INT) = e.label
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+              |  CAST(SUM(CASE WHEN CAST(-p.m.nl AS INT) = e.label
+              |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS accuracy
+              |FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
