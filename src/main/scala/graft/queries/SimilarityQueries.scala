@@ -1432,6 +1432,66 @@ object SimilarityQueries {
              |    AS component
              |FROM n2 ORDER BY dim""".stripMargin)),
 
+    // EXT — inter-centroid separation matrix: pairwise cosine between
+    // label centroids (the q71 exact fixed-point construction) — the
+    // between-cluster complement of q159's within/nearest silhouette.
+    // k centroids → k(k−1)/2 rows; both sides of the join are the same
+    // broadcast k-row frame, so this never shuffles the corpus.
+    EngineQuery("q182_centroid_separation",
+      (s, dir) => {
+        val scaled = Tables.table(s, dir, "embeddings")
+          .select(col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1e6).cast("long")).as("sv"))
+        val cents = scaled
+          .select(col("label"), posexplode(col("sv")))
+          .groupBy("label", "pos")
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("s").cast("double") / col("n").cast("double")).as("c"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+            .as("pc"))
+          .select(col("label"),
+            transform(col("pc"), p => p.getField("c")).as("cent"))
+        val a = cents.select(col("label").as("label_a"),
+          col("cent").as("ca"))
+        val b = cents.select(col("label").as("label_b"),
+          col("cent").as("cb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"),
+            round(Similarity.dot(col("ca"), col("cb")) /
+              (sqrt(Similarity.dot(col("ca"), col("ca"))) *
+                sqrt(Similarity.dot(col("cb"), col("cb")))), 6)
+              .as("centroid_cos"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH sv AS (
+             |  SELECT label,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+             |      AS sv
+             |  FROM embeddings),
+             |comps AS (
+             |  SELECT label, unnest(sv) AS s,
+             |    unnest(range(1, len(sv) + 1)) AS pos
+             |  FROM sv),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM comps GROUP BY 1, 2),
+             |centl AS (
+             |  SELECT label, list(c ORDER BY pos) AS cent
+             |  FROM cent GROUP BY label)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |  round(list_dot_product(a.cent, b.cent)
+             |    / (sqrt(list_dot_product(a.cent, a.cent))
+             |      * sqrt(list_dot_product(b.cent, b.cent))), 6)
+             |    AS centroid_cos
+             |FROM centl a JOIN centl b ON a.label < b.label
+             |ORDER BY label_a, label_b""".stripMargin)),
+
     // EXT — IVF list label purity: per inverted list, the majority-label
     // share and member count — the "do the clusters mean anything"
     // agreement report between the unsupervised index and the labels.
