@@ -276,6 +276,83 @@ object SimilarityQueries {
       |    CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS fp
       |  FROM n LEFT JOIN m$i m ON m.id = n.vec_id)""".stripMargin
 
+  /** Exploded 1e-6 fixed-point components (vec_id, pos, x) — the input
+    * frame of the q181/q185 power-iteration chain. */
+  private def powerComps(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))))
+      .select(col("vec_id"), col("pos"), col("col").as("x"))
+
+  /** Exact adaptive rescale: divide column `c` by the DATA-DERIVED
+    * divisor `max|c| div 2²⁰ + 1` — all BIGINT, so both engines compute
+    * the identical divisor and quotient. Keeps ~20 bits of signal
+    * whatever the data's magnitude (fixed worst-case divisors crush
+    * near-orthogonal real data to zero — the first landing of q181 did
+    * exactly that, hash-green on identical garbage). Spark's `div` and
+    * DuckDB's BIGINT `//` BOTH truncate toward zero — verified, and the
+    * reason the oracle needs no floor/trunc shim. */
+  private def rescale(df: DataFrame, key: String, c: String): DataFrame = {
+    val mx = df.agg(max(abs(col(c))).as("mx"))
+    df.crossJoin(broadcast(mx))
+      .select(col(key), expr(s"$c div (mx div 1048576 + 1)").as(c))
+  }
+
+  /** Two exact-BIGINT power iterations of XᵀX from the all-ones init:
+    * returns the adaptively-rescaled dominant direction (pos, wq),
+    * |wq| ≤ 2²⁰. Worst-case magnitude bounds with |x| ≤ 1e6, dims = 64:
+    * t1 ≤ 6.4e7; u ≤ |rows|·1e6·6.4e7 (< 2⁶³ up to ~1.4e8 rows — at
+    * warehouse scale, pre-aggregate per block first); after each
+    * rescale the next product is ≤ |rows|·1e6·2²⁰ ≈ |rows|·1e12. */
+  private def powerDirection(comps: DataFrame): DataFrame = {
+    val t1 = comps.groupBy("vec_id").agg(sum(col("x")).as("t"))
+    val u = rescale(comps.join(t1, "vec_id")
+      .groupBy("pos").agg(sum(col("x") * col("t")).as("uq")),
+      "pos", "uq")
+    val t2 = rescale(comps.join(broadcast(u), "pos")
+      .groupBy("vec_id").agg(sum(col("x") * col("uq")).as("t2q")),
+      "vec_id", "t2q")
+    rescale(comps.join(t2, "vec_id")
+      .groupBy("pos").agg(sum(col("x") * col("t2q")).as("wq")),
+      "pos", "wq")
+  }
+
+  /** Oracle twin of [[powerComps]]+[[powerDirection]] as a CTE chain
+    * ending in `wq (pos, wq)` — BIGINT `//` truncates exactly like
+    * Spark's `div`; divisors are the same data-derived scalars. */
+  private val powerIterSql =
+    """comps AS (
+      |  SELECT vec_id,
+      |    unnest(range(0, len(embedding))) AS pos,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+      |        AS BIGINT))) AS x
+      |  FROM embeddings),
+      |t1 AS (
+      |  SELECT vec_id, CAST(SUM(x) AS BIGINT) AS t
+      |  FROM comps GROUP BY 1),
+      |u0 AS (
+      |  SELECT pos, CAST(SUM(c.x * t1.t) AS BIGINT) AS uq
+      |  FROM comps c JOIN t1 ON t1.vec_id = c.vec_id GROUP BY 1),
+      |u AS (
+      |  SELECT pos, uq // ((SELECT MAX(ABS(uq)) FROM u0) // 1048576 + 1)
+      |    AS uq
+      |  FROM u0),
+      |t20 AS (
+      |  SELECT c.vec_id, CAST(SUM(c.x * u.uq) AS BIGINT) AS t2q
+      |  FROM comps c JOIN u ON u.pos = c.pos GROUP BY 1),
+      |t2 AS (
+      |  SELECT vec_id,
+      |    t2q // ((SELECT MAX(ABS(t2q)) FROM t20) // 1048576 + 1) AS t2q
+      |  FROM t20),
+      |w0 AS (
+      |  SELECT c.pos, CAST(SUM(c.x * t.t2q) AS BIGINT) AS wq
+      |  FROM comps c JOIN t2 t ON t.vec_id = c.vec_id GROUP BY 1),
+      |wq AS (
+      |  SELECT pos, wq // ((SELECT MAX(ABS(wq)) FROM w0) // 1048576 + 1)
+      |    AS wq
+      |  FROM w0)""".stripMargin
+
   val all: Seq[EngineQuery] = Seq(
 
     // Q27 — brute-force top-5 cosine neighbours for query vectors
@@ -1356,33 +1433,21 @@ object SimilarityQueries {
     // PageRank discipline applied to spectral analysis): vectors are
     // 1e-6-scaled longs, each iteration is two keyed aggregations
     // (t = Xv by vec, u = Xᵀt by dim — 64 keys), and magnitudes are
-    // kept in range by EXACT truncating downscales between steps
-    // (bounds in comments; ~1.7e16 max against 2⁶³). Only the final
-    // unit-normalization touches doubles (sqrt of an exact BIGINT).
-    // Spark's `div` truncates toward zero while DuckDB's `//` floors —
-    // the oracle mirrors trunc-division with a sign trick. Init is the
-    // all-ones vector; 2 fixed iterations (oracle-unrollable, the q83
-    // rule). Scale: |dims| keys shuffle, nothing to the driver.
+    // kept in range by EXACT data-adaptive rescales between steps
+    // (divisor = max|·| div 2²⁰ + 1, a BIGINT both engines derive
+    // identically — see rescale's scaladoc for why fixed worst-case
+    // divisors are wrong). Only the final unit-normalization touches
+    // doubles (sqrt of an exact BIGINT). Spark's `div` and DuckDB's
+    // BIGINT `//` both truncate toward zero (verified), so the
+    // downscales need no floor/trunc shim. Init is the all-ones
+    // vector; 2 fixed iterations (oracle-unrollable, the q83 rule).
+    // Scale: |dims| keys shuffle, nothing to the driver. Chain shared
+    // with q185's projection histogram via powerComps/powerDirection/
+    // powerIterSql.
     EngineQuery("q181_power_iteration",
       (s, dir) => {
-        val comps = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(transform(col("embedding"),
-            x => round(x.cast("double") * 1e6).cast("long"))))
-          .select(col("vec_id"), col("pos"), col("col").as("x"))
-        // iteration 1: t1 = X·1 (per-vec sums, |t1| ≤ 64·1e6)
-        val t1 = comps.groupBy("vec_id").agg(sum(col("x")).as("t"))
-        // u = Xᵀ·t1 (≤ |rows|·1e6·6.4e7 ≈ 1.3e17 at sf0.1), then ÷1e9
-        val u = comps.join(t1, "vec_id")
-          .groupBy("pos").agg(sum(col("x") * col("t")).as("u"))
-          .select(col("pos"), expr("u div 1000000000").as("uq"))
-        // iteration 2: t2 = X·u' (≤ 64·1e6·1.3e8 ≈ 8.3e15), ÷1e9
-        val t2 = comps.join(broadcast(u), "pos")
-          .groupBy("vec_id").agg(sum(col("x") * col("uq")).as("t2"))
-          .select(col("vec_id"), expr("t2 div 1000000000").as("t2q"))
-        // w = Xᵀ·t2' (≤ |rows|·1e6·8.3e6 ≈ 1.7e16), ÷1e8 for the norm
-        val w = comps.join(t2, "vec_id")
-          .groupBy("pos").agg(sum(col("x") * col("t2q")).as("w"))
-          .select(col("pos"), expr("w div 100000000").as("wq"))
+        val comps = powerComps(s, dir)
+        val w = powerDirection(comps)
         // exact squared norm over the bounded 64-row frame
         val wAll = Window.partitionBy()
         w.withColumn("norm2", sum(col("wq") * col("wq")).over(wAll))
@@ -1392,45 +1457,59 @@ object SimilarityQueries {
               sqrt(col("norm2").cast("double"))).as("component"))
           .orderBy("dim")
       },
-      Some("""WITH comps AS (
-             |  SELECT vec_id,
-             |    unnest(range(0, len(embedding))) AS pos,
-             |    unnest(list_transform(embedding,
-             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
-             |        AS BIGINT))) AS x
-             |  FROM embeddings),
-             |t1 AS (
-             |  SELECT vec_id, CAST(SUM(x) AS BIGINT) AS t
-             |  FROM comps GROUP BY 1),
-             |u AS (
-             |  SELECT pos, CAST(SUM(c.x * t1.t) AS BIGINT) AS u
-             |  FROM comps c JOIN t1 ON t1.vec_id = c.vec_id GROUP BY 1),
-             |uq AS (
-             |  SELECT pos, CASE WHEN u >= 0 THEN u // 1000000000
-             |    ELSE -((-u) // 1000000000) END AS uq
-             |  FROM u),
-             |t2 AS (
-             |  SELECT c.vec_id, CAST(SUM(c.x * uq.uq) AS BIGINT) AS t2
-             |  FROM comps c JOIN uq ON uq.pos = c.pos GROUP BY 1),
-             |t2q AS (
-             |  SELECT vec_id, CASE WHEN t2 >= 0 THEN t2 // 1000000000
-             |    ELSE -((-t2) // 1000000000) END AS t2q
-             |  FROM t2),
-             |w AS (
-             |  SELECT c.pos, CAST(SUM(c.x * t.t2q) AS BIGINT) AS w
-             |  FROM comps c JOIN t2q t ON t.vec_id = c.vec_id GROUP BY 1),
-             |wq AS (
-             |  SELECT pos, CASE WHEN w >= 0 THEN w // 100000000
-             |    ELSE -((-w) // 100000000) END AS wq
-             |  FROM w),
-             |n2 AS (
-             |  SELECT pos, wq,
-             |    CAST(SUM(wq * wq) OVER () AS BIGINT) AS norm2
-             |  FROM wq)
-             |SELECT CAST(pos AS BIGINT) AS dim, wq AS w_fixed,
-             |  CAST(wq AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE))
-             |    AS component
-             |FROM n2 ORDER BY dim""".stripMargin)),
+      Some(s"""WITH $powerIterSql,
+              |n2 AS (
+              |  SELECT pos, wq,
+              |    CAST(SUM(wq * wq) OVER () AS BIGINT) AS norm2
+              |  FROM wq)
+              |SELECT CAST(pos AS BIGINT) AS dim, wq AS w_fixed,
+              |  CAST(wq AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE))
+              |    AS component
+              |FROM n2 ORDER BY dim""".stripMargin)),
+
+    // EXT — projection histogram along the principal direction: each
+    // vector's exact fixed-point projection onto the q181 dominant
+    // direction, bucketed over fixed-width bins — the one-dimensional
+    // shape report that surfaces multimodality (two embedding
+    // populations) which mean/variance summaries hide. Projections are
+    // exact BIGINTs (|proj| ≤ 64·1e6·2²⁰ ≈ 6.7e13 < 2⁶³); the bin
+    // width adapts to the data exactly like the chain's rescales
+    // (max|proj| div 8 + 1 — a BIGINT both engines derive identically,
+    // truncating division on both sides), so bins span [-8, 8]
+    // whatever the spectrum's scale.
+    EngineQuery("q185_projection_histogram",
+      (s, dir) => {
+        val comps = powerComps(s, dir)
+        val proj = comps.join(broadcast(powerDirection(comps)), "pos")
+          .groupBy("vec_id").agg(sum(col("x") * col("wq")).as("proj"))
+        val mx = proj.agg(max(abs(col("proj"))).as("mx"))
+        val binned = proj.crossJoin(broadcast(mx))
+          .select(col("vec_id"),
+            expr("proj div (mx div 8 + 1)").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n_vecs"))
+        val wAll = Window.partitionBy()
+        binned.withColumn("total", sum(col("n_vecs")).over(wAll))
+          .select(col("bin"), col("n_vecs"),
+            (col("n_vecs").cast("double") / col("total").cast("double"))
+              .as("share"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH $powerIterSql,
+              |proj AS (
+              |  SELECT c.vec_id, CAST(SUM(c.x * w.wq) AS BIGINT) AS proj
+              |  FROM comps c JOIN wq w ON w.pos = c.pos GROUP BY 1),
+              |binned AS (
+              |  SELECT proj // ((SELECT MAX(ABS(proj)) FROM proj) // 8
+              |      + 1) AS bin,
+              |    COUNT(*) AS n_vecs
+              |  FROM proj GROUP BY 1),
+              |tot AS (
+              |  SELECT bin, n_vecs,
+              |    CAST(SUM(n_vecs) OVER () AS BIGINT) AS total
+              |  FROM binned)
+              |SELECT bin, n_vecs,
+              |  CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share
+              |FROM tot ORDER BY bin""".stripMargin)),
 
     // EXT — inter-centroid separation matrix: pairwise cosine between
     // label centroids (the q71 exact fixed-point construction) — the
