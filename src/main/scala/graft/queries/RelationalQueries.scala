@@ -788,6 +788,37 @@ object RelationalQueries {
              |  CAST(cum_cents AS DOUBLE) / CAST(tot.total_cents AS DOUBLE)
              |    AS cum_share
              |FROM curve CROSS JOIN tot
-             |ORDER BY rnk""".stripMargin))
+             |ORDER BY rnk""".stripMargin)),
+
+    // EXT — explicit GROUPING SETS battery with GROUPING() flags: the
+    // third member of the grouping trio next to ROLLUP (q18) and CUBE
+    // (q128) — arbitrary set lists are what reporting layers actually
+    // emit. Runs through the full SQL path (Catalog views → Catalyst),
+    // one Expand + one aggregation; grouping flags are exact INTs in
+    // both engines.
+    EngineQuery("q187_grouping_sets",
+      (s, dir) => graft.Catalog.sql(s, dir,
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |    AS DOUBLE) AS sum_price
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), (l_linestatus), ())
+          |ORDER BY returnflag, linestatus, g_flag, g_status""".stripMargin),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), (l_linestatus), ())
+             |ORDER BY returnflag, linestatus, g_flag, g_status""".stripMargin))
   )
 }

@@ -1511,6 +1511,62 @@ object SimilarityQueries {
               |  CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share
               |FROM tot ORDER BY bin""".stripMargin)),
 
+    // EXT — explained-variance share of the principal direction:
+    // Σ(x·ŵ)² / Σ|x|² — how much of the embedding energy the q181
+    // direction captures (the rank-1 adequacy test; ~1/dims means "no
+    // dominant direction, PCA won't help"). Every aggregate is an
+    // exact BIGINT: projections rescale once more (q181's adaptive
+    // rule) so their squares stay in range, and the final share is ONE
+    // fixed-shape double expression over the exact sums and the exact
+    // divisor — no order-dependent double summation anywhere.
+    EngineQuery("q186_explained_variance",
+      (s, dir) => {
+        val comps = powerComps(s, dir)
+        val proj = comps.join(broadcast(powerDirection(comps)), "pos")
+          .groupBy("vec_id").agg(sum(col("x") * col("wq")).as("proj"))
+        val mx = proj.agg(max(abs(col("proj"))).as("mx"))
+        val pq = proj.crossJoin(broadcast(mx))
+          .select(col("vec_id"),
+            expr("proj div (mx div 1048576 + 1)").as("pq"),
+            expr("mx div 1048576 + 1").as("d"))
+        val sums = pq.groupBy("d")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("pq") * col("pq"))
+            .as("spq2"))
+        val wq2 = powerDirection(comps)
+          .agg(sum(col("wq") * col("wq")).as("w2"))
+        val e2 = comps.agg(sum(col("x") * col("x")).as("sx2"))
+        sums.crossJoin(broadcast(wq2)).crossJoin(broadcast(e2))
+          .select(col("n_vecs"),
+            ((col("spq2").cast("double") *
+              (col("d").cast("double") * col("d").cast("double"))) /
+              (col("w2").cast("double") * col("sx2").cast("double")))
+              .as("explained_share"))
+          .orderBy("n_vecs")
+      },
+      Some(s"""WITH $powerIterSql,
+              |proj AS (
+              |  SELECT c.vec_id, CAST(SUM(c.x * w.wq) AS BIGINT) AS proj
+              |  FROM comps c JOIN wq w ON w.pos = c.pos GROUP BY 1),
+              |pq AS (
+              |  SELECT vec_id,
+              |    proj // ((SELECT MAX(ABS(proj)) FROM proj) // 1048576
+              |      + 1) AS pq,
+              |    (SELECT MAX(ABS(proj)) FROM proj) // 1048576 + 1 AS d
+              |  FROM proj),
+              |sums AS (
+              |  SELECT d, COUNT(*) AS n_vecs,
+              |    CAST(SUM(pq * pq) AS BIGINT) AS spq2
+              |  FROM pq GROUP BY 1),
+              |w2 AS (SELECT CAST(SUM(wq * wq) AS BIGINT) AS w2 FROM wq),
+              |e2 AS (SELECT CAST(SUM(x * x) AS BIGINT) AS sx2 FROM comps)
+              |SELECT n_vecs,
+              |  (CAST(spq2 AS DOUBLE)
+              |    * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)))
+              |  / (CAST(w2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+              |    AS explained_share
+              |FROM sums CROSS JOIN w2 CROSS JOIN e2
+              |ORDER BY n_vecs""".stripMargin)),
+
     // EXT — inter-centroid separation matrix: pairwise cosine between
     // label centroids (the q71 exact fixed-point construction) — the
     // between-cluster complement of q159's within/nearest silhouette.
