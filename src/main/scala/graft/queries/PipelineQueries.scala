@@ -502,6 +502,38 @@ object PipelineQueries {
              |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
              |      || '|' || event_type), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum_mod
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // EXT — payload schema-drift profile: group events by the SORTED
+    // key-set signature of their JSON payload (the reference's dynamic
+    // `payload` role — SURVEY §1.2) and profile the known field's
+    // type/range — the audit that catches a producer silently adding,
+    // dropping, or retyping fields. Key introspection + one keyed
+    // aggregation; extraction parity is string-path JSON on both
+    // engines.
+    EngineQuery("q188_payload_schema_profile",
+      (s, dir) => Tables.events(s, dir)
+        .select(
+          array_join(array_sort(json_object_keys(col("props"))), ",")
+            .as("key_sig"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy("key_sig")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("k_val").isNull, 1L).otherwise(0L))
+            .as("n_null_k"),
+          min(col("k_val")).as("min_k"),
+          max(col("k_val")).as("max_k"))
+        .orderBy("key_sig"),
+      Some("""SELECT
+             |  list_aggregate(list_sort(json_keys(props)), 'string_agg',
+             |    ',') AS key_sig,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k')
+             |    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS min_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS max_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
