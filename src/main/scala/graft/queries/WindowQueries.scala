@@ -1229,6 +1229,111 @@ object WindowQueries {
              |CROSS JOIN ns
              |ORDER BY p.type_a, p.type_b""".stripMargin)),
 
+    // EXT — conversion-lag SLO percentiles: p50/p90/p99 of the q150
+    // view→purchase lag in minutes — the latency-objective numbers an
+    // on-call dashboard quotes. Lags are exact microsecond BIGINTs;
+    // percentiles are the exact interpolated (R-7) aggregate over the
+    // |converting users| frame — the q91 trade-off, documented there
+    // (at warehouse scale swap in the q58 sketch). One row.
+    EngineQuery("q189_lag_percentiles",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ts_us") >= col("first_view_us"))
+          .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
+        fv.join(fp, "user_id")
+          .select(((col("first_purchase_us") - col("first_view_us"))
+            .cast("double") / lit(60000000.0)).as("lag_min"))
+          .agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(lag_min, 0.5)"), 6).as("p50_min"),
+            round(expr("percentile(lag_min, 0.9)"), 6).as("p90_min"),
+            round(expr("percentile(lag_min, 0.99)"), 6).as("p99_min"))
+      },
+      Some("""WITH fv AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+             |  FROM events e JOIN fv ON fv.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND epoch_us(e.ts) >= fv.first_view_us
+             |  GROUP BY 1),
+             |lags AS (
+             |  SELECT CAST(fp.first_purchase_us - fv.first_view_us
+             |    AS DOUBLE) / 60000000.0 AS lag_min
+             |  FROM fv JOIN fp ON fp.user_id = fv.user_id)
+             |SELECT COUNT(*) AS n_converted,
+             |  round(quantile_cont(lag_min, 0.5), 6) AS p50_min,
+             |  round(quantile_cont(lag_min, 0.9), 6) AS p90_min,
+             |  round(quantile_cont(lag_min, 0.99), 6) AS p99_min
+             |FROM lags""".stripMargin)),
+
+    // EXT — retention curve: q94's cohort triangle rolled up to the
+    // average week-N retention rate across cohorts — the single curve
+    // a growth report plots. Per-cohort offsets join their cohort-size
+    // base (offset 0) and the cross-cohort average weights cohorts by
+    // size (exact integer sums, one division at the end).
+    EngineQuery("q190_retention_curve",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+        val cohort = ev.groupBy("user_id")
+          .agg(min(col("ts")).as("first_ts"))
+          .select(col("user_id"),
+            date_trunc("week", col("first_ts")).as("cohort_week"))
+        val active = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        val tri = active.join(cohort, Seq("user_id"))
+          .select(col("cohort_week"),
+            floor(datediff(col("week"), col("cohort_week"))
+              .cast("double") / 7.0).cast("long").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+        val base = tri.filter(col("week_offset") === 0)
+          .select(col("cohort_week"), col("n_users").as("n_base"))
+        tri.join(base, "cohort_week")
+          .groupBy("week_offset")
+          .agg(count(lit(1)).as("n_cohorts"),
+            sum(col("n_users")).as("n_retained"),
+            sum(col("n_base")).as("n_base_total"))
+          .select(col("week_offset"), col("n_cohorts"),
+            col("n_retained"), col("n_base_total"),
+            (col("n_retained").cast("double") /
+              col("n_base_total").cast("double")).as("retention_rate"))
+          .orderBy("week_offset")
+      },
+      Some("""WITH cohort AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+             |      AS cohort_week
+             |  FROM events GROUP BY 1),
+             |active AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+             |  FROM events),
+             |tri AS (
+             |  SELECT cohort_week,
+             |    CAST(floor(datediff('day', CAST(cohort_week AS DATE),
+             |      CAST(week AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+             |    COUNT(*) AS n_users
+             |  FROM active JOIN cohort USING (user_id)
+             |  GROUP BY 1, 2),
+             |base AS (
+             |  SELECT cohort_week, n_users AS n_base FROM tri
+             |  WHERE week_offset = 0)
+             |SELECT week_offset, COUNT(*) AS n_cohorts,
+             |  CAST(SUM(n_users) AS BIGINT) AS n_retained,
+             |  CAST(SUM(n_base) AS BIGINT) AS n_base_total,
+             |  CAST(SUM(n_users) AS DOUBLE) / CAST(SUM(n_base) AS DOUBLE)
+             |    AS retention_rate
+             |FROM tri JOIN base USING (cohort_week)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // EXT — Welch's unequal-variance t-test: each event type's mean
     // value against all OTHER types — the "is this segment actually
     // different" screen, with the Welch–Satterthwaite degrees of
