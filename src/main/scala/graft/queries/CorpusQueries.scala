@@ -1448,6 +1448,41 @@ object CorpusQueries {
              |    f3, s3 FROM agg
              |  UNION ALL SELECT CAST(4 AS INT), 'repetition', n_docs,
              |    f4, s4 FROM agg)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // EXT — text-normalization stage: the canonical corpus-prep
+    // transform (lowercase → strip non-alphanumerics → collapse runs
+    // of spaces → trim) with the RESULT hash-gated, not just counted:
+    // the output carries the sha256 prefix of every normalized text,
+    // so the gate proves the byte-exact transform, and the size deltas
+    // report what normalization discards. Pure per-row regexp work —
+    // no shuffle before the ordered dump. DuckDB's regexp_replace
+    // needs the 'g' flag to match Spark's replace-all default.
+    EngineQuery("q191_text_normalize",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_raw"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens_raw"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+        .select(col("doc_id"), col("n_chars_raw"), col("n_tokens_raw"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          size(split(col("norm"), " ")).cast("long").as("n_tokens_norm"),
+          substring(sha2(col("norm"), 256), 1, 16).as("norm_sha_prefix"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT)
+             |    AS n_tokens_raw,
+             |  CAST(length(trim(regexp_replace(regexp_replace(
+             |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+             |    AS BIGINT) AS n_chars_norm,
+             |  CAST(len(string_split(trim(regexp_replace(regexp_replace(
+             |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             |    ' ')) AS BIGINT) AS n_tokens_norm,
+             |  substr(sha256(trim(regexp_replace(regexp_replace(
+             |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))),
+             |    1, 16) AS norm_sha_prefix
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
