@@ -819,6 +819,123 @@ object RelationalQueries {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
              |  (l_returnflag), (l_linestatus), ())
-             |ORDER BY returnflag, linestatus, g_flag, g_status""".stripMargin))
+             |ORDER BY returnflag, linestatus, g_flag, g_status""".stripMargin)),
+
+    // EXT — day-of-week seasonal index: mean daily revenue per weekday
+    // divided by the overall mean daily revenue — the multiplicative
+    // seasonal profile a forecaster divides out. Daily revenue is exact
+    // DECIMAL; both means are exact-sum/count divisions and the index
+    // is one more division of those two doubles. Weekday numbering is
+    // pinned to DuckDB's dayofweek (0 = Sunday).
+    EngineQuery("q193_seasonal_index",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .select(dayofweek(col("o_orderdate").cast("date")).cast("long")
+            .as("dow_1based"),
+            col("o_orderdate").cast("date").as("d"),
+            money(col("o_totalprice")).as("p"))
+          .groupBy("dow_1based", "d")
+          .agg(sum(col("p")).cast("decimal(18,2)").as("rev"))
+        val byDow = daily.groupBy("dow_1based")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("rev")).cast("double").as("srev"))
+        val overall = daily.agg(count(lit(1)).as("nt"),
+          sum(col("rev")).cast("double").as("st"))
+        byDow.crossJoin(broadcast(overall))
+          .select((col("dow_1based") - 1).as("dow"), col("n_days"),
+            (col("srev") / col("n_days").cast("double"))
+              .as("mean_daily_rev"),
+            ((col("srev") / col("n_days").cast("double")) /
+              (col("st") / col("nt").cast("double")))
+              .as("seasonal_index"))
+          .orderBy("dow")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE))
+             |      AS BIGINT) AS dow,
+             |    CAST(o_orderdate AS DATE) AS d,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |bydow AS (
+             |  SELECT dow, COUNT(*) AS n_days,
+             |    CAST(SUM(rev) AS DOUBLE) AS srev
+             |  FROM daily GROUP BY 1),
+             |overall AS (
+             |  SELECT COUNT(*) AS nt, CAST(SUM(rev) AS DOUBLE) AS st
+             |  FROM daily)
+             |SELECT dow, n_days,
+             |  srev / CAST(n_days AS DOUBLE) AS mean_daily_rev,
+             |  (srev / CAST(n_days AS DOUBLE))
+             |    / (st / CAST(nt AS DOUBLE)) AS seasonal_index
+             |FROM bydow CROSS JOIN overall
+             |ORDER BY dow""".stripMargin)),
+
+    // EXT — χ² test of independence: is order priority independent of
+    // order year? Contingency counts are exact; expected cells are
+    // row·col/N in one fixed-shape double chain; the χ² statistic
+    // accumulates over the bounded |years|×|priorities| frame in
+    // (year, priority) order. The classic mix-shift detector.
+    EngineQuery("q194_chi2_independence",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .select(year(col("o_orderdate")).cast("long").as("yr"),
+            col("o_orderpriority").as("prio"))
+          .groupBy("yr", "prio").agg(count(lit(1)).as("n_obs"))
+        val rowT = cells.groupBy("yr").agg(sum("n_obs").as("row_tot"))
+        val colT = cells.groupBy("prio").agg(sum("n_obs").as("col_tot"))
+        val grand = cells.agg(sum("n_obs").as("n_tot"))
+        val exp = (col("row_tot").cast("double") *
+          col("col_tot").cast("double")) / col("n_tot").cast("double")
+        val term = (col("n_obs").cast("double") - exp) *
+          (col("n_obs").cast("double") - exp) / exp
+        val wRun = Window.orderBy("yr", "prio")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cells.join(broadcast(rowT), "yr")
+          .join(broadcast(colT), "prio")
+          .crossJoin(broadcast(grand))
+          .withColumn("expected", exp)
+          .withColumn("chi2_term", term)
+          .withColumn("chi2_running", sum(col("chi2_term")).over(wRun))
+          .select(col("yr"), col("prio"), col("n_obs"), col("expected"),
+            col("chi2_term"), col("chi2_running"))
+          .orderBy("yr", "prio")
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+             |      AS yr,
+             |    o_orderpriority AS prio, COUNT(*) AS n_obs
+             |  FROM orders GROUP BY 1, 2),
+             |rt AS (
+             |  SELECT yr, CAST(SUM(n_obs) AS BIGINT) AS row_tot
+             |  FROM cells GROUP BY 1),
+             |ct AS (
+             |  SELECT prio, CAST(SUM(n_obs) AS BIGINT) AS col_tot
+             |  FROM cells GROUP BY 1),
+             |g AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM cells),
+             |terms AS (
+             |  SELECT c.yr, c.prio, c.n_obs,
+             |    (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+             |      / CAST(g.n_tot AS DOUBLE) AS expected,
+             |    (CAST(c.n_obs AS DOUBLE)
+             |      - (CAST(rt.row_tot AS DOUBLE)
+             |          * CAST(ct.col_tot AS DOUBLE))
+             |        / CAST(g.n_tot AS DOUBLE))
+             |    * (CAST(c.n_obs AS DOUBLE)
+             |      - (CAST(rt.row_tot AS DOUBLE)
+             |          * CAST(ct.col_tot AS DOUBLE))
+             |        / CAST(g.n_tot AS DOUBLE))
+             |    / ((CAST(rt.row_tot AS DOUBLE)
+             |        * CAST(ct.col_tot AS DOUBLE))
+             |      / CAST(g.n_tot AS DOUBLE)) AS chi2_term
+             |  FROM cells c
+             |  JOIN rt ON rt.yr = c.yr
+             |  JOIN ct ON ct.prio = c.prio
+             |  CROSS JOIN g)
+             |SELECT yr, prio, n_obs, expected, chi2_term,
+             |  SUM(chi2_term) OVER (ORDER BY yr, prio
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS chi2_running
+             |FROM terms ORDER BY yr, prio""".stripMargin))
   )
 }

@@ -1334,6 +1334,71 @@ object WindowQueries {
              |FROM tri JOIN base USING (cohort_week)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // EXT — Wilson score intervals: the 95% confidence interval for
+    // each event type's ≥14-event engagement rate (q153's conversion
+    // definition) — the error bars a dashboard should draw instead of
+    // bare rates. Exact counts in, one fixed-shape double formula out
+    // (z = 1.96 inlined as a literal; sqrt is IEEE-exact).
+    EngineQuery("q192_wilson_intervals",
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_ev"))
+        val users = Tables.events(s, dir).select("user_id").distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val conv = perUser.groupBy("event_type")
+          .agg(sum(when(col("n_ev") >= 14, 1L).otherwise(0L)).as("c"))
+          .crossJoin(broadcast(users))
+        val nd = col("n_users").cast("double")
+        val p = col("c").cast("double") / nd
+        val z2 = lit(3.8416) // 1.96²
+        val denom = lit(1.0) + z2 / nd
+        val center = (p + z2 / (lit(2.0) * nd)) / denom
+        val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / nd +
+          z2 / (lit(4.0) * (nd * nd)))) / denom
+        conv.select(col("event_type"), col("n_users"), col("c"),
+            p.as("rate"), (center - half).as("wilson_lo"),
+            (center + half).as("wilson_hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, event_type, COUNT(*) AS n_ev
+             |  FROM events GROUP BY 1, 2),
+             |us AS (
+             |  SELECT COUNT(*) AS n_users FROM
+             |    (SELECT DISTINCT user_id FROM events)),
+             |conv AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN n_ev >= 14 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c
+             |  FROM pu GROUP BY 1)
+             |SELECT event_type, n_users, c,
+             |  CAST(c AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+             |  ((CAST(c AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |      + 3.8416 / (2.0 * CAST(n_users AS DOUBLE)))
+             |    / (1.0 + 3.8416 / CAST(n_users AS DOUBLE)))
+             |  - ((1.96 * sqrt(
+             |      (CAST(c AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      * (1.0 - CAST(c AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      / CAST(n_users AS DOUBLE)
+             |      + 3.8416 / (4.0 * (CAST(n_users AS DOUBLE)
+             |          * CAST(n_users AS DOUBLE)))))
+             |    / (1.0 + 3.8416 / CAST(n_users AS DOUBLE)))
+             |    AS wilson_lo,
+             |  ((CAST(c AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |      + 3.8416 / (2.0 * CAST(n_users AS DOUBLE)))
+             |    / (1.0 + 3.8416 / CAST(n_users AS DOUBLE)))
+             |  + ((1.96 * sqrt(
+             |      (CAST(c AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      * (1.0 - CAST(c AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      / CAST(n_users AS DOUBLE)
+             |      + 3.8416 / (4.0 * (CAST(n_users AS DOUBLE)
+             |          * CAST(n_users AS DOUBLE)))))
+             |    / (1.0 + 3.8416 / CAST(n_users AS DOUBLE)))
+             |    AS wilson_hi
+             |FROM conv CROSS JOIN us
+             |ORDER BY event_type""".stripMargin)),
+
     // EXT — Welch's unequal-variance t-test: each event type's mean
     // value against all OTHER types — the "is this segment actually
     // different" screen, with the Welch–Satterthwaite degrees of
