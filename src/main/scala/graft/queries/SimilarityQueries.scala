@@ -119,6 +119,10 @@ object SimilarityQueries {
       sharedMutual.remove(k).foreach(_.unpersist(blocking = false)))
     sharedMutualClusters.keys.filter(_._1 eq s).foreach(k =>
       sharedMutualClusters.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedPower.keys.filter(_._1 eq s).foreach(k =>
+      sharedPower.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedProj.keys.filter(_._1 eq s).foreach(k =>
+      sharedProj.remove(k).foreach(_.unpersist(blocking = false)))
   }
 
   /** Shared oracle CTEs (double-cast vectors + norms), consumed by
@@ -316,6 +320,28 @@ object SimilarityQueries {
       .groupBy("pos").agg(sum(col("x") * col("t2q")).as("wq")),
       "pos", "wq")
   }
+
+  /** One shared power-iteration direction per (session, dir): q181,
+    * q185 and q186 all consume the same 64-row (pos, wq) frame, and the
+    * chain behind it runs four scan+agg jobs — the preparedShared
+    * pattern. [[reset]] evicts. */
+  private val sharedPower = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def powerShared(s: SparkSession, dir: String): DataFrame =
+    sharedPower.getOrElseUpdate((s, dir),
+      powerDirection(powerComps(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** One shared per-vector projection frame (vec_id, proj) per
+    * (session, dir) — q185 bins it, q186 squares it. [[reset]]
+    * evicts. */
+  private val sharedProj = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def projShared(s: SparkSession, dir: String): DataFrame =
+    sharedProj.getOrElseUpdate((s, dir),
+      powerComps(s, dir).join(broadcast(powerShared(s, dir)), "pos")
+        .groupBy("vec_id").agg(sum(col("x") * col("wq")).as("proj"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Oracle twin of [[powerComps]]+[[powerDirection]] as a CTE chain
     * ending in `wq (pos, wq)` — BIGINT `//` truncates exactly like
@@ -1446,8 +1472,7 @@ object SimilarityQueries {
     // powerIterSql.
     EngineQuery("q181_power_iteration",
       (s, dir) => {
-        val comps = powerComps(s, dir)
-        val w = powerDirection(comps)
+        val w = powerShared(s, dir)
         // exact squared norm over the bounded 64-row frame
         val wAll = Window.partitionBy()
         w.withColumn("norm2", sum(col("wq") * col("wq")).over(wAll))
@@ -1479,9 +1504,7 @@ object SimilarityQueries {
     // whatever the spectrum's scale.
     EngineQuery("q185_projection_histogram",
       (s, dir) => {
-        val comps = powerComps(s, dir)
-        val proj = comps.join(broadcast(powerDirection(comps)), "pos")
-          .groupBy("vec_id").agg(sum(col("x") * col("wq")).as("proj"))
+        val proj = projShared(s, dir)
         val mx = proj.agg(max(abs(col("proj"))).as("mx"))
         val binned = proj.crossJoin(broadcast(mx))
           .select(col("vec_id"),
@@ -1521,9 +1544,7 @@ object SimilarityQueries {
     // divisor — no order-dependent double summation anywhere.
     EngineQuery("q186_explained_variance",
       (s, dir) => {
-        val comps = powerComps(s, dir)
-        val proj = comps.join(broadcast(powerDirection(comps)), "pos")
-          .groupBy("vec_id").agg(sum(col("x") * col("wq")).as("proj"))
+        val proj = projShared(s, dir)
         val mx = proj.agg(max(abs(col("proj"))).as("mx"))
         val pq = proj.crossJoin(broadcast(mx))
           .select(col("vec_id"),
@@ -1532,9 +1553,9 @@ object SimilarityQueries {
         val sums = pq.groupBy("d")
           .agg(count(lit(1)).as("n_vecs"), sum(col("pq") * col("pq"))
             .as("spq2"))
-        val wq2 = powerDirection(comps)
+        val wq2 = powerShared(s, dir)
           .agg(sum(col("wq") * col("wq")).as("w2"))
-        val e2 = comps.agg(sum(col("x") * col("x")).as("sx2"))
+        val e2 = powerComps(s, dir).agg(sum(col("x") * col("x")).as("sx2"))
         sums.crossJoin(broadcast(wq2)).crossJoin(broadcast(e2))
           .select(col("n_vecs"),
             ((col("spq2").cast("double") *
