@@ -1399,6 +1399,88 @@ object WindowQueries {
              |FROM conv CROSS JOIN us
              |ORDER BY event_type""".stripMargin)),
 
+    // EXT — A/B power analysis: for each target type's observed q153
+    // cohort rates, the per-arm sample size needed to detect the
+    // OBSERVED lift at α = 0.05 (two-sided) and 80% power —
+    // n = (z_α/2 + z_β)²·(p0(1−p0) + p1(1−p1)) / (p1−p0)², with the
+    // normal quantiles inlined as literals (1.96, 0.8416). Exact
+    // counts in, one fixed-shape double chain out; the zero-lift
+    // degenerate case guards to NULL on an exact integer predicate
+    // (equal counts in equal-size cohorts ⇒ equal rates).
+    EngineQuery("q195_power_analysis",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            pmod(col("user_id"), lit(2)).as("cohort"))
+        val sizes = ev.select(col("user_id"), col("cohort")).distinct()
+          .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"))
+        val perUser = ev.groupBy("user_id", "cohort", "event_type")
+          .agg(count(lit(1)).as("n_ev"))
+        val conv = perUser
+          .groupBy(col("event_type").as("target_type"))
+          .agg(sum(when(col("cohort") === 0 && col("n_ev") >= 14, 1L)
+            .otherwise(0L)).as("c0"),
+            sum(when(col("cohort") === 1 && col("n_ev") >= 14, 1L)
+              .otherwise(0L)).as("c1"))
+        val j = conv.crossJoin(broadcast(sizes))
+        val p0 = col("c0").cast("double") / col("n0").cast("double")
+        val p1 = col("c1").cast("double") / col("n1").cast("double")
+        val zsum2 = lit(7.849) // (1.96 + 0.8416)²
+        val nReq = zsum2 *
+          (p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1)) /
+          ((p1 - p0) * (p1 - p0))
+        val degenerate = col("c0") * col("n1") === col("c1") * col("n0")
+        j.select(col("target_type"), col("c0"), col("c1"),
+            p0.as("p0"), p1.as("p1"),
+            when(degenerate, lit(null).cast("double"))
+              .otherwise((p1 - p0)).as("observed_lift"),
+            when(degenerate, lit(null).cast("long"))
+              .otherwise(ceil(nReq).cast("long")).as("n_per_arm_80pct"))
+          .orderBy("target_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, user_id % 2 AS cohort
+             |  FROM events),
+             |sizes AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n0,
+             |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1
+             |  FROM (SELECT DISTINCT user_id, cohort FROM ev)),
+             |pu AS (
+             |  SELECT user_id, cohort, event_type, COUNT(*) AS n_ev
+             |  FROM ev GROUP BY 1, 2, 3),
+             |conv AS (
+             |  SELECT event_type AS target_type,
+             |    CAST(SUM(CASE WHEN cohort = 0 AND n_ev >= 14
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             |    CAST(SUM(CASE WHEN cohort = 1 AND n_ev >= 14
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+             |  FROM pu GROUP BY 1)
+             |SELECT target_type, c0, c1,
+             |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+             |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             |  CASE WHEN c0 * n1 = c1 * n0 THEN NULL
+             |  ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+             |    AS observed_lift,
+             |  CASE WHEN c0 * n1 = c1 * n0 THEN NULL
+             |  ELSE CAST(ceil(
+             |    7.849
+             |    * ((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |        * (1.0 - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |      + (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |        * (1.0 - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+             |    / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |      * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))))
+             |    AS BIGINT) END AS n_per_arm_80pct
+             |FROM conv CROSS JOIN sizes
+             |ORDER BY target_type""".stripMargin)),
+
     // EXT — Welch's unequal-variance t-test: each event type's mean
     // value against all OTHER types — the "is this segment actually
     // different" screen, with the Welch–Satterthwaite degrees of

@@ -64,4 +64,29 @@ class StreamingPsiSpec extends AnyFunSuite {
     assert(StreamingPsi.binOf(49000L, 10) === 9)
     assert(StreamingPsi.binOf(900000L, 10) === 9)
   }
+
+  test("PSI is nonnegative for every histogram and zero on a self-match (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      bins <- Gen.choose(2, 12)
+      counts <- Gen.listOfN(bins, Gen.choose(0L, 10000L))
+    } yield counts.toArray
+    val prop = forAll(gen) { counts =>
+      val n = counts.sum
+      // reference = the SAME smoothed distribution → psi must be ~0
+      val ref = counts.map(c =>
+        (c + 0.5) / (n + counts.length / 2.0 * 1.0))
+      val self = StreamingPsi.psiOf(counts, n, ref)
+      // any OTHER smoothed reference → psi must be nonnegative
+      // (every (p1−p0)·ln(p1/p0) term has matching signs)
+      val shifted = ref.reverse
+      val cross = StreamingPsi.psiOf(counts, n, shifted)
+      Prop(math.abs(self) < 1e-12 && cross >= -1e-12)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop)
+    assert(result.passed, result.status.toString)
+  }
 }
