@@ -632,6 +632,59 @@ object WindowQueries {
              |FROM conv CROSS JOIN sizes
              |ORDER BY target_type""".stripMargin)),
 
+    // EXT — volume-anomaly days: days whose event count sits more than
+    // 2 sample standard deviations from their type's daily mean — the
+    // ops alarm built on q165's exact daily-count statistics (mean/std
+    // from exact BIGINT sums, the |type|-row stats frame broadcasts
+    // back onto the bounded |type × day| frame). The 2σ predicate
+    // compares identical doubles, so the flagged set is deterministic.
+    EngineQuery("q196_volume_anomaly_days",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"),
+              lit("1990-01-01").cast("date")).cast("long").as("x"))
+          .groupBy("event_type", "x")
+          .agg(count(lit(1)).as("c"))
+        val stats = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sx"),
+            sum(col("c") * col("c")).as("sxx"))
+        val nd = col("n_days").cast("double")
+        val mean = col("sx").cast("double") / nd
+        val sd = sqrt((nd * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (nd * (nd - lit(1.0))))
+        daily.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("c").cast("double") - mean) / sd)
+          .filter(abs(col("z")) > 2.0)
+          .select(col("event_type"), col("x").as("day_idx"), col("c"),
+            col("z"))
+          .orderBy("event_type", "day_idx")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', DATE '1990-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) AS x,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(c) AS BIGINT) AS sx,
+             |    CAST(SUM(c * c) AS BIGINT) AS sxx
+             |  FROM daily GROUP BY 1),
+             |z AS (
+             |  SELECT d.event_type, d.x, d.c,
+             |    (CAST(d.c AS DOUBLE)
+             |      - CAST(s.sx AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+             |    / sqrt((CAST(s.n_days AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+             |        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+             |      / (CAST(s.n_days AS DOUBLE)
+             |        * (CAST(s.n_days AS DOUBLE) - 1.0))) AS z
+             |  FROM daily d JOIN stats s ON s.event_type = d.event_type)
+             |SELECT event_type, x AS day_idx, c, z
+             |FROM z WHERE abs(z) > 2.0
+             |ORDER BY event_type, day_idx""".stripMargin)),
+
     // EXT — Neyman-optimal stratified sample allocation: per stratum
     // (event_type), allocate a 10k-row sample budget ∝ N_h·s_h — the
     // survey-sampling complement to q68's proportional stratification.
