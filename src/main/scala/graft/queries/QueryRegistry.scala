@@ -23,7 +23,7 @@ object QueryRegistry {
   lazy val all: Seq[EngineQuery] =
     PipelineQueries.all ++ RelationalQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ OperatorQueries.all ++
-      BatteryQueries.all ++ CorpusQueries.all
+      BatteryQueries.all ++ CorpusQueries.all ++ StatsQueries.all
 
   lazy val byName: Map[String, EngineQuery] = all.map(q => q.name -> q).toMap
 }

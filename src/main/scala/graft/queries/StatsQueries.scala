@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Round-10 statistics + sketch battery.
+  *
+  * Two themes:
+  *
+  * 1. DETERMINISTIC sketches (q197/q198): the engine's HyperLogLog and
+  *    Count-Min surfaces (reference analog: the dashboard cardinality /
+  *    frequency panels fed by the warehouse, ref scripts/03_reporting.sql
+  *    delegation) re-expressed with sha256-derived register hashes so
+  *    the SAME sketch is expressible in ANSI SQL — unlike q17b/q58
+  *    (Spark-internal HLL++/GK, rows-only gated), these are hash-gated
+  *    cell-exact against DuckDB. All register math stays in exact
+  *    BIGINT (2^(53-M) register terms summed as integers, one double
+  *    division at the end), so there is no float-summation-order risk.
+  *
+  * 2. Nonparametric / classical tests (q199+): Mann-Whitney U,
+  *    Kolmogorov-Smirnov, runs test, Theil-Sen, dispersion — the
+  *    distribution-free screens a data-quality pipeline runs when the
+  *    normal-theory tests (q180 Welch, q153 z) are not safe. Exact
+  *    integer sufficient statistics (counts, rank sums scaled ×2, tie
+  *    terms) feed one fixed-shape double chain written identically in
+  *    both engines.
+  *
+  * Scale notes: every query aggregates FIRST (per-value / per-day /
+  * per-register frames, all bounded or |distinct values|-sized) and
+  * windows only over those bounded frames; nothing collects to the
+  * driver; the only crossJoins are broadcast 1-row totals.
+  */
+object StatsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** Exact cents of the events value column (DECIMAL(18,2) × 100). */
+  private def cents: Column =
+    (money(col("value")) * 100).cast("long")
+
+  private val centsSql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  val all: Seq[EngineQuery] = Seq(
+
+    // EXT — deterministic HyperLogLog (m=256 registers, 60-bit sha256
+    // hash): the cardinality sketch behind the dashboard distinct-count
+    // panels, expressible in BOTH engines so it hash-gates (q17b's
+    // Spark-internal HLL++ cannot). Register max-rho per 8-bit bucket;
+    // the harmonic sum runs as exact BIGINT (Σ 2^(53-M) ≤ 2^60), one
+    // double division at the end. Empty registers enter as V·2^53.
+    // At 100 TB the shuffle is |distinct keys| → 256 rows.
+    EngineQuery("q197_hll_sketch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def sketch(keyCol: Column, label: String): DataFrame = {
+          val h = sha256PrefixLong15(
+            concat(lit("hll:"), keyCol.cast("string")))
+          val regs = ev.select(pmod(h, lit(256L)).as("reg"),
+              (h / 256L).cast("long").as("w"))
+            .groupBy("reg")
+            .agg(max(when(col("w") === 0L, lit(53))
+              .otherwise(lit(53) - length(bin(col("w"))))).as("m_rho"))
+          val filled = regs.agg(
+            count(lit(1)).as("n_filled"),
+            sum(expr("shiftleft(1L, cast(53 - m_rho as int))"))
+              .as("s_filled"))
+          val exact = ev.agg(
+            count_distinct(keyCol).as("n_exact"))
+          filled.crossJoin(broadcast(exact))
+            .select(lit(label).as("key_col"), col("n_exact"),
+              (lit(256L) - col("n_filled")).as("v_empty"),
+              (col("s_filled") +
+                (lit(256L) - col("n_filled")) * lit(9007199254740992L))
+                .as("s_num"))
+        }
+        val both = sketch(col("user_id"), "user_id")
+          .unionAll(sketch(col("event_id"), "event_id"))
+        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+        both.select(col("key_col"), col("n_exact"), col("v_empty"),
+            col("s_num"),
+            (alpha * lit(65536.0) * lit(9007199254740992.0) /
+              col("s_num").cast("double")).as("hll_estimate"))
+          .orderBy("key_col")
+      },
+      Some("""WITH keys AS (
+             |  SELECT 'user_id' AS key_col,
+             |    CAST('0x' || substr(sha256('hll:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'event_id' AS key_col,
+             |    CAST('0x' || substr(sha256('hll:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             |  FROM events),
+             |regs AS (
+             |  SELECT key_col, h % 256 AS reg,
+             |    MAX(CASE WHEN h // 256 = 0 THEN 53
+             |        ELSE 53 - length(bin(h // 256)) END) AS m_rho
+             |  FROM keys GROUP BY 1, 2),
+             |filled AS (
+             |  SELECT key_col, COUNT(*) AS n_filled,
+             |    CAST(SUM(1::BIGINT << (53 - m_rho)) AS BIGINT) AS s_filled
+             |  FROM regs GROUP BY 1),
+             |ex AS (
+             |  SELECT 'user_id' AS key_col,
+             |    COUNT(DISTINCT user_id) AS n_exact FROM events
+             |  UNION ALL
+             |  SELECT 'event_id' AS key_col,
+             |    COUNT(DISTINCT event_id) AS n_exact FROM events)
+             |SELECT f.key_col, ex.n_exact,
+             |  256 - f.n_filled AS v_empty,
+             |  f.s_filled + (256 - f.n_filled) * 9007199254740992 AS s_num,
+             |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+             |    * 9007199254740992.0
+             |    / CAST(f.s_filled + (256 - f.n_filled) * 9007199254740992
+             |        AS DOUBLE) AS hll_estimate
+             |FROM filled f JOIN ex ON ex.key_col = f.key_col
+             |ORDER BY f.key_col""".stripMargin)),
+
+    // EXT — deterministic Count-Min sketch (d=4 rows × w=512 buckets,
+    // sha256 row hashes): per-key frequency estimates with the classic
+    // one-sided overcount, audited against the exact top-20 users.
+    // The sketch is a 2048-row aggregate (shuffle = |events| → 2048);
+    // the probe side is 20 rows × 4 hashes joined against the broadcast
+    // sketch. est ≥ exact always; the overcount column shows collision
+    // mass. Everything integer-exact.
+    EngineQuery("q198_countmin_freq",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val rows = Seq(0, 1, 2, 3)
+        def bucket(i: Int, c: Column): Column =
+          pmod(sha256PrefixLong(
+            concat(lit(s"cm$i:"), c.cast("string"))), lit(512L))
+        // sketch counters: one pass, 4 (row, bucket) pairs per event
+        val pairs = rows.map(i => struct(lit(i).as("row_id"),
+          bucket(i, col("user_id")).as("bucket")))
+        val sketch = ev.select(explode(array(pairs: _*)).as("rb"))
+          .select(col("rb.row_id"), col("rb.bucket"))
+          .groupBy("row_id", "bucket").agg(count(lit(1)).as("c"))
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+        val probes = rows.map(i => struct(lit(i).as("row_id"),
+          bucket(i, col("user_id")).as("bucket")))
+        val est = top
+          .select(col("user_id"), col("n_exact"),
+            explode(array(probes: _*)).as("rb"))
+          .select(col("user_id"), col("n_exact"),
+            col("rb.row_id"), col("rb.bucket"))
+          .join(broadcast(sketch), Seq("row_id", "bucket"))
+          .groupBy("user_id", "n_exact")
+          .agg(min(col("c")).as("cm_estimate"))
+        est.select(col("user_id"), col("n_exact"), col("cm_estimate"),
+            (col("cm_estimate") - col("n_exact")).as("overcount"))
+          .orderBy(col("n_exact").desc, col("user_id"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT user_id, r.row_id,
+             |    CAST('0x' || substr(sha256('cm' || CAST(r.row_id AS VARCHAR)
+             |        || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 512 AS bucket
+             |  FROM events
+             |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row_id) r),
+             |sketch AS (
+             |  SELECT row_id, bucket, COUNT(*) AS c
+             |  FROM pairs GROUP BY 1, 2),
+             |top AS (
+             |  SELECT user_id, COUNT(*) AS n_exact
+             |  FROM events GROUP BY 1
+             |  ORDER BY n_exact DESC, user_id LIMIT 20),
+             |probes AS (
+             |  SELECT t.user_id, t.n_exact, r.row_id,
+             |    CAST('0x' || substr(sha256('cm' || CAST(r.row_id AS VARCHAR)
+             |        || ':' || CAST(t.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 512 AS bucket
+             |  FROM top t
+             |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row_id) r)
+             |SELECT p.user_id, p.n_exact,
+             |  MIN(s.c) AS cm_estimate,
+             |  MIN(s.c) - p.n_exact AS overcount
+             |FROM probes p
+             |JOIN sketch s ON s.row_id = p.row_id AND s.bucket = p.bucket
+             |GROUP BY 1, 2
+             |ORDER BY n_exact DESC, user_id""".stripMargin)),
+
+    // EXT — Mann-Whitney U (rank-sum with ties, normal approximation):
+    // does cohort 0's value distribution stochastically dominate
+    // cohort 1's, per event type? The distribution-free twin of q180.
+    // Rank algebra stays exact: per distinct cents value the cohort
+    // counts, the doubled U statistic 2U0 = Σ c0·(2·cum1_before + c1)
+    // (integers — average ranks over ties contribute half-units), and
+    // the tie term T = Σ(t³−t); one fixed-shape double chain for z.
+    // Shuffle: |events| → |distinct (type, value)|.
+    EngineQuery("q199_mannwhitney_u",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            pmod(col("user_id"), lit(2)).as("cohort"), cents.as("v"))
+        val per = ev.groupBy("event_type", "v")
+          .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c1"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = per.withColumn("cum1",
+          coalesce(sum(col("c1")).over(w), lit(0L)))
+        val agg = cum.groupBy("event_type").agg(
+          sum("c0").as("n0"), sum("c1").as("n1"),
+          sum(col("c0") * (col("cum1") * 2L + col("c1"))).as("u0_x2"),
+          sum((col("c0") + col("c1")) * (col("c0") + col("c1")) *
+            (col("c0") + col("c1")) - (col("c0") + col("c1")))
+            .as("tie_term"))
+        val n0d = col("n0").cast("double")
+        val n1d = col("n1").cast("double")
+        val nd = (col("n0") + col("n1")).cast("double")
+        val varU = (n0d * n1d / lit(12.0)) *
+          ((nd + lit(1.0)) -
+            col("tie_term").cast("double") / (nd * (nd - lit(1.0))))
+        val z = (col("u0_x2") - col("n0") * col("n1")).cast("double") /
+          lit(2.0) / sqrt(varU)
+        agg.select(col("event_type"), col("n0"), col("n1"),
+            col("u0_x2"), col("tie_term"), z.as("z_mw"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, user_id % 2 AS cohort,
+             |    $centsSql AS v
+             |  FROM events),
+             |per AS (
+             |  SELECT event_type, v,
+             |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c0,
+             |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c1
+             |  FROM ev GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT *, COALESCE(CAST(SUM(c1) OVER (
+             |      PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS cum1
+             |  FROM per),
+             |agg AS (
+             |  SELECT event_type,
+             |    CAST(SUM(c0) AS BIGINT) AS n0,
+             |    CAST(SUM(c1) AS BIGINT) AS n1,
+             |    CAST(SUM(c0 * (cum1 * 2 + c1)) AS BIGINT) AS u0_x2,
+             |    CAST(SUM((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1))
+             |      AS BIGINT) AS tie_term
+             |  FROM cum GROUP BY 1)
+             |SELECT event_type, n0, n1, u0_x2, tie_term,
+             |  CAST(u0_x2 - n0 * n1 AS DOUBLE) / 2.0
+             |  / sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
+             |    * ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+             |      - CAST(tie_term AS DOUBLE)
+             |        / (CAST(n0 + n1 AS DOUBLE)
+             |          * (CAST(n0 + n1 AS DOUBLE) - 1.0)))) AS z_mw
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // EXT — two-sample Kolmogorov-Smirnov per event type (cohort =
+    // user parity): D = max |F0 − F1| kept as the exact integer
+    // numerator max|cum0·n1 − cum1·n0| over the per-value frame, so the
+    // max is decided on integers, never on accumulated floats; D and
+    // the z = D·√(n0·n1/(n0+n1)) scale surface as one double chain.
+    EngineQuery("q200_ks_cohort",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            pmod(col("user_id"), lit(2)).as("cohort"), cents.as("v"))
+        val per = ev.groupBy("event_type", "v")
+          .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c1"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = per
+          .withColumn("cum0", sum(col("c0")).over(w))
+          .withColumn("cum1", sum(col("c1")).over(w))
+        val tot = per.groupBy(col("event_type").as("et"))
+          .agg(sum("c0").as("n0"), sum("c1").as("n1"))
+        val j = cum.join(broadcast(tot), cum("event_type") === tot("et"))
+        val diff = abs(col("cum0") * col("n1") - col("cum1") * col("n0"))
+        val agg = j.groupBy("event_type", "n0", "n1")
+          .agg(max(diff).as("d_num"))
+        val n0d = col("n0").cast("double")
+        val n1d = col("n1").cast("double")
+        val d = col("d_num").cast("double") / (n0d * n1d)
+        agg.select(col("event_type"), col("n0"), col("n1"), col("d_num"),
+            d.as("d_stat"),
+            (d * sqrt(n0d * n1d / (n0d + n1d))).as("ks_z"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, user_id % 2 AS cohort,
+             |    $centsSql AS v
+             |  FROM events),
+             |per AS (
+             |  SELECT event_type, v,
+             |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c0,
+             |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c1
+             |  FROM ev GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT *,
+             |    CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum0,
+             |    CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum1
+             |  FROM per),
+             |tot AS (
+             |  SELECT event_type AS et,
+             |    CAST(SUM(c0) AS BIGINT) AS n0,
+             |    CAST(SUM(c1) AS BIGINT) AS n1
+             |  FROM per GROUP BY 1),
+             |agg AS (
+             |  SELECT c.event_type, t.n0, t.n1,
+             |    MAX(abs(c.cum0 * t.n1 - c.cum1 * t.n0)) AS d_num
+             |  FROM cum c JOIN tot t ON t.et = c.event_type
+             |  GROUP BY 1, 2, 3)
+             |SELECT event_type, n0, n1, d_num,
+             |  CAST(d_num AS DOUBLE)
+             |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS d_stat,
+             |  CAST(d_num AS DOUBLE)
+             |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+             |    * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+             |        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+             |    AS ks_z
+             |FROM agg ORDER BY event_type""".stripMargin))
+  )
+}
