@@ -325,6 +325,222 @@ object StatsQueries {
              |    * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
              |        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
              |    AS ks_z
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // EXT — Wald-Wolfowitz runs test on the daily-revenue direction
+    // sequence: is up/down movement random or trending? The daily frame
+    // is calendar-bounded (|days|, not SF-scaled); signs come from
+    // exact-cents comparisons, the run count from a lag over the
+    // ordered bounded frame, and the z-statistic from one double chain
+    // over the exact (n_plus, n_minus, n_runs) triple.
+    EngineQuery("q201_runs_test",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("rev"))
+        val wd = Window.orderBy("day")
+        val signs = daily
+          .withColumn("prev", lag(col("rev"), 1).over(wd))
+          .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+          .withColumn("sgn",
+            when(col("rev") > col("prev"), 1).otherwise(-1))
+        val runs = signs
+          .withColumn("prev_sgn", lag(col("sgn"), 1).over(wd))
+          .agg(
+            sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_plus"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_minus"),
+            (sum(when(col("prev_sgn").isNull ||
+              col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L)))
+              .as("n_runs"))
+        val np = col("n_plus").cast("double")
+        val nm = col("n_minus").cast("double")
+        val nd = np + nm
+        val mu = lit(2.0) * np * nm / nd + lit(1.0)
+        val sig2 = (lit(2.0) * np * nm * (lit(2.0) * np * nm - nd)) /
+          (nd * nd * (nd - lit(1.0)))
+        runs.select(col("n_plus"), col("n_minus"), col("n_runs"),
+          ((col("n_runs").cast("double") - mu) / sqrt(sig2))
+            .as("z_runs"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |signs AS (
+             |  SELECT day, rev,
+             |    CASE WHEN rev > prev THEN 1 ELSE -1 END AS sgn
+             |  FROM (SELECT *, lag(rev) OVER (ORDER BY day) AS prev
+             |        FROM daily)
+             |  WHERE prev IS NOT NULL AND rev <> prev),
+             |runs AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_plus,
+             |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_minus,
+             |    CAST(SUM(CASE WHEN prev_sgn IS NULL OR sgn <> prev_sgn
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+             |  FROM (SELECT *, lag(sgn) OVER (ORDER BY day) AS prev_sgn
+             |        FROM signs))
+             |SELECT n_plus, n_minus, n_runs,
+             |  (CAST(n_runs AS DOUBLE)
+             |    - (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+             |        / (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+             |      + 1.0))
+             |  / sqrt((2.0 * CAST(n_plus AS DOUBLE)
+             |      * CAST(n_minus AS DOUBLE)
+             |      * (2.0 * CAST(n_plus AS DOUBLE)
+             |          * CAST(n_minus AS DOUBLE)
+             |        - (CAST(n_plus AS DOUBLE)
+             |            + CAST(n_minus AS DOUBLE))))
+             |    / ((CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+             |      * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+             |      * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)
+             |        - 1.0))) AS z_runs
+             |FROM runs""".stripMargin)),
+
+    // EXT — Theil-Sen robust trend: the median of all pairwise
+    // day-to-day slopes of daily revenue — outlier-proof where q152's
+    // OLS is not. The pair frame is |days|² over the calendar-bounded
+    // daily aggregate (≈2.9M pairs — distributed join, never driver-
+    // side); each slope is one identical double division; the median
+    // is a deterministic element pick (row (n+1)/2 under a total
+    // (slope, d1, d2) order), not an interpolation.
+    EngineQuery("q202_theilsen_trend",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("rev"))
+        val a = daily.select(col("day").as("d1"), col("rev").as("r1"))
+        val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
+        val pairs = a.join(b, col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            ((col("r2") - col("r1")).cast("double") /
+              datediff(col("d2"), col("d1")).cast("double"))
+              .as("slope"))
+        val n = pairs.agg(count(lit(1)).as("n_pairs"))
+        val w = Window.orderBy("slope", "d1", "d2")
+        pairs.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(n))
+          .filter(col("rn") === (col("n_pairs") + 1L) / 2L)
+          .select(col("n_pairs"),
+            col("slope").as("theilsen_slope_cents_per_day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.day AS d1, b.day AS d2,
+             |    CAST(b.rev - a.rev AS DOUBLE)
+             |      / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+             |      AS slope
+             |  FROM daily a JOIN daily b ON a.day < b.day),
+             |n AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+             |ranked AS (
+             |  SELECT slope, row_number()
+             |      OVER (ORDER BY slope, d1, d2) AS rn
+             |  FROM pairs)
+             |SELECT n.n_pairs,
+             |  r.slope AS theilsen_slope_cents_per_day
+             |FROM ranked r CROSS JOIN n
+             |WHERE r.rn = (n.n_pairs + 1) // 2""".stripMargin)),
+
+    // EXT — EWMA revenue smoothing (α = 1/2, 21-day truncated window)
+    // with EXACT integer weighting: weight 2^(20−age) in cents·shifts
+    // (max daily cents ≈ 2e8 × 2^20 × 21 terms ≈ 4e15 ≪ 2^63), so the
+    // weighted numerator/denominator are exact BIGINTs in both engines
+    // and the smoothed value is one double division. The weighted
+    // window is a bounded 21-row-per-day self-join over the calendar
+    // frame — per-row weights depend on the (row, frame-row) distance,
+    // which a plain window SUM cannot express.
+    EngineQuery("q203_ewma_revenue",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("rev"))
+        val cur = daily.select(col("day").as("d"), col("rev").as("r"))
+        val past = daily.select(col("day").as("pd"), col("rev").as("pr"))
+        val j = cur.join(past,
+          datediff(col("d"), col("pd")).between(0, 20))
+        val wgt = expr("shiftleft(1L, cast(20 - datediff(d, pd) as int))")
+        j.groupBy(col("d").as("day"))
+          .agg(max(when(col("pd") === col("d"), col("pr"))).as("rev"),
+            sum(col("pr") * wgt).as("num"),
+            sum(wgt).as("den"))
+          .select(col("day"), col("rev"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("ewma_cents"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |j AS (
+             |  SELECT c.day, c.rev,
+             |    p.rev AS pr,
+             |    (1::BIGINT << (20 - date_diff('day', p.day, c.day)))
+             |      AS wgt
+             |  FROM daily c JOIN daily p
+             |    ON date_diff('day', p.day, c.day) BETWEEN 0 AND 20)
+             |SELECT day, rev,
+             |  CAST(CAST(SUM(pr * wgt) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(SUM(wgt) AS BIGINT) AS DOUBLE) AS ewma_cents
+             |FROM j GROUP BY 1, 2 ORDER BY day""".stripMargin)),
+
+    // EXT — Poisson dispersion screen: is each event type's daily
+    // arrival count over- or under-dispersed vs Poisson? Exact
+    // (n_days, Σc, Σc²) per type; the dispersion index s²/mean and the
+    // χ² = (n−1)·s²/mean statistic are one fixed-shape double chain.
+    // Days without any event of a type contribute no row (observed-
+    // days convention, documented).
+    EngineQuery("q204_poisson_dispersion",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val agg = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        val nd = col("n_days").cast("double")
+        val mean = col("sc").cast("double") / nd
+        val s2 = (nd * col("scc").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double")) /
+          (nd * (nd - lit(1.0)))
+        agg.select(col("event_type"), col("n_days"), col("sc"),
+            mean.as("mean_daily"), (s2 / mean).as("dispersion_index"),
+            ((nd - lit(1.0)) * s2 / mean).as("chi2_stat"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(c) AS BIGINT) AS sc,
+             |    CAST(SUM(c * c) AS BIGINT) AS scc
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, n_days, sc,
+             |  CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+             |  ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+             |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             |    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+             |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+             |    AS dispersion_index,
+             |  (CAST(n_days AS DOUBLE) - 1.0)
+             |  * ((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+             |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             |    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+             |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+             |    AS chi2_stat
              |FROM agg ORDER BY event_type""".stripMargin))
   )
 }
