@@ -541,6 +541,268 @@ object StatsQueries {
              |    / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
              |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
              |    AS chi2_stat
-             |FROM agg ORDER BY event_type""".stripMargin))
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // EXT — Cramér's V effect size for the event_type × day-of-week
+    // association: q194's χ² machinery reduced to ONE summary row with
+    // the normalized [0,1] effect size. The total accumulates in
+    // FIXED-POINT (each per-cell χ² term — an identical double in both
+    // engines — is floored at 2⁻³⁰ into a BIGINT), so the sum is
+    // order-independent integer math with error < |cells|·2⁻³⁰ —
+    // DuckDB's segment-tree window sums and Spark's sequential sums
+    // would otherwise disagree in the last ulp. V = √(χ²/(n·min(r−1,
+    // c−1))) closes in one double chain. Dow matches q193 (0=Sunday).
+    EngineQuery("q205_cramers_v",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .select(col("event_type"),
+            (dayofweek(col("ts").cast("date")) - 1).cast("long")
+              .as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("n_obs"))
+        val rowT = cells.groupBy("event_type")
+          .agg(sum("n_obs").as("row_tot"))
+        val colT = cells.groupBy("dow").agg(sum("n_obs").as("col_tot"))
+        val grand = cells.agg(sum("n_obs").as("n_tot"),
+          count_distinct(col("event_type")).as("n_rows"),
+          count_distinct(col("dow")).as("n_cols"))
+        val exp = (col("row_tot").cast("double") *
+          col("col_tot").cast("double")) / col("n_tot").cast("double")
+        val term = (col("n_obs").cast("double") - exp) *
+          (col("n_obs").cast("double") - exp) / exp
+        val termQ = floor(term * lit(1073741824.0)).cast("long")
+        val chi2 = cells.join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "dow")
+          .crossJoin(broadcast(grand))
+          .groupBy("n_tot", "n_rows", "n_cols")
+          .agg(sum(termQ).as("chi2_q30"))
+        val minDim = least(col("n_rows"), col("n_cols")) - lit(1L)
+        val chi2d = col("chi2_q30").cast("double") / lit(1073741824.0)
+        chi2.select(col("n_tot"), col("n_rows"), col("n_cols"),
+          col("chi2_q30"), chi2d.as("chi2_total"),
+          sqrt(chi2d /
+            (col("n_tot").cast("double") * minDim.cast("double")))
+            .as("cramers_v"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             |    COUNT(*) AS n_obs
+             |  FROM events GROUP BY 1, 2),
+             |rt AS (
+             |  SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS row_tot
+             |  FROM cells GROUP BY 1),
+             |ct AS (
+             |  SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS col_tot
+             |  FROM cells GROUP BY 1),
+             |g AS (
+             |  SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot,
+             |    COUNT(DISTINCT event_type) AS n_rows,
+             |    COUNT(DISTINCT dow) AS n_cols
+             |  FROM cells),
+             |terms AS (
+             |  SELECT c.event_type, c.dow, g.n_tot, g.n_rows, g.n_cols,
+             |    (CAST(c.n_obs AS DOUBLE)
+             |      - (CAST(rt.row_tot AS DOUBLE)
+             |          * CAST(ct.col_tot AS DOUBLE))
+             |        / CAST(g.n_tot AS DOUBLE))
+             |    * (CAST(c.n_obs AS DOUBLE)
+             |      - (CAST(rt.row_tot AS DOUBLE)
+             |          * CAST(ct.col_tot AS DOUBLE))
+             |        / CAST(g.n_tot AS DOUBLE))
+             |    / ((CAST(rt.row_tot AS DOUBLE)
+             |        * CAST(ct.col_tot AS DOUBLE))
+             |      / CAST(g.n_tot AS DOUBLE)) AS chi2_term
+             |  FROM cells c
+             |  JOIN rt ON rt.event_type = c.event_type
+             |  JOIN ct ON ct.dow = c.dow
+             |  CROSS JOIN g)
+             |SELECT n_tot, n_rows, n_cols,
+             |  CAST(SUM(CAST(floor(chi2_term * 1073741824.0) AS BIGINT))
+             |    AS BIGINT) AS chi2_q30,
+             |  CAST(CAST(SUM(CAST(floor(chi2_term * 1073741824.0)
+             |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824.0
+             |    AS chi2_total,
+             |  sqrt((CAST(CAST(SUM(CAST(floor(chi2_term * 1073741824.0)
+             |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824.0)
+             |    / (CAST(n_tot AS DOUBLE)
+             |      * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))
+             |    AS cramers_v
+             |FROM terms GROUP BY 1, 2, 3""".stripMargin)),
+
+    // EXT — RFM customer segmentation: recency / frequency / monetary
+    // quintiles (ntile(5) under a TOTAL order — metric then custkey —
+    // so bucket edges are engine-independent), rolled up to segment
+    // counts and the exact average order value per segment. One
+    // shuffle to the per-customer frame, windows over it, then a
+    // |segments|-row (≤125) aggregate.
+    EngineQuery("q206_rfm_segments",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val perCust = orders.groupBy(col("o_custkey").as("custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum((money(col("o_totalprice")) * 100).cast("long"))
+              .as("monetary_cents"))
+        val refDay = orders.agg(max(col("o_orderdate").cast("date"))
+          .as("ref_day"))
+        val scored = perCust.crossJoin(broadcast(refDay))
+          .withColumn("recency_days",
+            datediff(col("ref_day"), col("last_day")).cast("long"))
+          .withColumn("r_score", ntile(5).over(
+            Window.orderBy(col("recency_days"), col("custkey"))))
+          .withColumn("f_score", ntile(5).over(
+            Window.orderBy(col("freq").desc, col("custkey"))))
+          .withColumn("m_score", ntile(5).over(
+            Window.orderBy(col("monetary_cents").desc, col("custkey"))))
+        scored
+          .groupBy(col("r_score").cast("long").as("r_score"),
+            col("f_score").cast("long").as("f_score"),
+            col("m_score").cast("long").as("m_score"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary_cents")).as("segment_cents"))
+          .withColumn("avg_cents",
+            col("segment_cents").cast("double") /
+              col("n_customers").cast("double"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey AS custkey,
+             |    MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             |    COUNT(*) AS freq,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS monetary_cents
+             |  FROM orders GROUP BY 1),
+             |ref AS (
+             |  SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day
+             |  FROM orders),
+             |scored AS (
+             |  SELECT custkey, monetary_cents,
+             |    ntile(5) OVER (ORDER BY
+             |      date_diff('day', last_day, ref_day), custkey)
+             |      AS r_score,
+             |    ntile(5) OVER (ORDER BY freq DESC, custkey) AS f_score,
+             |    ntile(5) OVER (ORDER BY monetary_cents DESC, custkey)
+             |      AS m_score
+             |  FROM pc CROSS JOIN ref)
+             |SELECT CAST(r_score AS BIGINT) AS r_score,
+             |  CAST(f_score AS BIGINT) AS f_score,
+             |  CAST(m_score AS BIGINT) AS m_score,
+             |  COUNT(*) AS n_customers,
+             |  CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+             |  CAST(CAST(SUM(monetary_cents) AS BIGINT) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS avg_cents
+             |FROM scored GROUP BY 1, 2, 3
+             |ORDER BY r_score, f_score, m_score""".stripMargin)),
+
+    // EXT — ABC inventory classification: parts ranked by exact 1e-4-scaled
+    // discounted revenue; class A covers the first 80% of cumulative
+    // revenue, B to 95%, C the tail. Class edges are decided on exact
+    // integers (cum·100 vs threshold·total — never a float cumsum), so
+    // boundary parts classify identically in both engines. Shuffle:
+    // |lineitem| → |parts|, then windows over the parts frame.
+    EngineQuery("q207_abc_parts",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum((money(col("l_extendedprice")) *
+            (lit(1) - money(col("l_discount"))) * 10000).cast("long"))
+            .as("rev_e4"))
+        val w = Window.orderBy(col("rev_e4").desc, col("partkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = rev.agg(sum("rev_e4").as("tot_e4"))
+        val classed = rev
+          .withColumn("cum_cents", sum(col("rev_e4")).over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("abc_class",
+            when(col("cum_cents") * 100L <= col("tot_e4") * 80L, "A")
+              .when(col("cum_cents") * 100L <= col("tot_e4") * 95L,
+                "B")
+              .otherwise("C"))
+        classed.groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_e4")).as("class_rev_e4"),
+            max(col("tot_e4")).as("tot_e4"))
+          .select(col("abc_class"), col("n_parts"), col("class_rev_e4"),
+            (col("class_rev_e4").cast("double") /
+              col("tot_e4").cast("double")).as("rev_share"))
+          .orderBy("abc_class")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey AS partkey,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000
+             |      AS BIGINT)) AS BIGINT) AS rev_e4
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS tot_e4
+             |        FROM rev),
+             |classed AS (
+             |  SELECT rev_e4,
+             |    CASE
+             |      WHEN CAST(SUM(rev_e4) OVER (
+             |          ORDER BY rev_e4 DESC, partkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) * 100 <= tot_e4 * 80 THEN 'A'
+             |      WHEN CAST(SUM(rev_e4) OVER (
+             |          ORDER BY rev_e4 DESC, partkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) * 100 <= tot_e4 * 95 THEN 'B'
+             |      ELSE 'C' END AS abc_class,
+             |    tot_e4
+             |  FROM rev CROSS JOIN tot)
+             |SELECT abc_class, COUNT(*) AS n_parts,
+             |  CAST(SUM(rev_e4) AS BIGINT) AS class_rev_e4,
+             |  CAST(CAST(SUM(rev_e4) AS BIGINT) AS DOUBLE)
+             |    / CAST(MAX(tot_e4) AS DOUBLE) AS rev_share
+             |FROM classed GROUP BY 1 ORDER BY abc_class""".stripMargin)),
+
+    // EXT — audience overlap matrix: for every event-type pair, the
+    // exact distinct-user intersection and Jaccard overlap — "do my
+    // segments share users". The distinct (user, type) frame shuffles
+    // once; the pair join explodes only |types|² audience pairs (25
+    // here; bounded by the type vocabulary, not SF).
+    EngineQuery("q208_audience_overlap",
+      (s, dir) => {
+        val ut = t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val sizes = ut.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n_users"))
+        val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+        val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+        val inter = a.join(b, Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes).withColumnRenamed("n_users", "n_a"),
+            col("type_a") === col("et")).drop("et")
+          .join(broadcast(sizes).withColumnRenamed("n_users", "n_b"),
+            col("type_b") === col("et")).drop("et")
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            (col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events),
+             |sizes AS (
+             |  SELECT event_type AS et, COUNT(*) AS n_users
+             |  FROM ut GROUP BY 1),
+             |inter AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    COUNT(*) AS n_common
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |  WHERE a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT i.type_a, i.type_b,
+             |  sa.n_users AS n_a, sb.n_users AS n_b, i.n_common,
+             |  CAST(i.n_common AS DOUBLE)
+             |    / CAST(sa.n_users + sb.n_users - i.n_common AS DOUBLE)
+             |    AS jaccard
+             |FROM inter i
+             |JOIN sizes sa ON sa.et = i.type_a
+             |JOIN sizes sb ON sb.et = i.type_b
+             |ORDER BY type_a, type_b""".stripMargin))
   )
 }
