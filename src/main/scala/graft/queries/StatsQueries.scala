@@ -803,6 +803,223 @@ object StatsQueries {
              |FROM inter i
              |JOIN sizes sa ON sa.et = i.type_a
              |JOIN sizes sb ON sb.et = i.type_b
-             |ORDER BY type_a, type_b""".stripMargin))
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // EXT — small-order revenue screen (TPC-H Q17 shape): per brand,
+    // the revenue locked in lineitems whose quantity is below 20% of
+    // that part's average quantity. The correlated "avg per part"
+    // subquery becomes one per-part aggregate joined back to the fact
+    // scan (shuffle on l_partkey, never a per-row subquery); the
+    // threshold predicate is exact integer algebra
+    // (qty·5·n_li < Σqty ⟺ qty < 0.2·avg), so boundary rows agree.
+    EngineQuery("q209_small_order_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (money(col("l_quantity")) * 100).cast("long").as("q100"),
+            money(col("l_extendedprice")).as("price"))
+        val perPart = li.groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("n_li"), sum(col("q100")).as("sum_q100"))
+        val brands = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        val small = li.join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("q100") * 5L * col("n_li") < col("sum_q100"))
+          .join(brands, col("l_partkey") === col("p_partkey"))
+        small.groupBy("p_brand")
+          .agg(count(lit(1)).as("n_small_lineitems"),
+            sum(col("price")).cast("double").as("small_revenue"))
+          .withColumn("avg_yearly_loss", col("small_revenue") / lit(7.0))
+          .orderBy("p_brand")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS q100,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+             |  FROM lineitem),
+             |pp AS (
+             |  SELECT l_partkey AS pk, COUNT(*) AS n_li,
+             |    CAST(SUM(q100) AS BIGINT) AS sum_q100
+             |  FROM li GROUP BY 1)
+             |SELECT p.p_brand,
+             |  COUNT(*) AS n_small_lineitems,
+             |  CAST(SUM(l.price) AS DOUBLE) AS small_revenue,
+             |  CAST(SUM(l.price) AS DOUBLE) / 7.0 AS avg_yearly_loss
+             |FROM li l
+             |JOIN pp ON pp.pk = l.l_partkey
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE l.q100 * 5 * pp.n_li < pp.sum_q100
+             |GROUP BY 1 ORDER BY p_brand""".stripMargin)),
+
+    // EXT — returns-heavy suppliers (TPC-H Q20 nested-semi-join shape,
+    // re-targeted at the return flag since the star schema carries no
+    // partsupp): suppliers whose returned quantity exceeds 30% of
+    // shipped quantity, decided on exact integers (ret·10 > tot·3),
+    // enriched with the nation dimension (broadcast — fixed 25 rows at
+    // every SF). One |lineitem|→|suppliers| shuffle, then dimension
+    // joins.
+    EngineQuery("q210_returns_heavy_suppliers",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"),
+            (money(col("l_quantity")) * 100).cast("long").as("q100"),
+            col("l_returnflag"))
+        val perSupp = li.groupBy(col("l_suppkey").as("sk"))
+          .agg(sum(col("q100")).as("tot_q100"),
+            sum(when(col("l_returnflag") === "R", col("q100"))
+              .otherwise(0L)).as("ret_q100"))
+          .filter(col("ret_q100") * 10L > col("tot_q100") * 3L)
+        val supp = t(s, dir, "supplier")
+        val nation = t(s, dir, "nation")
+        perSupp
+          .join(supp, col("sk") === col("s_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("n_name").as("nation"), col("tot_q100"), col("ret_q100"),
+            (col("ret_q100").cast("double") / col("tot_q100").cast("double"))
+              .as("return_share"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH per AS (
+             |  SELECT l_suppkey AS sk,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS tot_q100,
+             |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             |      THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |        AS BIGINT) ELSE 0 END) AS BIGINT) AS ret_q100
+             |  FROM lineitem GROUP BY 1)
+             |SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+             |  per.tot_q100, per.ret_q100,
+             |  CAST(per.ret_q100 AS DOUBLE) / CAST(per.tot_q100 AS DOUBLE)
+             |    AS return_share
+             |FROM per
+             |JOIN supplier s ON s.s_suppkey = per.sk
+             |JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |WHERE per.ret_q100 * 10 > per.tot_q100 * 3
+             |ORDER BY s.s_suppkey""".stripMargin)),
+
+    // EXT — gaps-and-islands: per-user longest consecutive-active-day
+    // streak via the classic day_epoch − row_number island key, rolled
+    // up to a streak-length histogram. Windows partition BY USER over
+    // the distinct active-day frame (≤ |days| rows per user) — fully
+    // parallel, no global window.
+    EngineQuery("q211_activity_islands",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val islands = days
+          .withColumn("island",
+            datediff(col("day"), lit("2024-01-01").cast("date"))
+              - row_number().over(w))
+          .groupBy("user_id", "island").agg(count(lit(1)).as("streak"))
+        val perUser = islands.groupBy("user_id")
+          .agg(max(col("streak")).as("max_streak"))
+        perUser.groupBy(col("max_streak"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("max_streak")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id,
+             |    date_diff('day', DATE '2024-01-01', day)
+             |      - row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |      AS island
+             |  FROM days),
+             |streaks AS (
+             |  SELECT user_id, island, COUNT(*) AS streak
+             |  FROM isl GROUP BY 1, 2),
+             |pu AS (
+             |  SELECT user_id, CAST(MAX(streak) AS BIGINT) AS max_streak
+             |  FROM streaks GROUP BY 1)
+             |SELECT max_streak, COUNT(*) AS n_users
+             |FROM pu GROUP BY 1 ORDER BY max_streak""".stripMargin)),
+
+    // EXT — Jensen-Shannon divergence between the two largest sources'
+    // word distributions: "how different are my corpus slices" in one
+    // number. Tokenization matches q34 (single-space split). Each
+    // word's JSD contribution is an identical double in both engines;
+    // the sum runs in fixed-point 1e-9 BIGINT (the q92/q99 ln
+    // convention) so accumulation order cannot split the gate. Smoothed
+    // with add-zero convention: absent words contribute via the m-mix
+    // term only from the present side.
+    EngineQuery("q212_jsd_sources",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val top2 = docs.groupBy("source").agg(count(lit(1)).as("nd"))
+          .orderBy(col("nd").desc, col("source")).limit(2)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("nd").desc, col("source"))))
+        val words = docs.join(broadcast(top2), Seq("source"))
+          .select(col("rk"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val counts = words.groupBy("word")
+          .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("rk") === 2, 1L).otherwise(0L)).as("c2"))
+        val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        val p = col("c1").cast("double") / col("n1").cast("double")
+        val q = col("c2").cast("double") / col("n2").cast("double")
+        val m = (p + q) / lit(2.0)
+        val term =
+          when(col("c1") > 0L, p * log(p / m) / lit(2.0)).otherwise(0.0) +
+          when(col("c2") > 0L, q * log(q / m) / lit(2.0)).otherwise(0.0)
+        val termQ = round(term * lit(1.0e9)).cast("long")
+        counts.crossJoin(broadcast(tot))
+          .agg(count(lit(1)).as("vocab_union"),
+            max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            sum(termQ).as("jsd_q9"))
+          .select(col("vocab_union"), col("n1"), col("n2"),
+            col("jsd_q9"),
+            (col("jsd_q9").cast("double") / lit(1.0e9)).as("jsd_nats"))
+      },
+      Some("""WITH srcs AS (
+             |  SELECT source, COUNT(*) AS nd,
+             |    row_number() OVER (ORDER BY COUNT(*) DESC, source)
+             |      AS rk
+             |  FROM documents GROUP BY 1
+             |  ORDER BY nd DESC, source LIMIT 2),
+             |words AS (
+             |  SELECT s.rk, w.word
+             |  FROM documents d
+             |  JOIN srcs s ON s.source = d.source
+             |  CROSS JOIN unnest(string_split(d.text, ' ')) AS w(word)
+             |  WHERE w.word <> ''),
+             |counts AS (
+             |  SELECT word,
+             |    CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS c1,
+             |    CAST(SUM(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS c2
+             |  FROM words GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |    CAST(SUM(c2) AS BIGINT) AS n2
+             |  FROM counts),
+             |terms AS (
+             |  SELECT c1, c2, n1, n2,
+             |    (CASE WHEN c1 > 0 THEN
+             |      (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |      * ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |        / (((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |          + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             |          / 2.0)) / 2.0 ELSE 0.0 END)
+             |    + (CASE WHEN c2 > 0 THEN
+             |      (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |      * ln((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |        / (((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |          + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             |          / 2.0)) / 2.0 ELSE 0.0 END) AS term
+             |  FROM counts CROSS JOIN tot)
+             |SELECT COUNT(*) AS vocab_union,
+             |  MAX(n1) AS n1, MAX(n2) AS n2,
+             |  CAST(SUM(CAST(round(term * 1000000000.0) AS BIGINT))
+             |    AS BIGINT) AS jsd_q9,
+             |  CAST(CAST(SUM(CAST(round(term * 1000000000.0) AS BIGINT))
+             |    AS BIGINT) AS DOUBLE) / 1000000000.0 AS jsd_nats
+             |FROM terms""".stripMargin))
   )
 }
