@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the round-10 statistics + sketch battery
+  * (q197–q212). Cross-engine cell parity is the driver's DuckDB gate;
+  * these pin the MATHEMATICAL guarantees the oracle can't express:
+  * sketch error bounds, one-sided CMS overcount, statistic ranges, and
+  * conservation laws (partition counts summing to totals).
+  */
+class StatsQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q197 HLL: estimate within 3 standard errors of exact cardinality") {
+    val rows = run("q197_hll_sketch")
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_estimate")
+      // m=256 → RSE ≈ 1.04/√256 = 6.5%; allow 3σ. Small cardinalities
+      // sit in the linear-counting regime where the raw estimate reads
+      // low — tolerate the documented raw-HLL bias there.
+      if (exact > 256 * 2.5)
+        assert(math.abs(est - exact) / exact < 0.20,
+          s"raw HLL estimate $est too far from exact $exact")
+      else {
+        // linear-counting regime: the raw estimate saturates near α·m
+        // by design; the client-side correction m·ln(m/V) from the
+        // emitted v_empty column is what approximates the cardinality
+        val v = r.getAs[Long]("v_empty").toDouble
+        val lc = 256.0 * math.log(256.0 / v)
+        assert(math.abs(lc - exact) / math.max(exact, 1.0) < 0.15,
+          s"linear-counting estimate $lc too far from exact $exact")
+      }
+    }
+  }
+
+  test("q198 CMS: estimates are one-sided (est >= exact, overcount >= 0)") {
+    val rows = run("q198_countmin_freq")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cm_estimate") >= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("overcount") >= 0L)
+    }
+  }
+
+  test("q199 Mann-Whitney: U within [0, n0*n1] and tie term nonnegative") {
+    run("q199_mannwhitney_u").foreach { r =>
+      val n0 = r.getAs[Long]("n0"); val n1 = r.getAs[Long]("n1")
+      val u2 = r.getAs[Long]("u0_x2")
+      assert(u2 >= 0 && u2 <= 2 * n0 * n1,
+        s"2U=$u2 outside [0, ${2 * n0 * n1}]")
+      assert(r.getAs[Long]("tie_term") >= 0)
+    }
+  }
+
+  test("q200 KS: D statistic in [0,1] and consistent with its numerator") {
+    run("q200_ks_cohort").foreach { r =>
+      val d = r.getAs[Double]("d_stat")
+      assert(d >= 0.0 && d <= 1.0)
+      val n0 = r.getAs[Long]("n0"); val n1 = r.getAs[Long]("n1")
+      assert(math.abs(d - r.getAs[Long]("d_num").toDouble / (n0.toDouble * n1)) < 1e-12)
+    }
+  }
+
+  test("q201 runs test: run count bounded by sign count") {
+    val r = run("q201_runs_test").head
+    val np = r.getAs[Long]("n_plus"); val nm = r.getAs[Long]("n_minus")
+    val runs = r.getAs[Long]("n_runs")
+    assert(runs >= 1 && runs <= np + nm)
+  }
+
+  test("q202 Theil-Sen: pair count is n(n-1)/2 over the daily frame") {
+    val r = run("q202_theilsen_trend").head
+    val nPairs = r.getAs[Long]("n_pairs")
+    // reconstruct |days| from the quadratic: n_pairs = d(d-1)/2
+    val d = ((1 + math.sqrt(1.0 + 8.0 * nPairs)) / 2).round
+    assert(d * (d - 1) / 2 == nPairs, s"n_pairs=$nPairs not triangular")
+    assert(!r.getAs[Double]("theilsen_slope_cents_per_day").isNaN)
+  }
+
+  test("q203 EWMA: smoothed value lies within the window's rev envelope") {
+    val rows = run("q203_ewma_revenue")
+    val revs = rows.map(r => (r.getAs[java.sql.Date]("day").toLocalDate,
+      r.getAs[Long]("rev"), r.getAs[Double]("ewma_cents")))
+    val byDay = revs.map(t => t._1 -> t._2).toMap
+    revs.foreach { case (day, _, ewma) =>
+      val window = (0 to 20).flatMap(a => byDay.get(day.minusDays(a)))
+      assert(ewma >= window.min - 1e-6 && ewma <= window.max + 1e-6,
+        s"$day: ewma $ewma outside [${window.min}, ${window.max}]")
+    }
+  }
+
+  test("q204 dispersion: index positive, chi2 = (n-1)*index") {
+    run("q204_poisson_dispersion").foreach { r =>
+      val di = r.getAs[Double]("dispersion_index")
+      val n = r.getAs[Long]("n_days")
+      assert(di >= 0.0)
+      assert(math.abs(r.getAs[Double]("chi2_stat") - (n - 1) * di) < 1e-6)
+    }
+  }
+
+  test("q205 Cramér's V in [0,1]") {
+    val r = run("q205_cramers_v").head
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("q206 RFM: scores in 1..5 and customer counts conserve") {
+    val rows = run("q206_rfm_segments")
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1 && v <= 5) }
+    }
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = Tables.table(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(total == nCust)
+  }
+
+  test("q207 ABC: class revenue shares sum to 1 and A-head dominates") {
+    val rows = run("q207_abc_parts")
+    val shares = rows.map(r => r.getAs[String]("abc_class") ->
+      r.getAs[Double]("rev_share")).toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-9)
+    assert(shares.getOrElse("A", 0.0) >= shares.getOrElse("C", 0.0))
+  }
+
+  test("q208 audience overlap: jaccard in [0,1], intersection bounded") {
+    run("q208_audience_overlap").foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("n_common") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    }
+  }
+
+  test("q209 small-order revenue: only small lineitems counted (spot re-derive)") {
+    val rows = run("q209_small_order_revenue")
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_small_lineitems") > 0))
+  }
+
+  test("q210 returns-heavy: every returned share really exceeds 30%") {
+    run("q210_returns_heavy_suppliers").foreach { r =>
+      assert(r.getAs[Double]("return_share") > 0.3)
+      assert(r.getAs[Long]("ret_q100") <= r.getAs[Long]("tot_q100"))
+    }
+  }
+
+  test("q211 islands: user counts conserve over the histogram") {
+    val total = run("q211_activity_islands")
+      .map(_.getAs[Long]("n_users")).sum
+    val nUsers = Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(total == nUsers)
+  }
+
+  test("q212 JSD bounded by ln 2") {
+    val r = run("q212_jsd_sources").head
+    val jsd = r.getAs[Double]("jsd_nats")
+    assert(jsd >= -1e-9 && jsd <= math.log(2.0) + 1e-9,
+      s"JSD $jsd outside [0, ln2]")
+  }
+}
