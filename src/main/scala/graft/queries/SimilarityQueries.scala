@@ -1742,6 +1742,78 @@ object SimilarityQueries {
               |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS accuracy
               |FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — triplet-margin embedding quality: for each probe vector
+    // (vec_id < 50, a bounded query side), the nearest SAME-label
+    // cosine minus the nearest OTHER-label cosine — positive margin
+    // means the embedding separates its class. Per-label aggregate:
+    // mean margin in fixed-point 1e-6 (exact BIGINT accumulation over
+    // the round-6 cosines, order-free) and the separated fraction.
+    // The probe side is bounded and broadcastable; the scan side
+    // reuses the shared prepared frame — never an unbounded cartesian.
+    EngineQuery("q216_triplet_margin",
+      (s, dir) => {
+        val labels = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id").as("lid"), col("label"))
+        val base = preparedShared(s, dir)
+          .join(labels, col("vec_id") === col("lid")).drop("lid")
+        val probes = base.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("label").as("q_label"))
+        val cos = round(Similarity.dot(col("qv"), col("v")) /
+          (col("qnrm") * col("nrm")), 6)
+        val perProbe = broadcast(probes).join(base,
+            col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "q_label")
+          .agg(max(when(col("label") === col("q_label"), cos))
+            .as("best_same"),
+            max(when(col("label") =!= col("q_label"), cos))
+              .as("best_other"))
+          .withColumn("margin_fp",
+            round((col("best_same") - col("best_other")) * 1e6)
+              .cast("long"))
+        perProbe.groupBy(col("q_label").as("label"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(col("margin_fp")).as("margin_fp_sum"),
+            sum(when(col("margin_fp") > 0L, 1L).otherwise(0L))
+              .as("n_separated"))
+          .select(col("label"), col("n_probes"),
+            (col("margin_fp_sum").cast("double") / lit(1.0e6) /
+              col("n_probes").cast("double")).as("mean_margin"),
+            (col("n_separated").cast("double") /
+              col("n_probes").cast("double")).as("separated_frac"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $prepSql,
+              |lbl AS (
+              |  SELECT n.vec_id, n.v, n.nrm, e2.label
+              |  FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+              |probes AS (
+              |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
+              |    label AS q_label
+              |  FROM lbl WHERE vec_id < 50),
+              |per AS (
+              |  SELECT p.q_id, p.q_label,
+              |    MAX(CASE WHEN t.label = p.q_label
+              |      THEN round(list_dot_product(p.qv, t.v)
+              |        / (p.qnrm * t.nrm), 6) END) AS best_same,
+              |    MAX(CASE WHEN t.label <> p.q_label
+              |      THEN round(list_dot_product(p.qv, t.v)
+              |        / (p.qnrm * t.nrm), 6) END) AS best_other
+              |  FROM probes p JOIN lbl t ON t.vec_id <> p.q_id
+              |  GROUP BY 1, 2),
+              |fp AS (
+              |  SELECT q_id, q_label,
+              |    CAST(round((best_same - best_other) * 1000000.0)
+              |      AS BIGINT) AS margin_fp
+              |  FROM per)
+              |SELECT q_label AS label, COUNT(*) AS n_probes,
+              |  CAST(CAST(SUM(margin_fp) AS BIGINT) AS DOUBLE)
+              |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_margin,
+              |  CAST(SUM(CASE WHEN margin_fp > 0 THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS separated_frac
+              |FROM fp GROUP BY 1 ORDER BY label""".stripMargin))
   )
 }

@@ -414,7 +414,12 @@ object StatsQueries {
           .groupBy(col("o_orderdate").cast("date").as("day"))
           .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
             .as("rev"))
+        // the |days|² pair join plans as a broadcast nested loop whose
+        // parallelism is the STREAM side's partition count — AQE
+        // coalesces the tiny daily aggregate to one partition, which
+        // serializes the 2.9M slope evaluations; spread it explicitly
         val a = daily.select(col("day").as("d1"), col("rev").as("r1"))
+          .repartition(32, col("d1"))
         val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
         val pairs = a.join(b, col("d1") < col("d2"))
           .select(col("d1"), col("d2"),
@@ -1020,6 +1025,453 @@ object StatsQueries {
              |    AS BIGINT) AS jsd_q9,
              |  CAST(CAST(SUM(CAST(round(term * 1000000000.0) AS BIGINT))
              |    AS BIGINT) AS DOUBLE) / 1000000000.0 AS jsd_nats
-             |FROM terms""".stripMargin))
+             |FROM terms""".stripMargin)),
+
+    // EXT — Kendall tau-b between daily revenue and daily order count:
+    // the rank-correlation complement of q156 (Pearson) and q202
+    // (Theil-Sen). Concordant/discordant/tie counting runs over the
+    // |days|^2/2 pair frame of the calendar-bounded daily aggregate —
+    // exact integers throughout; tie corrections come from per-value
+    // group sizes; tau closes in one double chain.
+    EngineQuery("q213_kendall_tau",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("rev"), count(lit(1)).as("cnt"))
+        val a = daily.select(col("day").as("d1"), col("rev").as("x1"),
+          col("cnt").as("y1")).repartition(32, col("d1"))
+        val b = daily.select(col("day").as("d2"), col("rev").as("x2"),
+          col("cnt").as("y2"))
+        val sgn = (col("x2") - col("x1")) * (col("y2") - col("y1"))
+        val pairs = a.join(b, col("d1") < col("d2"))
+          .agg(sum(when(sgn > 0, 1L).otherwise(0L)).as("n_conc"),
+            sum(when(sgn < 0, 1L).otherwise(0L)).as("n_disc"),
+            count(lit(1)).as("n_pairs"))
+        val tieX = daily.groupBy("rev").agg(count(lit(1)).as("tc"))
+          .agg(sum(col("tc") * (col("tc") - 1L) / 2L).as("n1"))
+        val tieY = daily.groupBy("cnt").agg(count(lit(1)).as("tc"))
+          .agg(sum(col("tc") * (col("tc") - 1L) / 2L).as("n2"))
+        val j = pairs.crossJoin(broadcast(tieX))
+          .crossJoin(broadcast(tieY))
+        val tau = (col("n_conc") - col("n_disc")).cast("double") /
+          sqrt((col("n_pairs") - col("n1")).cast("double") *
+            (col("n_pairs") - col("n2")).cast("double"))
+        j.select(col("n_pairs"), col("n_conc"), col("n_disc"),
+          col("n1").as("ties_rev"), col("n2").as("ties_cnt"),
+          tau.as("kendall_tau_b"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS rev,
+             |    COUNT(*) AS cnt
+             |  FROM orders GROUP BY 1),
+             |pairs AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN (b.rev - a.rev) * (b.cnt - a.cnt) > 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+             |    CAST(SUM(CASE WHEN (b.rev - a.rev) * (b.cnt - a.cnt) < 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+             |    COUNT(*) AS n_pairs
+             |  FROM daily a JOIN daily b ON a.day < b.day),
+             |tx AS (
+             |  SELECT CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS n1
+             |  FROM (SELECT COUNT(*) AS tc FROM daily GROUP BY rev)),
+             |ty AS (
+             |  SELECT CAST(SUM(tc * (tc - 1) // 2) AS BIGINT) AS n2
+             |  FROM (SELECT COUNT(*) AS tc FROM daily GROUP BY cnt))
+             |SELECT n_pairs, n_conc, n_disc,
+             |  n1 AS ties_rev, n2 AS ties_cnt,
+             |  CAST(n_conc - n_disc AS DOUBLE)
+             |    / sqrt(CAST(n_pairs - n1 AS DOUBLE)
+             |      * CAST(n_pairs - n2 AS DOUBLE)) AS kendall_tau_b
+             |FROM pairs CROSS JOIN tx CROSS JOIN ty""".stripMargin)),
+
+    // EXT — Spearman rank correlation on the same daily pair: average
+    // ranks kept exact as DOUBLED integers (2·avgrank = 2·cum_before +
+    // t + 1), Pearson on ranks from exact Σr, Σr², Σrxry BIGINTs, one
+    // double chain. Ties handled exactly where a naive rank() would
+    // drift.
+    EngineQuery("q214_spearman_rho",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("rev"), count(lit(1)).as("cnt"))
+        def ranks2(vc: String, out: String) = {
+          val grp = daily.groupBy(col(vc)).agg(count(lit(1)).as("t"))
+          val w = Window.orderBy(vc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          grp.withColumn("cumb",
+            coalesce(sum(col("t")).over(w), lit(0L)))
+            .select(col(vc),
+              (col("cumb") * 2L + col("t") + 1L).as(out))
+        }
+        val withR = daily
+          .join(broadcast(ranks2("rev", "rx2")), Seq("rev"))
+          .join(broadcast(ranks2("cnt", "ry2")), Seq("cnt"))
+        val agg = withR.agg(count(lit(1)).as("n"),
+          sum("rx2").as("sx"), sum("ry2").as("sy"),
+          sum(col("rx2") * col("rx2")).as("sxx"),
+          sum(col("ry2") * col("ry2")).as("syy"),
+          sum(col("rx2") * col("ry2")).as("sxy"))
+        val nd = col("n").cast("double")
+        val num = nd * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val den = sqrt(nd * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(nd * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))
+        agg.select(col("n").as("n_days"), (num / den).as("spearman_rho"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS rev,
+             |    COUNT(*) AS cnt
+             |  FROM orders GROUP BY 1),
+             |rx AS (
+             |  SELECT rev,
+             |    CAST(2 * COALESCE(SUM(t) OVER (ORDER BY rev
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + t + 1 AS BIGINT) AS rx2
+             |  FROM (SELECT rev, COUNT(*) AS t FROM daily GROUP BY 1)),
+             |ry AS (
+             |  SELECT cnt,
+             |    CAST(2 * COALESCE(SUM(t) OVER (ORDER BY cnt
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + t + 1 AS BIGINT) AS ry2
+             |  FROM (SELECT cnt, COUNT(*) AS t FROM daily GROUP BY 1)),
+             |j AS (
+             |  SELECT d.day, rx.rx2, ry.ry2
+             |  FROM daily d
+             |  JOIN rx ON rx.rev = d.rev
+             |  JOIN ry ON ry.cnt = d.cnt),
+             |agg AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(rx2) AS BIGINT) AS sx,
+             |    CAST(SUM(ry2) AS BIGINT) AS sy,
+             |    CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             |    CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+             |    CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+             |  FROM j)
+             |SELECT n AS n_days,
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    AS spearman_rho
+             |FROM agg""".stripMargin)),
+
+    // EXT — Bollinger-band breakout days: daily revenue vs its trailing
+    // 20-day mean ± 2σ. Window sums of exact cents (Σx, Σx² BIGINT)
+    // make mean/σ identical doubles in both engines; only full windows
+    // qualify (rn ≥ 20). The volatility-aware twin of q196's fixed
+    // z-score anomaly days.
+    EngineQuery("q215_bollinger_breakouts",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("rev"))
+        val wTrail = Window.orderBy("day").rowsBetween(-20, -1)
+        val wAll = Window.orderBy("day")
+        val frame = daily
+          .withColumn("rn", row_number().over(wAll))
+          .withColumn("sx", sum(col("rev")).over(wTrail))
+          .withColumn("sxx", sum(col("rev") * col("rev")).over(wTrail))
+          .filter(col("rn") > 20)
+        val mean = col("sx").cast("double") / lit(20.0)
+        val varr = (lit(20.0) * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (lit(20.0) * lit(19.0))
+        val upper = mean + lit(2.0) * sqrt(varr)
+        val lower = mean - lit(2.0) * sqrt(varr)
+        frame
+          .withColumn("direction",
+            when(col("rev").cast("double") > upper, lit("UP"))
+              .when(col("rev").cast("double") < lower, lit("DOWN")))
+          .filter(col("direction").isNotNull)
+          .select(col("day"), col("rev"), mean.as("band_mean"),
+            lower.as("band_lo"), upper.as("band_hi"), col("direction"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |frame AS (
+             |  SELECT day, rev,
+             |    row_number() OVER (ORDER BY day) AS rn,
+             |    CAST(SUM(rev) OVER (ORDER BY day
+             |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             |      AS sx,
+             |    CAST(SUM(rev * rev) OVER (ORDER BY day
+             |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             |      AS sxx
+             |  FROM daily),
+             |bands AS (
+             |  SELECT day, rev,
+             |    CAST(sx AS DOUBLE) / 20.0 AS band_mean,
+             |    CAST(sx AS DOUBLE) / 20.0
+             |      - 2.0 * sqrt((20.0 * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        / (20.0 * 19.0)) AS band_lo,
+             |    CAST(sx AS DOUBLE) / 20.0
+             |      + 2.0 * sqrt((20.0 * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        / (20.0 * 19.0)) AS band_hi
+             |  FROM frame WHERE rn > 20)
+             |SELECT day, rev, band_mean, band_lo, band_hi,
+             |  CASE WHEN CAST(rev AS DOUBLE) > band_hi THEN 'UP'
+             |       ELSE 'DOWN' END AS direction
+             |FROM bands
+             |WHERE CAST(rev AS DOUBLE) > band_hi
+             |   OR CAST(rev AS DOUBLE) < band_lo
+             |ORDER BY day""".stripMargin)),
+
+    // EXT — equi-depth histogram (20 buckets) over lineitem price —
+    // the optimizer-statistics surface (CBO selectivity estimation
+    // needs equi-depth bounds, not equi-width). Built WITHOUT a global
+    // row sort: per-VALUE counts cumulate over the |distinct values|
+    // frame and each value lands in bucket cum_before·20/total — all
+    // integer arithmetic, so bucket edges agree exactly. A value never
+    // splits across buckets (histogram semantics for skewed columns).
+    EngineQuery("q217_equidepth_histogram",
+      (s, dir) => {
+        val vals = t(s, dir, "lineitem")
+          .select((money(col("l_extendedprice")) * 100).cast("long")
+            .as("cents"))
+          .groupBy("cents").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = vals.agg(sum("c").as("n_total"))
+        val bucketed = vals
+          .withColumn("cumb", coalesce(sum(col("c")).over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("bucket",
+            least(lit(19L), expr("(cumb * 20) div n_total")))
+        bucketed.groupBy("bucket")
+          .agg(sum("c").as("n_rows"), min("cents").as("lo_cents"),
+            max("cents").as("hi_cents"),
+            count(lit(1)).as("n_distinct"))
+          .orderBy("bucket")
+      },
+      Some("""WITH vals AS (
+             |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS cents,
+             |    COUNT(*) AS c
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vals),
+             |b AS (
+             |  SELECT cents, c,
+             |    least(19, COALESCE(CAST(SUM(c) OVER (ORDER BY cents
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        AS BIGINT), 0) * 20 // n_total) AS bucket
+             |  FROM vals CROSS JOIN tot)
+             |SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_rows,
+             |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+             |  COUNT(*) AS n_distinct
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // EXT — ANALYZE-style column statistics: per tracked orders column
+    // the distinct count, null fraction, and top-5 most-common values
+    // with exact frequencies — what a cost-based optimizer reads before
+    // picking join orders. Values surface as strings so one report row
+    // type covers heterogeneous columns; MCV rank ties break on the
+    // value string (total order, engine-independent).
+    EngineQuery("q218_mcv_stats",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        def statsOf(colName: String): DataFrame = {
+          val vc = orders.select(col(colName).cast("string").as("val"))
+          val counts = vc.groupBy("val").agg(count(lit(1)).as("c"))
+          val tot = counts.agg(sum("c").as("n_total"),
+            count(lit(1)).as("ndv"),
+            sum(when(col("val").isNull, col("c")).otherwise(0L))
+              .as("n_null"))
+          val w = Window.orderBy(col("c").desc, col("val"))
+          counts.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 5)
+            .crossJoin(broadcast(tot))
+            .select(lit(colName).as("column_name"),
+              col("rk").cast("long").as("mcv_rank"), col("val"),
+              col("c").as("freq"), col("ndv"),
+              (col("n_null").cast("double") /
+                col("n_total").cast("double")).as("null_frac"))
+        }
+        statsOf("o_orderpriority")
+          .unionAll(statsOf("o_orderstatus"))
+          .unionAll(statsOf("o_custkey"))
+          .orderBy("column_name", "mcv_rank")
+      },
+      Some("""WITH cols AS (
+             |  SELECT 'o_orderpriority' AS column_name,
+             |    CAST(o_orderpriority AS VARCHAR) AS val FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+             |  FROM orders),
+             |counts AS (
+             |  SELECT column_name, val, COUNT(*) AS c
+             |  FROM cols GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_total,
+             |    COUNT(*) AS ndv,
+             |    CAST(SUM(CASE WHEN val IS NULL THEN c ELSE 0 END)
+             |      AS BIGINT) AS n_null
+             |  FROM counts GROUP BY 1),
+             |ranked AS (
+             |  SELECT column_name, val, c,
+             |    row_number() OVER (PARTITION BY column_name
+             |      ORDER BY c DESC, val) AS rk
+             |  FROM counts)
+             |SELECT r.column_name, CAST(r.rk AS BIGINT) AS mcv_rank,
+             |  r.val, r.c AS freq, t.ndv,
+             |  CAST(t.n_null AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+             |    AS null_frac
+             |FROM ranked r JOIN tot t ON t.column_name = r.column_name
+             |WHERE r.rk <= 5
+             |ORDER BY r.column_name, mcv_rank""".stripMargin)),
+
+    // EXT — Z-order layout audit: interleave 8-bit-scaled (custkey,
+    // order-day) into a 16-bit Morton code, bucket by its top 4 bits,
+    // and report each bucket's per-dimension spans — the "would
+    // Z-ordering make min/max file skipping effective on BOTH
+    // predicates" report a lakehouse layout optimizer runs before
+    // rewriting. Bit interleaving is pure integer shifts (identical in
+    // both engines); scaling uses exact integer ·256/(max+1).
+    EngineQuery("q219_zorder_audit",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("dday"))
+        val mx = o.agg(max("o_custkey").as("max_ck"),
+          max("dday").as("max_dd"))
+        val scaled = o.crossJoin(broadcast(mx))
+          .withColumn("x", expr("(o_custkey * 256) div (max_ck + 1)"))
+          .withColumn("y", expr("(dday * 256) div (max_dd + 1)"))
+        val zTerms = (0 until 8).map { i =>
+          s"(shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1}))"
+        }.mkString(" + ")
+        scaled.withColumn("z", expr(zTerms))
+          .withColumn("z_bucket", expr("z div 4096"))
+          .groupBy("z_bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck2"),
+            min("dday").as("min_day"), max("dday").as("max_day"))
+          .select(col("z_bucket"), col("n_orders"),
+            (col("max_ck2") - col("min_ck") + 1L).as("custkey_span"),
+            (col("max_day") - col("min_day") + 1L).as("day_span"))
+          .orderBy("z_bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey,
+             |    CAST(date_diff('day', DATE '1995-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dday
+             |  FROM orders),
+             |mx AS (
+             |  SELECT MAX(o_custkey) AS max_ck, MAX(dday) AS max_dd
+             |  FROM o),
+             |scaled AS (
+             |  SELECT o_custkey, dday,
+             |    o_custkey * 256 // (max_ck + 1) AS x,
+             |    dday * 256 // (max_dd + 1) AS y
+             |  FROM o CROSS JOIN mx),
+             |z AS (
+             |  SELECT o_custkey, dday,
+             |    ( (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+             |    + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+             |    + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+             |    + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+             |    + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9)
+             |    + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+             |    + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13)
+             |    + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15)
+             |    ) // 4096 AS z_bucket
+             |  FROM scaled)
+             |SELECT z_bucket, COUNT(*) AS n_orders,
+             |  MAX(o_custkey) - MIN(o_custkey) + 1 AS custkey_span,
+             |  MAX(dday) - MIN(dday) + 1 AS day_span
+             |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin)),
+
+    // EXT — deterministic Bloom-filter membership audit (m = 16384
+    // bits, k = 4 sha256 hashes): build the filter over even custkeys,
+    // probe with the disjoint odd custkeys, and measure the observed
+    // false-positive rate against the fill-rate model fill⁴ — the
+    // runtime-filter (Bloom join pruning) engine surface, made
+    // cross-engine exact. Bits live as a distinct-position frame
+    // (≤ k·|members| rows), probes semi-join it; everything integer
+    // until the two final ratios.
+    EngineQuery("q220_bloom_membership",
+      (s, dir) => {
+        val custs = t(s, dir, "orders")
+          .select(col("o_custkey").as("ck")).distinct()
+        def pos(i: Int, c: Column): Column =
+          pmod(sha256PrefixLong(
+            concat(lit(s"bf$i:"), c.cast("string"))), lit(16384L))
+        val members = custs.filter(pmod(col("ck"), lit(2L)) === 0L)
+        val probes = custs.filter(pmod(col("ck"), lit(2L)) === 1L)
+        val hashCols = (0 until 4).map(i => pos(i, col("ck")).as(s"p$i"))
+        val bits = members
+          .select(explode(array(hashCols: _*)).as("bit_pos")).distinct()
+        val probePos = probes
+          .select(col("ck"), explode(array(hashCols: _*)).as("bit_pos"))
+        val hits = probePos.join(bits, Seq("bit_pos"))
+          .groupBy("ck").agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") === 4L)
+        val counts = members.agg(count(lit(1)).as("n_members"))
+          .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+          .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+          .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_false_pos"))))
+        val fill = col("n_bits_set").cast("double") / lit(16384.0)
+        counts.select(col("n_members"), col("n_probes"),
+          col("n_bits_set"), col("n_false_pos"),
+          (col("n_false_pos").cast("double") /
+            col("n_probes").cast("double")).as("observed_fpr"),
+          (fill * fill * fill * fill).as("model_fpr"))
+      },
+      Some("""WITH custs AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+             |members AS (SELECT ck FROM custs WHERE ck % 2 = 0),
+             |probes AS (SELECT ck FROM custs WHERE ck % 2 = 1),
+             |mbits AS (
+             |  SELECT DISTINCT
+             |    CAST('0x' || substr(sha256('bf' || CAST(r.i AS VARCHAR)
+             |      || ':' || CAST(m.ck AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 16384 AS bit_pos
+             |  FROM members m
+             |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r),
+             |ppos AS (
+             |  SELECT p.ck,
+             |    CAST('0x' || substr(sha256('bf' || CAST(r.i AS VARCHAR)
+             |      || ':' || CAST(p.ck AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 16384 AS bit_pos
+             |  FROM probes p
+             |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r),
+             |fp AS (
+             |  SELECT pp.ck FROM ppos pp
+             |  JOIN mbits b ON b.bit_pos = pp.bit_pos
+             |  GROUP BY pp.ck HAVING COUNT(*) = 4),
+             |c AS (
+             |  SELECT
+             |    (SELECT COUNT(*) FROM members) AS n_members,
+             |    (SELECT COUNT(*) FROM probes) AS n_probes,
+             |    (SELECT COUNT(*) FROM mbits) AS n_bits_set,
+             |    (SELECT COUNT(*) FROM fp) AS n_false_pos)
+             |SELECT n_members, n_probes, n_bits_set, n_false_pos,
+             |  CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE)
+             |    AS observed_fpr,
+             |  (CAST(n_bits_set AS DOUBLE) / 16384.0)
+             |    * (CAST(n_bits_set AS DOUBLE) / 16384.0)
+             |    * (CAST(n_bits_set AS DOUBLE) / 16384.0)
+             |    * (CAST(n_bits_set AS DOUBLE) / 16384.0) AS model_fpr
+             |FROM c""".stripMargin))
   )
 }
