@@ -1472,6 +1472,245 @@ object StatsQueries {
              |    * (CAST(n_bits_set AS DOUBLE) / 16384.0)
              |    * (CAST(n_bits_set AS DOUBLE) / 16384.0)
              |    * (CAST(n_bits_set AS DOUBLE) / 16384.0) AS model_fpr
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // EXT — zone-map (min/max) skipping audit: simulate parquet
+    // row-group pruning by bucketing lineitem into ship-month "files",
+    // recording each bucket's l_orderkey min/max zone, and reporting —
+    // for a band of orderkey point-range predicates — how many buckets
+    // the zones would skip. The report a layout optimizer reads next
+    // to q219's Z-order spans before choosing a sort column. All
+    // integer algebra.
+    EngineQuery("q221_zone_map_skipping",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(date_trunc("month", col("l_shipdate"))
+            .cast("date").as("file_month"), col("l_orderkey"))
+        val zones = li.groupBy("file_month")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("zmin"), max("l_orderkey").as("zmax"))
+        val bounds = zones.agg(max("zmax").as("gmax"))
+        // 8 equal-width point-range probes over the key domain
+        val probes = zones.sparkSession.range(8)
+          .select(col("id").as("probe_id"))
+          .crossJoin(broadcast(bounds))
+          .select(col("probe_id"),
+            expr("(probe_id * (gmax + 1)) div 8").as("lo"),
+            expr("((probe_id + 1) * (gmax + 1)) div 8 - 1").as("hi"))
+        probes.crossJoin(zones)
+          .groupBy("probe_id", "lo", "hi")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("zmax") < col("lo") ||
+              col("zmin") > col("hi"), 1L).otherwise(0L))
+              .as("n_skipped"),
+            sum(when(col("zmax") >= col("lo") &&
+              col("zmin") <= col("hi"), col("n_rows")).otherwise(0L))
+              .as("rows_scanned"))
+          .withColumn("skip_frac",
+            col("n_skipped").cast("double") / col("n_files").cast("double"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+             |      AS file_month,
+             |    l_orderkey
+             |  FROM lineitem),
+             |zones AS (
+             |  SELECT file_month, COUNT(*) AS n_rows,
+             |    MIN(l_orderkey) AS zmin, MAX(l_orderkey) AS zmax
+             |  FROM li GROUP BY 1),
+             |bounds AS (SELECT MAX(zmax) AS gmax FROM zones),
+             |probes AS (
+             |  SELECT i AS probe_id,
+             |    i * (gmax + 1) // 8 AS lo,
+             |    (i + 1) * (gmax + 1) // 8 - 1 AS hi
+             |  FROM (SELECT unnest([0,1,2,3,4,5,6,7]) AS i)
+             |  CROSS JOIN bounds)
+             |SELECT p.probe_id, p.lo, p.hi,
+             |  COUNT(*) AS n_files,
+             |  CAST(SUM(CASE WHEN z.zmax < p.lo OR z.zmin > p.hi
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+             |  CAST(SUM(CASE WHEN z.zmax >= p.lo AND z.zmin <= p.hi
+             |    THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+             |  CAST(SUM(CASE WHEN z.zmax < p.lo OR z.zmin > p.hi
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    AS skip_frac
+             |FROM probes p CROSS JOIN zones z
+             |GROUP BY 1, 2, 3 ORDER BY probe_id""".stripMargin)),
+
+    // EXT — incremental view maintenance of the pricing summary (q09):
+    // partial aggregates over the base partition (shipped before
+    // 1998-01-01) MERGE with the delta partition's partials, and the
+    // merged result must equal the full recompute — which is exactly
+    // what the oracle computes. Proves the engine's aggregation state
+    // is mergeable (the property incremental pipelines and streaming
+    // sinks rely on); sums stay exact DECIMAL until the end.
+    EngineQuery("q222_incremental_agg_merge",
+      (s, dir) => {
+        val cut = lit("1998-01-01").cast("timestamp_ntz")
+        def partial(df: DataFrame): DataFrame = df
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(money(col("l_quantity"))).as("p_qty"),
+            sum(money(col("l_extendedprice"))).as("p_price"),
+            count(lit(1)).as("p_n"))
+        val li = t(s, dir, "lineitem")
+        val base = partial(li.filter(col("l_shipdate") < cut))
+        val delta = partial(li.filter(col("l_shipdate") >= cut))
+        base.unionAll(delta)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("p_qty")).cast("double").as("sum_qty"),
+            sum(col("p_price")).cast("double").as("sum_price"),
+            sum(col("p_n")).as("n_rows"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY 1, 2
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // EXT — Mood's median test: does each event type's value
+    // distribution sit above or below the GRAND median more often than
+    // chance? The grand median is a deterministic element pick over
+    // the per-value frame (no interpolation); above/below counts are
+    // exact; the χ² with continuity correction closes in one chain.
+    EngineQuery("q223_mood_median",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), cents.as("v"))
+        val per = ev.groupBy("v").agg(count(lit(1)).as("c"))
+        val tot = per.agg(sum("c").as("n_tot"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val med = per.withColumn("cum", sum(col("c")).over(w))
+          .crossJoin(broadcast(tot))
+          .filter(col("cum") * 2L >= col("n_tot"))
+          .orderBy("v").limit(1)
+          .select(col("v").as("grand_median_cents"))
+        val counts = ev.crossJoin(broadcast(med))
+          .groupBy("event_type", "grand_median_cents")
+          .agg(sum(when(col("v") > col("grand_median_cents"), 1L)
+            .otherwise(0L)).as("n_above"),
+            sum(when(col("v") <= col("grand_median_cents"), 1L)
+              .otherwise(0L)).as("n_at_or_below"))
+        val na = col("n_above").cast("double")
+        val nb = col("n_at_or_below").cast("double")
+        val nn = na + nb
+        val chi = (na - nb) * (na - nb) / nn
+        counts.select(col("event_type"), col("grand_median_cents"),
+            col("n_above"), col("n_at_or_below"),
+            chi.as("chi2_vs_even_split"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, $centsSql AS v FROM events),
+             |per AS (SELECT v, COUNT(*) AS c FROM ev GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM per),
+             |med AS (
+             |  SELECT v AS grand_median_cents FROM (
+             |    SELECT v, CAST(SUM(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |    FROM per) x CROSS JOIN tot
+             |  WHERE cum * 2 >= n_tot
+             |  ORDER BY v LIMIT 1),
+             |counts AS (
+             |  SELECT e.event_type, m.grand_median_cents,
+             |    CAST(SUM(CASE WHEN e.v > m.grand_median_cents
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             |    CAST(SUM(CASE WHEN e.v <= m.grand_median_cents
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_at_or_below
+             |  FROM ev e CROSS JOIN med m
+             |  GROUP BY 1, 2)
+             |SELECT event_type, grand_median_cents, n_above,
+             |  n_at_or_below,
+             |  (CAST(n_above AS DOUBLE) - CAST(n_at_or_below AS DOUBLE))
+             |  * (CAST(n_above AS DOUBLE) - CAST(n_at_or_below AS DOUBLE))
+             |  / (CAST(n_above AS DOUBLE) + CAST(n_at_or_below AS DOUBLE))
+             |    AS chi2_vs_even_split
+             |FROM counts ORDER BY event_type""".stripMargin)),
+
+    // EXT — Brown-Forsythe (median-based Levene) variance-homogeneity
+    // screen: per event type the mean absolute deviation from the
+    // GROUP median — "is segment volatility comparable before pooling".
+    // Group medians are deterministic element picks; |v − med| stays
+    // exact integer cents; only the final MAD ratio is a double.
+    EngineQuery("q224_levene_spread",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), cents.as("v"))
+        val per = ev.groupBy("event_type", "v")
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wPick = Window.partitionBy("event_type").orderBy("v")
+        val groupTot = per.groupBy(col("event_type").as("et"))
+          .agg(sum("c").as("n_g"))
+        val meds = per
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .join(broadcast(groupTot), col("event_type") === col("et"))
+          .filter(col("cum") * 2L >= col("n_g"))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("event_type").as("met"), col("v").as("med"))
+        val dev = ev.join(broadcast(meds), col("event_type") === col("met"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(abs(col("v") - col("med"))).as("abs_dev_sum"),
+            max(col("med")).as("median_cents"))
+        val grand = dev.agg(sum("abs_dev_sum").as("g_dev"),
+          sum("n").as("g_n"))
+        dev.crossJoin(broadcast(grand))
+          .select(col("event_type"), col("n"), col("median_cents"),
+            (col("abs_dev_sum").cast("double") / col("n").cast("double"))
+              .as("mad_cents"),
+            ((col("abs_dev_sum").cast("double") / col("n").cast("double"))
+              / (col("g_dev").cast("double") / col("g_n").cast("double")))
+              .as("spread_vs_pooled"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, $centsSql AS v FROM events),
+             |per AS (
+             |  SELECT event_type, v, COUNT(*) AS c
+             |  FROM ev GROUP BY 1, 2),
+             |gt AS (
+             |  SELECT event_type AS et, CAST(SUM(c) AS BIGINT) AS n_g
+             |  FROM per GROUP BY 1),
+             |meds AS (
+             |  SELECT event_type AS met, v AS med FROM (
+             |    SELECT p.event_type, p.v,
+             |      row_number() OVER (PARTITION BY p.event_type
+             |        ORDER BY p.v) AS rk
+             |    FROM (
+             |      SELECT event_type, v,
+             |        CAST(SUM(c) OVER (PARTITION BY event_type
+             |          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND CURRENT ROW) AS BIGINT) AS cum
+             |      FROM per) p
+             |    JOIN gt ON gt.et = p.event_type
+             |    WHERE p.cum * 2 >= gt.n_g) x
+             |  WHERE rk = 1),
+             |dev AS (
+             |  SELECT e.event_type, COUNT(*) AS n,
+             |    CAST(SUM(abs(e.v - m.med)) AS BIGINT) AS abs_dev_sum,
+             |    MAX(m.med) AS median_cents
+             |  FROM ev e JOIN meds m ON m.met = e.event_type
+             |  GROUP BY 1),
+             |grand AS (
+             |  SELECT CAST(SUM(abs_dev_sum) AS BIGINT) AS g_dev,
+             |    CAST(SUM(n) AS BIGINT) AS g_n
+             |  FROM dev)
+             |SELECT event_type, n, median_cents,
+             |  CAST(abs_dev_sum AS DOUBLE) / CAST(n AS DOUBLE)
+             |    AS mad_cents,
+             |  (CAST(abs_dev_sum AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(g_dev AS DOUBLE) / CAST(g_n AS DOUBLE))
+             |    AS spread_vs_pooled
+             |FROM dev CROSS JOIN grand ORDER BY event_type""".stripMargin))
   )
 }
