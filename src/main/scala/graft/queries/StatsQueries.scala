@@ -1711,6 +1711,227 @@ object StatsQueries {
              |  (CAST(abs_dev_sum AS DOUBLE) / CAST(n AS DOUBLE))
              |    / (CAST(g_dev AS DOUBLE) / CAST(g_n AS DOUBLE))
              |    AS spread_vs_pooled
-             |FROM dev CROSS JOIN grand ORDER BY event_type""".stripMargin))
+             |FROM dev CROSS JOIN grand ORDER BY event_type""".stripMargin)),
+
+    // EXT — small-files compaction planner: ship-month "files" (row
+    // counts from the fact scan) greedily packed into ≥100k-row
+    // compaction bins by cumulative-sum bin assignment — the
+    // deterministic sequential-greedy a table-maintenance service runs
+    // before rewriting a fragmented partition. Pure integer window
+    // algebra over the bounded |months| frame.
+    EngineQuery("q225_compaction_plan",
+      (s, dir) => {
+        val files = t(s, dir, "lineitem")
+          .groupBy(date_trunc("month", col("l_shipdate"))
+            .cast("date").as("file_month"))
+          .agg(count(lit(1)).as("n_rows"))
+        val w = Window.orderBy("file_month")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val binned = files
+          .withColumn("cumb", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+          .withColumn("bin", expr("cumb div 100000"))
+        binned.groupBy("bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum("n_rows").as("bin_rows"),
+            min("file_month").as("from_month"),
+            max("file_month").as("to_month"))
+          .orderBy("bin")
+      },
+      Some("""WITH files AS (
+             |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+             |      AS file_month,
+             |    COUNT(*) AS n_rows
+             |  FROM lineitem GROUP BY 1),
+             |binned AS (
+             |  SELECT file_month, n_rows,
+             |    COALESCE(CAST(SUM(n_rows) OVER (ORDER BY file_month
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) // 100000 AS bin
+             |  FROM files)
+             |SELECT bin, COUNT(*) AS n_files,
+             |  CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+             |  MIN(file_month) AS from_month,
+             |  MAX(file_month) AS to_month
+             |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // EXT — GDPR erasure impact audit: for the 10 heaviest customers,
+    // the cascade footprint a right-to-be-forgotten request touches —
+    // orders, their lineitems, and the revenue those rows carry. The
+    // deletion planner's cost estimate: keyed joins only (orders by
+    // custkey, lineitem semi-joined through the order keys), exact
+    // decimal money, no scan reads more columns than the cascade
+    // needs.
+    EngineQuery("q226_erasure_audit",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            money(col("o_totalprice")).as("tp"))
+        val top = orders.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("ord_val"))
+          .orderBy(col("n_orders").desc, col("o_custkey")).limit(10)
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            (money(col("l_extendedprice")) * 10000).cast("long")
+              .as("li_e4"))
+        val cascade = orders.join(broadcast(top.select("o_custkey")),
+            Seq("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_lineitems"),
+            sum(col("li_e4")).as("li_rev_e4"))
+        top.join(cascade, Seq("o_custkey"))
+          .select(col("o_custkey"), col("n_orders"),
+            col("ord_val").cast("double").as("order_value"),
+            col("n_lineitems"), col("li_rev_e4"))
+          .orderBy(col("n_orders").desc, col("o_custkey"))
+      },
+      Some("""WITH top AS (
+             |  SELECT o_custkey, COUNT(*) AS n_orders,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS order_value
+             |  FROM orders GROUP BY 1
+             |  ORDER BY n_orders DESC, o_custkey LIMIT 10),
+             |cascade AS (
+             |  SELECT o.o_custkey, COUNT(*) AS n_lineitems,
+             |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             |      * 10000 AS BIGINT)) AS BIGINT) AS li_rev_e4
+             |  FROM orders o
+             |  JOIN top t ON t.o_custkey = o.o_custkey
+             |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY 1)
+             |SELECT t.o_custkey, t.n_orders, t.order_value,
+             |  c.n_lineitems, c.li_rev_e4
+             |FROM top t JOIN cascade c ON c.o_custkey = t.o_custkey
+             |ORDER BY t.n_orders DESC, t.o_custkey""".stripMargin)),
+
+    // EXT — sessionization gap sensitivity: how many sessions (and
+    // what mean length) does each inactivity threshold produce? The
+    // q24 session count's derivative wrt its one free parameter — the
+    // sweep an analyst runs before fixing the 30-minute convention.
+    // One lag window per user ordered by (ts, event_id) — a total
+    // order, so boundary gaps classify identically — then exact
+    // per-threshold counting; thresholds explode a 4-row literal.
+    EngineQuery("q227_session_gap_sensitivity",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap_us",
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+        val thresholds = Seq(300L, 900L, 1800L, 3600L)
+        val exploded = gaps.select(col("user_id"), col("gap_us"),
+          explode(array(thresholds.map(lit): _*)).as("gap_limit_s"))
+        exploded.groupBy("gap_limit_s")
+          .agg(
+            sum(when(col("gap_us").isNull ||
+              col("gap_us") > col("gap_limit_s") * 1000000L, 1L)
+              .otherwise(0L)).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .withColumn("mean_session_events",
+            col("n_events").cast("double") / col("n_sessions").cast("double"))
+          .orderBy("gap_limit_s")
+      },
+      Some("""WITH gaps AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             |  FROM events),
+             |ex AS (
+             |  SELECT g.user_id, g.gap_us, t.gap_limit_s
+             |  FROM gaps g
+             |  CROSS JOIN (SELECT CAST(unnest([300, 900, 1800, 3600]) AS BIGINT)
+             |    AS gap_limit_s) t)
+             |SELECT CAST(gap_limit_s AS BIGINT) AS gap_limit_s,
+             |  CAST(SUM(CASE WHEN gap_us IS NULL
+             |      OR gap_us > gap_limit_s * 1000000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             |  COUNT(*) AS n_events,
+             |  CAST(COUNT(*) AS DOUBLE)
+             |    / CAST(SUM(CASE WHEN gap_us IS NULL
+             |        OR gap_us > gap_limit_s * 1000000
+             |      THEN 1 ELSE 0 END) AS DOUBLE) AS mean_session_events
+             |FROM ex GROUP BY 1 ORDER BY gap_limit_s""".stripMargin)),
+
+    // EXT — referential-conformance audit: orphan counts and coverage
+    // for every FK edge of the star schema (lineitem→orders/part/
+    // supplier, orders→customer, customer/supplier→nation) — the
+    // dbt-style relationship test, run as LEFT ANTI joins that shuffle
+    // each fact once on its key. A healthy warehouse reports zeros;
+    // the query proves it.
+    EngineQuery("q228_fk_conformance",
+      (s, dir) => {
+        def edge(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame = {
+          val n = child.agg(count(lit(1)).as("n_child"))
+          val orphans = child.join(parent,
+              child(key) === parent(pkey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          n.crossJoin(orphans)
+            .select(lit(name).as("fk_edge"), col("n_child"),
+              col("n_orphans"),
+              ((col("n_child") - col("n_orphans")).cast("double") /
+                col("n_child").cast("double")).as("coverage"))
+        }
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val su = t(s, dir, "supplier")
+        val p = t(s, dir, "part")
+        val na = t(s, dir, "nation")
+        edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey")
+          .unionAll(edge("lineitem.partkey", li, "l_partkey", p,
+            "p_partkey"))
+          .unionAll(edge("lineitem.suppkey", li, "l_suppkey", su,
+            "s_suppkey"))
+          .unionAll(edge("orders.custkey", o, "o_custkey", c,
+            "c_custkey"))
+          .unionAll(edge("customer.nationkey", c, "c_nationkey", na,
+            "n_nationkey"))
+          .unionAll(edge("supplier.nationkey", su, "s_nationkey", na,
+            "n_nationkey"))
+          .orderBy("fk_edge")
+      },
+      Some("""WITH x AS (
+             |  SELECT 'lineitem.orderkey' AS fk_edge,
+             |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+             |    (SELECT COUNT(*) FROM lineitem l
+             |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+             |  UNION ALL
+             |  SELECT 'lineitem.partkey',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM lineitem l
+             |     WHERE NOT EXISTS (SELECT 1 FROM part p
+             |       WHERE p.p_partkey = l.l_partkey))
+             |  UNION ALL
+             |  SELECT 'lineitem.suppkey',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM lineitem l
+             |     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+             |       WHERE s.s_suppkey = l.l_suppkey))
+             |  UNION ALL
+             |  SELECT 'orders.custkey',
+             |    (SELECT COUNT(*) FROM orders),
+             |    (SELECT COUNT(*) FROM orders o
+             |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |       WHERE c.c_custkey = o.o_custkey))
+             |  UNION ALL
+             |  SELECT 'customer.nationkey',
+             |    (SELECT COUNT(*) FROM customer),
+             |    (SELECT COUNT(*) FROM customer c
+             |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+             |       WHERE n.n_nationkey = c.c_nationkey))
+             |  UNION ALL
+             |  SELECT 'supplier.nationkey',
+             |    (SELECT COUNT(*) FROM supplier),
+             |    (SELECT COUNT(*) FROM supplier s
+             |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+             |       WHERE n.n_nationkey = s.s_nationkey)))
+             |SELECT fk_edge, n_child, n_orphans,
+             |  CAST(n_child - n_orphans AS DOUBLE)
+             |    / CAST(n_child AS DOUBLE) AS coverage
+             |FROM x ORDER BY fk_edge""".stripMargin))
   )
 }
