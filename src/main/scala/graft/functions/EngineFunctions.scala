@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *   deterministic_sample(key, r)   — reference sampling decision (A6)
   *   hash_bucket(key)               — the underlying [0,1] bucket
   *   hex_prefix_long(hex)           — native codegen'd hex prefix parse
+  *   morton_code(x, y)              — 16-bit Z-order interleave (layout keys)
   *
   * All are pure Catalyst expression trees (no UDF barrier): the SQL form
   * plans identically to the DataFrame form.
@@ -32,5 +33,7 @@ object EngineFunctions {
           col(exprs(1)).cast("double")), "scala_udf")
     registry.createOrReplaceTempFunction("hex_prefix_long",
       exprs => HexPrefixToLongExpr(exprs.head, 8), "scala_udf")
+    registry.createOrReplaceTempFunction("morton_code",
+      exprs => MortonCodeExpr(exprs.head, exprs(1), 8), "scala_udf")
   }
 }

@@ -1357,11 +1357,8 @@ object StatsQueries {
         val scaled = o.crossJoin(broadcast(mx))
           .withColumn("x", expr("(o_custkey * 256) div (max_ck + 1)"))
           .withColumn("y", expr("(dday * 256) div (max_dd + 1)"))
-        val zTerms = (0 until 8).map { i =>
-          s"(shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
-            s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1}))"
-        }.mkString(" + ")
-        scaled.withColumn("z", expr(zTerms))
+        scaled.withColumn("z",
+            graft.functions.MortonCode(col("x"), col("y"), bits = 8))
           .withColumn("z_bucket", expr("z div 4096"))
           .groupBy("z_bucket")
           .agg(count(lit(1)).as("n_orders"),
