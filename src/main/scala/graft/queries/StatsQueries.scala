@@ -430,7 +430,7 @@ object StatsQueries {
         val w = Window.orderBy("slope", "d1", "d2")
         pairs.withColumn("rn", row_number().over(w))
           .crossJoin(broadcast(n))
-          .filter(col("rn") === (col("n_pairs") + 1L) / 2L)
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
           .select(col("n_pairs"),
             col("slope").as("theilsen_slope_cents_per_day"))
       },
@@ -1167,22 +1167,30 @@ object StatsQueries {
              |FROM agg""".stripMargin)),
 
     // EXT — Bollinger-band breakout days: daily revenue vs its trailing
-    // 20-day mean ± 2σ. Window sums of exact cents (Σx, Σx² BIGINT)
-    // make mean/σ identical doubles in both engines; only full windows
-    // qualify (rn ≥ 20). The volatility-aware twin of q196's fixed
-    // z-score anomaly days.
+    // 20-day mean ± 2σ. Window sums of exact whole-dollar revenue
+    // (Σx, Σx² BIGINT within the hardware int64→fp64 range — see the
+    // inline note) make mean/σ identical doubles in both engines; only
+    // full windows qualify (rn > 20). The volatility-aware twin of
+    // q196's fixed z-score anomaly days.
     EngineQuery("q215_bollinger_breakouts",
       (s, dir) => {
         val daily = t(s, dir, "orders")
           .groupBy(col("o_orderdate").cast("date").as("day"))
           .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
             .as("rev"))
+          // band math runs on WHOLE-DOLLAR revenue: squares of cents
+          // overflow int64 at sf≥0.1, and the HUGEINT/DECIMAL escape
+          // hatches convert to double through SOFTWARE paths that
+          // round differently per engine — dollars keep every product
+          // inside the correctly-rounded hardware int64→fp64 range
+          .withColumn("rev_usd", expr("rev div 100"))
         val wTrail = Window.orderBy("day").rowsBetween(-20, -1)
         val wAll = Window.orderBy("day")
         val frame = daily
           .withColumn("rn", row_number().over(wAll))
-          .withColumn("sx", sum(col("rev")).over(wTrail))
-          .withColumn("sxx", sum(col("rev") * col("rev")).over(wTrail))
+          .withColumn("sx", sum(col("rev_usd")).over(wTrail))
+          .withColumn("sxx",
+            sum(col("rev_usd") * col("rev_usd")).over(wTrail))
           .filter(col("rn") > 20)
         val mean = col("sx").cast("double") / lit(20.0)
         val varr = (lit(20.0) * col("sxx").cast("double") -
@@ -1192,55 +1200,51 @@ object StatsQueries {
         val lower = mean - lit(2.0) * sqrt(varr)
         frame
           .withColumn("direction",
-            when(col("rev").cast("double") > upper, lit("UP"))
-              .when(col("rev").cast("double") < lower, lit("DOWN")))
+            when(col("rev_usd").cast("double") > upper, lit("UP"))
+              .when(col("rev_usd").cast("double") < lower, lit("DOWN")))
           .filter(col("direction").isNotNull)
-          .select(col("day"), col("rev"), mean.as("band_mean"),
-            lower.as("band_lo"), upper.as("band_hi"), col("direction"))
+          .select(col("day"), col("rev"), mean.as("band_mean_usd"),
+            lower.as("band_lo_usd"), upper.as("band_hi_usd"),
+            col("direction"))
           .orderBy("day")
       },
       Some("""WITH daily AS (
              |  SELECT CAST(o_orderdate AS DATE) AS day,
              |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-             |      AS BIGINT)) AS BIGINT) AS rev
+             |      AS BIGINT)) AS BIGINT) AS rev,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) // 100 AS rev_usd
              |  FROM orders GROUP BY 1),
              |frame AS (
-             |  SELECT day, rev,
+             |  SELECT day, rev, rev_usd,
              |    row_number() OVER (ORDER BY day) AS rn,
-             |    CAST(SUM(rev) OVER (ORDER BY day
+             |    CAST(SUM(rev_usd) OVER (ORDER BY day
              |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
              |      AS sx,
-             |    CAST(SUM(rev * rev) OVER (ORDER BY day
+             |    CAST(SUM(rev_usd * rev_usd) OVER (ORDER BY day
              |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
              |      AS sxx
              |  FROM daily),
              |bands AS (
-             |  SELECT day, rev,
-             |    CAST(sx AS DOUBLE) / 20.0 AS band_mean,
+             |  SELECT day, rev, rev_usd,
+             |    CAST(sx AS DOUBLE) / 20.0 AS band_mean_usd,
              |    CAST(sx AS DOUBLE) / 20.0
              |      - 2.0 * sqrt((20.0 * CAST(sxx AS DOUBLE)
              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             |        / (20.0 * 19.0)) AS band_lo,
+             |        / (20.0 * 19.0)) AS band_lo_usd,
              |    CAST(sx AS DOUBLE) / 20.0
              |      + 2.0 * sqrt((20.0 * CAST(sxx AS DOUBLE)
              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             |        / (20.0 * 19.0)) AS band_hi
+             |        / (20.0 * 19.0)) AS band_hi_usd
              |  FROM frame WHERE rn > 20)
-             |SELECT day, rev, band_mean, band_lo, band_hi,
-             |  CASE WHEN CAST(rev AS DOUBLE) > band_hi THEN 'UP'
+             |SELECT day, rev, band_mean_usd, band_lo_usd, band_hi_usd,
+             |  CASE WHEN CAST(rev_usd AS DOUBLE) > band_hi_usd THEN 'UP'
              |       ELSE 'DOWN' END AS direction
              |FROM bands
-             |WHERE CAST(rev AS DOUBLE) > band_hi
-             |   OR CAST(rev AS DOUBLE) < band_lo
+             |WHERE CAST(rev_usd AS DOUBLE) > band_hi_usd
+             |   OR CAST(rev_usd AS DOUBLE) < band_lo_usd
              |ORDER BY day""".stripMargin)),
 
-    // EXT — equi-depth histogram (20 buckets) over lineitem price —
-    // the optimizer-statistics surface (CBO selectivity estimation
-    // needs equi-depth bounds, not equi-width). Built WITHOUT a global
-    // row sort: per-VALUE counts cumulate over the |distinct values|
-    // frame and each value lands in bucket cum_before·20/total — all
-    // integer arithmetic, so bucket edges agree exactly. A value never
-    // splits across buckets (histogram semantics for skewed columns).
     EngineQuery("q217_equidepth_histogram",
       (s, dir) => {
         val vals = t(s, dir, "lineitem")
