@@ -161,6 +161,161 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(total == nUsers)
   }
 
+  test("q213 Kendall tau-b within [-1,1]; pair accounting consistent") {
+    val r = run("q213_kendall_tau").head
+    val tau = r.getAs[Double]("kendall_tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(r.getAs[Long]("n_conc") + r.getAs[Long]("n_disc") <=
+      r.getAs[Long]("n_pairs"))
+  }
+
+  test("q214 Spearman rho within [-1,1]") {
+    val rho = run("q214_spearman_rho").head.getAs[Double]("spearman_rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("q215 Bollinger: every breakout really sits outside its band") {
+    run("q215_bollinger_breakouts").foreach { r =>
+      val usd = (r.getAs[Long]("rev") / 100L).toDouble
+      val dir = r.getAs[String]("direction")
+      if (dir == "UP") assert(usd > r.getAs[Double]("band_hi_usd"))
+      else assert(usd < r.getAs[Double]("band_lo_usd"))
+    }
+  }
+
+  test("q216 triplet margin: separated fraction in [0,1] per label") {
+    val rows = run("q216_triplet_margin")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("separated_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q217 equi-depth: row counts conserve and bounds nest") {
+    val rows = run("q217_equidepth_histogram")
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val nLi = Tables.table(spark, dir, "lineitem").count()
+    assert(total == nLi)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents")))
+    // consecutive buckets do not overlap
+    val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"))
+      case _ =>
+    }
+  }
+
+  test("q218 MCV: ranks 1..5 descending frequency within each column") {
+    val rows = run("q218_mcv_stats")
+    rows.groupBy(_.getAs[String]("column_name")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("mcv_rank"))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("freq") >= b.getAs[Long]("freq"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q219 z-order buckets conserve order counts") {
+    val total = run("q219_zorder_audit").map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables.table(spark, dir, "orders").count())
+  }
+
+  test("q220 Bloom: disjoint member/probe split and sane rates") {
+    val r = run("q220_bloom_membership").head
+    val nCust = Tables.table(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(r.getAs[Long]("n_members") + r.getAs[Long]("n_probes") == nCust)
+    assert(r.getAs[Double]("observed_fpr") >= 0.0)
+    val m = r.getAs[Double]("model_fpr")
+    assert(m >= 0.0 && m <= 1.0)
+  }
+
+  test("q221 zone maps: scanned rows never exceed the table") {
+    val nLi = Tables.table(spark, dir, "lineitem").count()
+    run("q221_zone_map_skipping").foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") <= nLi)
+      val f = r.getAs[Double]("skip_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q222 incremental merge equals the direct full aggregate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CoreFunctions.money
+    val got = run("q222_incremental_agg_merge")
+      .map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[String]("l_linestatus")) ->
+        (r.getAs[Double]("sum_qty"), r.getAs[Long]("n_rows"))).toMap
+    val direct = Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(money(col("l_quantity"))).cast("double").as("q"),
+        count(lit(1)).as("n")).collect()
+    direct.foreach { r =>
+      val k = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
+      assert(got(k) == ((r.getAs[Double]("q"), r.getAs[Long]("n"))),
+        s"merged aggregate diverges from direct at $k")
+    }
+  }
+
+  test("q223 Mood: above/below counts conserve per type") {
+    val perType = Tables.events(spark, dir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count"))
+      .toMap
+    run("q223_mood_median").foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_above") + r.getAs[Long]("n_at_or_below")
+        == perType(et))
+    }
+  }
+
+  test("q224 spread ratios positive and pooled-normalized") {
+    val rows = run("q224_levene_spread")
+    rows.foreach(r => assert(r.getAs[Double]("mad_cents") >= 0.0))
+    // weighted mean of spread_vs_pooled must be 1 by construction
+    val wsum = rows.map(r => r.getAs[Double]("spread_vs_pooled") *
+      r.getAs[Long]("n")).sum
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(math.abs(wsum / n - 1.0) < 1e-9)
+  }
+
+  test("q225 compaction bins conserve rows") {
+    val total = run("q225_compaction_plan").map(_.getAs[Long]("bin_rows")).sum
+    assert(total == Tables.table(spark, dir, "lineitem").count())
+  }
+
+  test("q226 erasure audit: cascade counts positive for the top-10") {
+    val rows = run("q226_erasure_audit")
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[Long]("n_lineitems") > 0))
+  }
+
+  test("q227 session count is monotone nonincreasing in the gap limit") {
+    val rows = run("q227_session_gap_sensitivity")
+      .sortBy(_.getAs[Long]("gap_limit_s"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_sessions") >= b.getAs[Long]("n_sessions"),
+          "a larger inactivity gap can only merge sessions")
+      case _ =>
+    }
+  }
+
+  test("q228 FK conformance: coverage within [0,1], child counts exact") {
+    val rows = run("q228_fk_conformance")
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("coverage")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("n_orphans") <= r.getAs[Long]("n_child"))
+    }
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
