@@ -1933,6 +1933,196 @@ object StatsQueries {
              |SELECT fk_edge, n_child, n_orphans,
              |  CAST(n_child - n_orphans AS DOUBLE)
              |    / CAST(n_child AS DOUBLE) AS coverage
-             |FROM x ORDER BY fk_edge""".stripMargin))
+             |FROM x ORDER BY fk_edge""".stripMargin)),
+
+    // EXT — bottleneck suppliers (TPC-H Q21 shape, re-targeted at the
+    // available columns): on orders shipped by 2+ suppliers, the
+    // supplier whose line uniquely shipped LAST held the order open.
+    // The classic EXISTS / NOT-EXISTS correlation decorrelates into
+    // per-order window aggregates — max shipdate, distinct-supplier
+    // count, lines-at-max count — one shuffle on l_orderkey, then a
+    // keyed count per supplier and a broadcast nation dimension.
+    EngineQuery("q229_bottleneck_suppliers",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(max("l_shipdate").as("max_ship"),
+            count_distinct(col("l_suppkey")).as("n_supp"))
+        val lines = li.join(perOrder, Seq("l_orderkey"))
+          .filter(col("n_supp") >= 2)
+        val atMax = lines.filter(col("l_shipdate") === col("max_ship"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_at_max"),
+            max(col("l_suppkey")).as("last_supp"))
+          .filter(col("n_at_max") === 1L)
+        val perSupp = atMax.groupBy(col("last_supp").as("s_suppkey"))
+          .agg(count(lit(1)).as("n_blocked_orders"))
+        perSupp
+          .join(t(s, dir, "supplier"), Seq("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("n_name").as("nation"), col("n_blocked_orders"))
+          .orderBy(col("n_blocked_orders").desc, col("s_suppkey"))
+          .limit(25)
+      },
+      Some("""WITH po AS (
+             |  SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+             |    COUNT(DISTINCT l_suppkey) AS n_supp
+             |  FROM lineitem GROUP BY 1),
+             |atmax AS (
+             |  SELECT l.l_orderkey,
+             |    COUNT(*) AS n_at_max,
+             |    MAX(l.l_suppkey) AS last_supp
+             |  FROM lineitem l
+             |  JOIN po ON po.l_orderkey = l.l_orderkey
+             |  WHERE po.n_supp >= 2 AND l.l_shipdate = po.max_ship
+             |  GROUP BY 1
+             |  HAVING COUNT(*) = 1),
+             |ps AS (
+             |  SELECT last_supp AS s_suppkey,
+             |    COUNT(*) AS n_blocked_orders
+             |  FROM atmax GROUP BY 1)
+             |SELECT ps.s_suppkey, s.s_name, n.n_name AS nation,
+             |  ps.n_blocked_orders
+             |FROM ps
+             |JOIN supplier s ON s.s_suppkey = ps.s_suppkey
+             |JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |ORDER BY n_blocked_orders DESC, ps.s_suppkey
+             |LIMIT 25""".stripMargin)),
+
+    // EXT — idle high-balance customers (TPC-H Q22 shape): customers
+    // whose account balance beats the positive-balance average but who
+    // placed no order since 2000-01-01, grouped by nation. The scalar "average"
+    // subquery becomes one broadcast 1-row frame, the "has no orders"
+    // an anti join; the above-average predicate stays EXACT by cross-
+    // multiplying decimals (bal·n > Σbal) instead of comparing to a
+    // rounded mean.
+    EngineQuery("q230_idle_rich_customers",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            money(col("c_acctbal")).as("bal"))
+        val avgF = cust.filter(col("bal") > 0)
+          .agg(sum(col("bal")).as("bal_sum"), count(lit(1)).as("bal_n"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date") >=
+            lit("2000-01-01").cast("date"))
+          .select(col("o_custkey"))
+        val idle = cust.crossJoin(broadcast(avgF))
+          .filter(col("bal") * col("bal_n") > col("bal_sum"))
+          .join(recent, col("c_custkey") === col("o_custkey"),
+            "left_anti")
+        idle
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("bal")).cast("double").as("total_balance"))
+          .orderBy("nation")
+      },
+      Some("""WITH avgf AS (
+             |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             |      AS DECIMAL(18,2)) AS bal_sum,
+             |    COUNT(*) AS bal_n
+             |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0),
+             |idle AS (
+             |  SELECT c.c_custkey, c.c_nationkey,
+             |    CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+             |  FROM customer c CROSS JOIN avgf
+             |  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+             |    AND NOT EXISTS (SELECT 1 FROM orders o
+             |      WHERE o.o_custkey = c.c_custkey
+             |        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'))
+             |SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+             |  CAST(SUM(i.bal) AS DOUBLE) AS total_balance
+             |FROM idle i JOIN nation n ON n.n_nationkey = i.c_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // EXT — fulfillment latency by priority: days from order placement
+    // to the FIRST shipment, per priority class — the SLA panel. One
+    // per-order min-shipdate aggregate joined back to orders; exact
+    // integer day sums; mean closes in one division.
+    EngineQuery("q231_fulfillment_latency",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(min(col("l_shipdate").cast("date")).as("first_ship"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate").cast("date").as("oday"))
+        val lat = o.join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(col("first_ship"), col("oday")).cast("long")
+              .as("lag_days"))
+        lat.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("lag_days").as("lag_sum"),
+            min("lag_days").as("min_days"), max("lag_days").as("max_days"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            (col("lag_sum").cast("double") / col("n_orders").cast("double"))
+              .as("mean_days"),
+            col("min_days"), col("max_days"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH fs AS (
+             |  SELECT l_orderkey,
+             |    MIN(CAST(l_shipdate AS DATE)) AS first_ship
+             |  FROM lineitem GROUP BY 1),
+             |lat AS (
+             |  SELECT o.o_orderpriority,
+             |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+             |      fs.first_ship) AS BIGINT) AS lag_days
+             |  FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey)
+             |SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  CAST(CAST(SUM(lag_days) AS BIGINT) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS mean_days,
+             |  MIN(lag_days) AS min_days, MAX(lag_days) AS max_days
+             |FROM lat GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // EXT — supplier revenue concentration (HHI) per nation: the
+    // antitrust-style Herfindahl index Σ shareᵢ² computed as the exact
+    // integer ratio Σrevᵢ²/ (Σrev)² — whole-dollar revenue keeps every
+    // square inside int64 (see q215's conversion note) and the single
+    // final division makes the doubles engine-identical.
+    EngineQuery("q232_supplier_hhi",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(expr(
+            "sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)) div 100")
+            .as("rev_usd"))
+        val j = rev.join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+        val agg = j.groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("rev_usd")).as("tot_usd"),
+            sum(col("rev_usd") * col("rev_usd")).as("sq_sum"))
+        agg.select(col("nation"), col("n_suppliers"), col("tot_usd"),
+            (col("sq_sum").cast("double") /
+              (col("tot_usd").cast("double") * col("tot_usd").cast("double")))
+              .as("hhi"))
+          .orderBy("nation")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) // 100 AS rev_usd
+             |  FROM lineitem GROUP BY 1),
+             |j AS (
+             |  SELECT n.n_name AS nation, r.rev_usd
+             |  FROM rev r
+             |  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey)
+             |SELECT nation, COUNT(*) AS n_suppliers,
+             |  CAST(SUM(rev_usd) AS BIGINT) AS tot_usd,
+             |  CAST(CAST(SUM(rev_usd * rev_usd) AS BIGINT) AS DOUBLE)
+             |    / (CAST(CAST(SUM(rev_usd) AS BIGINT) AS DOUBLE)
+             |      * CAST(CAST(SUM(rev_usd) AS BIGINT) AS DOUBLE))
+             |    AS hhi
+             |FROM j GROUP BY 1 ORDER BY nation""".stripMargin))
   )
 }
