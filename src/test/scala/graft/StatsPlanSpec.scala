@@ -54,4 +54,44 @@ class StatsPlanSpec extends AnyFunSuite {
     assert(analyzed.contains("windowspecdefinition(shard"),
       s"novelty running sums must shard-partition:\n$analyzed")
   }
+  test("q202/q213 pair joins keep the explicit spread exchange (BNLJ parallelism)") {
+    for (q <- Seq("q202_theilsen_trend", "q213_kendall_tau")) {
+      val plan = executedPlan(q)
+      // the repartition(32, d1) must survive to the physical plan as a
+      // hashpartitioning exchange feeding the nested-loop join -- AQE
+      // coalescing it away would serialize the 2.9M pair evaluations
+      assert(plan.contains("hashpartitioning(d1"),
+        s"$q must spread the pair-join stream side:\n$plan")
+    }
+  }
+
+  test("q199/q200 rank windows partition by event type (no global sort window)") {
+    for (q <- Seq("q199_mannwhitney_u", "q200_ks_cohort")) {
+      val analyzed = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(analyzed.contains("windowspecdefinition(event_type"),
+        s"$q cumulative windows must partition by event_type:\n$analyzed")
+    }
+  }
+
+  test("q216 probe side broadcasts; never a shuffle cartesian") {
+    val plan = executedPlan("q216_triplet_margin")
+    assert(!plan.contains("CartesianProduct"),
+      s"triplet margin must not plan a shuffle cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$plan")
+  }
+
+  test("q228 FK audit plans LEFT ANTI joins, not subquery re-scans per row") {
+    val plan = executedPlan("q228_fk_conformance")
+    assert(plan.contains("LeftAnti"),
+      s"orphan checks must be anti joins:\n$plan")
+  }
+
+  test("q226 erasure cascade pre-limits the customer side before lineitem") {
+    val plan = executedPlan("q226_erasure_audit")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-10 customer frame must broadcast into the cascade:\n$plan")
+  }
 }

@@ -316,6 +316,47 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q229 bottleneck suppliers: blocked counts positive, capped at 25 rows") {
+    val rows = run("q229_bottleneck_suppliers")
+    assert(rows.length <= 25 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_blocked_orders") > 0))
+  }
+
+  test("q230 idle rich customers: every kept customer really has no recent order") {
+    // conservation: total n_customers equals an independent recount
+    import org.apache.spark.sql.functions._
+    val reported = run("q230_idle_rich_customers")
+      .map(_.getAs[Long]("n_customers")).sum
+    val cust = Tables.table(spark, dir, "customer")
+    val bal = col("c_acctbal").cast("decimal(18,2)")
+    val stats = cust.filter(bal > 0)
+      .agg(sum(bal).as("s"), count(lit(1)).as("n")).collect().head
+    val recent = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >=
+        lit("2000-01-01").cast("date")).select("o_custkey")
+    val expect = cust
+      .filter(bal * stats.getAs[Long]("n") > stats.getDecimal(0))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(reported == expect)
+  }
+
+  test("q231 latency: min <= mean <= max per priority") {
+    run("q231_fulfillment_latency").foreach { r =>
+      val m = r.getAs[Double]("mean_days")
+      assert(r.getAs[Long]("min_days") <= m && m <= r.getAs[Long]("max_days"))
+    }
+  }
+
+  test("q232 HHI within [1/n, 1] per nation") {
+    run("q232_supplier_hhi").foreach { r =>
+      val h = r.getAs[Double]("hhi")
+      val n = r.getAs[Long]("n_suppliers").toDouble
+      assert(h >= 1.0 / n - 1e-12 && h <= 1.0 + 1e-12,
+        s"HHI $h outside [1/$n, 1]")
+    }
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
