@@ -426,11 +426,29 @@ object StatsQueries {
             ((col("r2") - col("r1")).cast("double") /
               datediff(col("d2"), col("d1")).cast("double"))
               .as("slope"))
-        val n = pairs.agg(count(lit(1)).as("n_pairs"))
-        val w = Window.orderBy("slope", "d1", "d2")
-        pairs.withColumn("rn", row_number().over(w))
-          .crossJoin(broadcast(n))
-          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        // DISTRIBUTED exact median selection: a global row_number over
+        // 2.9M slopes is one task sorting everything (measured 4 s).
+        // Instead: quantize each slope to an integer bucket (floor —
+        // identical doubles quantize identically), count per bucket,
+        // cumulate over the SMALL bucket frame to find the bucket that
+        // contains the target rank, and rank ONLY inside that bucket.
+        val bucketed = pairs.withColumn("bkt",
+          floor(col("slope") / lit(64.0)).cast("long"))
+        val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
+        val wB = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = counts
+          .withColumn("cum_before", coalesce(sum("c").over(wB), lit(0L)))
+        val n = counts.agg(sum("c").as("n_pairs"))
+        val target = cum.crossJoin(broadcast(n))
+          .filter(col("cum_before") < expr("(n_pairs + 1) div 2") &&
+            expr("(n_pairs + 1) div 2") <= col("cum_before") + col("c"))
+          .select(col("bkt").as("tb"), col("cum_before"), col("n_pairs"))
+        val wIn = Window.partitionBy("bkt").orderBy("slope", "d1", "d2")
+        bucketed.join(broadcast(target), col("bkt") === col("tb"))
+          .withColumn("rn", row_number().over(wIn))
+          .filter(col("rn") ===
+            expr("(n_pairs + 1) div 2 - cum_before"))
           .select(col("n_pairs"),
             col("slope").as("theilsen_slope_cents_per_day"))
       },
@@ -445,15 +463,32 @@ object StatsQueries {
              |      / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
              |      AS slope
              |  FROM daily a JOIN daily b ON a.day < b.day),
-             |n AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+             |b AS (
+             |  SELECT d1, d2, slope,
+             |    CAST(floor(slope / 64.0) AS BIGINT) AS bkt
+             |  FROM pairs),
+             |counts AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY 1),
+             |cum AS (
+             |  SELECT bkt, c,
+             |    COALESCE(CAST(SUM(c) OVER (ORDER BY bkt
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS cum_before
+             |  FROM counts),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs FROM counts),
+             |target AS (
+             |  SELECT cum.bkt AS tb, cum.cum_before, n.n_pairs
+             |  FROM cum CROSS JOIN n
+             |  WHERE cum.cum_before < (n.n_pairs + 1) // 2
+             |    AND (n.n_pairs + 1) // 2 <= cum.cum_before + cum.c),
              |ranked AS (
-             |  SELECT slope, row_number()
-             |      OVER (ORDER BY slope, d1, d2) AS rn
-             |  FROM pairs)
-             |SELECT n.n_pairs,
-             |  r.slope AS theilsen_slope_cents_per_day
-             |FROM ranked r CROSS JOIN n
-             |WHERE r.rn = (n.n_pairs + 1) // 2""".stripMargin)),
+             |  SELECT b.slope, t.n_pairs, t.cum_before,
+             |    row_number() OVER (PARTITION BY b.bkt
+             |      ORDER BY b.slope, b.d1, b.d2) AS rn
+             |  FROM b JOIN target t ON t.tb = b.bkt)
+             |SELECT n_pairs,
+             |  slope AS theilsen_slope_cents_per_day
+             |FROM ranked
+             |WHERE rn = (n_pairs + 1) // 2 - cum_before""".stripMargin)),
 
     // EXT — EWMA revenue smoothing (α = 1/2, 21-day truncated window)
     // with EXACT integer weighting: weight 2^(20−age) in cents·shifts
@@ -1251,11 +1286,25 @@ object StatsQueries {
           .select((money(col("l_extendedprice")) * 100).cast("long")
             .as("cents"))
           .groupBy("cents").agg(count(lit(1)).as("c"))
-        val w = Window.orderBy("cents")
+          // |distinct prices| grows with SF — the cumulative count uses
+          // the sharded-prefix pattern (q86/q167): value-ordered shards
+          // cumulate locally in parallel, and only the |shards|-row
+          // shard-total prefix runs through a single-partition window
+          .withColumn("shard", expr("cents div 2097152"))
+        val wLocal = Window.partitionBy("shard").orderBy("cents")
           .rowsBetween(Window.unboundedPreceding, -1)
+        val shardTot = vals.groupBy(col("shard").as("sh"))
+          .agg(sum("c").as("sc"))
+        val wShard = Window.orderBy("sh")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val shardPrefix = shardTot.withColumn("ps",
+          coalesce(sum("sc").over(wShard), lit(0L)))
         val tot = vals.agg(sum("c").as("n_total"))
         val bucketed = vals
-          .withColumn("cumb", coalesce(sum(col("c")).over(w), lit(0L)))
+          .withColumn("lc", coalesce(sum(col("c")).over(wLocal), lit(0L)))
+          .join(broadcast(shardPrefix.select(col("sh"), col("ps"))),
+            col("shard") === col("sh"))
+          .withColumn("cumb", col("ps") + col("lc"))
           .crossJoin(broadcast(tot))
           .withColumn("bucket",
             least(lit(19L), expr("(cumb * 20) div n_total")))
