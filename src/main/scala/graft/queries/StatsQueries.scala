@@ -421,11 +421,15 @@ object StatsQueries {
         val a = daily.select(col("day").as("d1"), col("rev").as("r1"))
           .repartition(32, col("d1"))
         val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
+        // try_divide: at some plan shapes Catalyst evaluates this
+        // projection alongside the join condition, so the d1=d2 pairs
+        // the condition drops would still hit the ANSI zero check; the
+        // NULL branch never reaches the output (those rows are joined
+        // away), keeping oracle parity exact
         val pairs = a.join(b, col("d1") < col("d2"))
           .select(col("d1"), col("d2"),
-            ((col("r2") - col("r1")).cast("double") /
-              datediff(col("d2"), col("d1")).cast("double"))
-              .as("slope"))
+            expr("try_divide(cast(r2 - r1 as double), " +
+              "cast(datediff(d2, d1) as double))").as("slope"))
         // DISTRIBUTED exact median selection: a global row_number over
         // 2.9M slopes is one task sorting everything (measured 4 s).
         // Instead: quantize each slope to an integer bucket (floor —
