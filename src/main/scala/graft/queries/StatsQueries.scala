@@ -2176,6 +2176,213 @@ object StatsQueries {
              |    / (CAST(CAST(SUM(rev_usd) AS BIGINT) AS DOUBLE)
              |      * CAST(CAST(SUM(rev_usd) AS BIGINT) AS DOUBLE))
              |    AS hhi
-             |FROM j GROUP BY 1 ORDER BY nation""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // EXT — growth accounting: each day's active users split into NEW
+    // (first activity today), RETAINED (also active yesterday) and
+    // RESURRECTED (active before, but not yesterday), plus yesterday's
+    // CHURNED (active yesterday, silent today). One distinct
+    // (user, day) frame, per-user first-day and lag windows partitioned
+    // BY USER, then a day-level rollup — the standard DAU ledger.
+    EngineQuery("q233_growth_accounting",
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val flagged = ud
+          .withColumn("first_day", min(col("day")).over(
+            Window.partitionBy("user_id")))
+          .withColumn("prev_day", lag(col("day"), 1).over(w))
+          .withColumn("next_day", lead(col("day"), 1).over(w))
+        val daily = flagged.groupBy("day").agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") =!= col("first_day") &&
+            col("prev_day") === date_add(col("day"), -1), 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("day") =!= col("first_day") &&
+            (col("prev_day").isNull ||
+              col("prev_day") =!= date_add(col("day"), -1)), 1L)
+            .otherwise(0L)).as("n_resurrected"),
+          sum(when(col("next_day").isNull ||
+            col("next_day") =!= date_add(col("day"), 1), 1L)
+            .otherwise(0L)).as("n_churning_after"))
+        daily
+          .withColumn("dau",
+            col("n_new") + col("n_retained") + col("n_resurrected"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, day,
+             |    MIN(day) OVER (PARTITION BY user_id) AS first_day,
+             |    lag(day) OVER (PARTITION BY user_id ORDER BY day)
+             |      AS prev_day,
+             |    lead(day) OVER (PARTITION BY user_id ORDER BY day)
+             |      AS next_day
+             |  FROM ud)
+             |SELECT day,
+             |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_new,
+             |  CAST(SUM(CASE WHEN day <> first_day
+             |    AND prev_day = day - INTERVAL 1 DAY
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             |  CAST(SUM(CASE WHEN day <> first_day
+             |    AND (prev_day IS NULL
+             |      OR prev_day <> day - INTERVAL 1 DAY)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+             |  CAST(SUM(CASE WHEN next_day IS NULL
+             |    OR next_day <> day + INTERVAL 1 DAY
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churning_after,
+             |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+             |    + SUM(CASE WHEN day <> first_day
+             |        AND prev_day = day - INTERVAL 1 DAY
+             |        THEN 1 ELSE 0 END)
+             |    + SUM(CASE WHEN day <> first_day
+             |        AND (prev_day IS NULL
+             |          OR prev_day <> day - INTERVAL 1 DAY)
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS dau
+             |FROM flagged GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // EXT — stickiness ratios: per day, DAU alongside trailing 7-day
+    // and 28-day distinct actives (WAU/MAU) via a bounded day-offset
+    // self-join over the distinct (user, day) frame — distinct-over-
+    // range windows don't exist, and the 28× bounded fan-out
+    // distributes where a naive per-day COUNT(DISTINCT subquery)
+    // re-scans. DAU/WAU and DAU/MAU close as single divisions.
+    EngineQuery("q234_stickiness",
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val days = ud.select(col("day").as("d")).distinct()
+        val windowed = days.join(ud,
+            datediff(col("d"), col("day")).between(0, 27))
+          .groupBy("d")
+          .agg(
+            count_distinct(when(col("day") === col("d"),
+              col("user_id"))).as("dau"),
+            count_distinct(when(datediff(col("d"), col("day")) <= 6,
+              col("user_id"))).as("wau"),
+            count_distinct(col("user_id")).as("mau"))
+        windowed.select(col("d").as("day"), col("dau"), col("wau"),
+            col("mau"),
+            (col("dau").cast("double") / col("wau").cast("double"))
+              .as("dau_over_wau"),
+            (col("dau").cast("double") / col("mau").cast("double"))
+              .as("dau_over_mau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |days AS (SELECT DISTINCT day AS d FROM ud),
+             |w AS (
+             |  SELECT days.d,
+             |    COUNT(DISTINCT CASE WHEN ud.day = days.d
+             |      THEN ud.user_id END) AS dau,
+             |    COUNT(DISTINCT CASE WHEN date_diff('day', ud.day,
+             |        days.d) <= 6 THEN ud.user_id END) AS wau,
+             |    COUNT(DISTINCT ud.user_id) AS mau
+             |  FROM days JOIN ud
+             |    ON date_diff('day', ud.day, days.d) BETWEEN 0 AND 27
+             |  GROUP BY 1)
+             |SELECT d AS day, dau, wau, mau,
+             |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS dau_over_wau,
+             |  CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS dau_over_mau
+             |FROM w ORDER BY day""".stripMargin)),
+
+    // EXT — power-user curve (the L30 histogram): how many users were
+    // active exactly k days in the observed window. Two keyed
+    // aggregates; the reference's engagement-depth panel.
+    EngineQuery("q235_power_user_curve",
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+          .groupBy("user_id").agg(count(lit(1)).as("days_active"))
+        perUser.groupBy("days_active")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("days_active")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, COUNT(*) AS days_active
+             |  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
+             |    t(user_id, day)
+             |  GROUP BY 1)
+             |SELECT days_active, COUNT(*) AS n_users
+             |FROM pu GROUP BY 1 ORDER BY days_active""".stripMargin)),
+
+    // EXT — cohort lifetime value: users cohorted by first-active
+    // week, cumulative per-user purchase value by week-since-first —
+    // the LTV triangle. Money stays exact DECIMAL through the
+    // cumulative window (partitioned by cohort); one cast at the end.
+    EngineQuery("q236_cohort_ltv",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts").cast("date").as("day"),
+            when(col("event_type") === "purchase", money(col("value")))
+              .otherwise(money(lit(0))).as("v"))
+        val first = ev.groupBy("user_id")
+          .agg(min(col("day")).as("first_day"))
+        val withCo = ev.join(first, Seq("user_id"))
+          .withColumn("cohort_week",
+            expr("datediff(first_day, DATE '2024-01-01') div 7"))
+          .withColumn("week_n",
+            expr("datediff(day, first_day) div 7"))
+        val cell = withCo.groupBy("cohort_week", "week_n")
+          .agg(count_distinct(col("user_id")).as("n_active"),
+            sum(col("v")).as("rev"))
+        val sizes = first
+          .withColumn("cohort_week",
+            expr("datediff(first_day, DATE '2024-01-01') div 7"))
+          .groupBy("cohort_week")
+          .agg(count(lit(1)).as("cohort_size"))
+        val wCum = Window.partitionBy("cohort_week").orderBy("week_n")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cell.join(broadcast(sizes), Seq("cohort_week"))
+          .withColumn("cum_rev", sum(col("rev")).over(wCum))
+          .select(col("cohort_week"), col("week_n"), col("cohort_size"),
+            col("n_active"),
+            (col("cum_rev").cast("double") /
+              col("cohort_size").cast("double")).as("ltv_per_user"))
+          .orderBy("cohort_week", "week_n")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CASE WHEN event_type = 'purchase'
+             |      THEN CAST(value AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END AS v
+             |  FROM events),
+             |fst AS (
+             |  SELECT user_id, MIN(day) AS first_day
+             |  FROM ev GROUP BY 1),
+             |withco AS (
+             |  SELECT e.user_id, e.v,
+             |    date_diff('day', DATE '2024-01-01', f.first_day) // 7
+             |      AS cohort_week,
+             |    date_diff('day', f.first_day, e.day) // 7 AS week_n
+             |  FROM ev e JOIN fst f ON f.user_id = e.user_id),
+             |cell AS (
+             |  SELECT cohort_week, week_n,
+             |    COUNT(DISTINCT user_id) AS n_active,
+             |    SUM(v) AS rev
+             |  FROM withco GROUP BY 1, 2),
+             |sizes AS (
+             |  SELECT date_diff('day', DATE '2024-01-01', first_day) // 7
+             |      AS cohort_week,
+             |    COUNT(*) AS cohort_size
+             |  FROM fst GROUP BY 1)
+             |SELECT c.cohort_week, c.week_n, s.cohort_size, c.n_active,
+             |  CAST(CAST(SUM(c.rev) OVER (PARTITION BY c.cohort_week
+             |      ORDER BY c.week_n
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DECIMAL(28,2)) AS DOUBLE)
+             |    / CAST(s.cohort_size AS DOUBLE) AS ltv_per_user
+             |FROM cell c JOIN sizes s ON s.cohort_week = c.cohort_week
+             |ORDER BY c.cohort_week, week_n""".stripMargin))
   )
 }
