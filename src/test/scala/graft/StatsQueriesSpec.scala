@@ -357,6 +357,56 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q233 growth accounting: new-user total and DAU composition conserve") {
+    val rows = run("q233_growth_accounting")
+    val nUsers = Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nUsers,
+      "every user is NEW exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") == r.getAs[Long]("n_new") +
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+    }
+  }
+
+  test("q234 stickiness: dau <= wau <= mau and ratios in (0,1]") {
+    run("q234_stickiness").foreach { r =>
+      val (d, w, m) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("mau"))
+      assert(d <= w && w <= m)
+      val dw = r.getAs[Double]("dau_over_wau")
+      assert(dw > 0.0 && dw <= 1.0)
+    }
+  }
+
+  test("q235 power-user curve conserves users and activity days") {
+    val rows = run("q235_power_user_curve")
+    val nUsers = Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    val nUserDays = Tables.events(spark, dir)
+      .selectExpr("user_id", "cast(ts as date) as day")
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    assert(rows.map(r => r.getAs[Long]("days_active") *
+      r.getAs[Long]("n_users")).sum == nUserDays)
+  }
+
+  test("q236 cohort LTV nondecreasing within each cohort") {
+    val rows = run("q236_cohort_ltv")
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("week_n"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("ltv_per_user") <=
+            b.getAs[Double]("ltv_per_user") + 1e-9,
+            "cumulative LTV cannot decrease")
+        case _ =>
+      }
+      rs.foreach(r => assert(r.getAs[Long]("n_active") <=
+        r.getAs[Long]("cohort_size")))
+    }
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
