@@ -2383,6 +2383,161 @@ object StatsQueries {
              |    AS DECIMAL(28,2)) AS DOUBLE)
              |    / CAST(s.cohort_size AS DOUBLE) AS ltv_per_user
              |FROM cell c JOIN sizes s ON s.cohort_week = c.cohort_week
-             |ORDER BY c.cohort_week, week_n""".stripMargin))
+             |ORDER BY c.cohort_week, week_n""".stripMargin)),
+
+    // EXT — word-length profile per source: mean/max token length and
+    // lexical size from one tokenize-and-aggregate pass (q34's
+    // single-space convention). Corpus-quality fingerprint that
+    // complements the per-doc quality score (q33) with a per-slice
+    // rollup. Exact integer length sums.
+    EngineQuery("q237_word_length_profile",
+      (s, dir) => {
+        val words = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        words.groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(length(col("w"))).as("len_sum"),
+            max(length(col("w"))).as("max_len"),
+            count_distinct(col("w")).as("vocab"))
+          .select(col("source"), col("n_tokens"),
+            (col("len_sum").cast("double") / col("n_tokens").cast("double"))
+              .as("mean_len"),
+            col("max_len"), col("vocab"),
+            (col("vocab").cast("double") / col("n_tokens").cast("double"))
+              .as("type_token_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH words AS (
+             |  SELECT d.source, w.w
+             |  FROM documents d
+             |  CROSS JOIN unnest(string_split(d.text, ' ')) AS w(w)
+             |  WHERE w.w <> '')
+             |SELECT source, COUNT(*) AS n_tokens,
+             |  CAST(CAST(SUM(length(w)) AS BIGINT) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS mean_len,
+             |  CAST(MAX(length(w)) AS INT) AS max_len,
+             |  COUNT(DISTINCT w) AS vocab,
+             |  CAST(COUNT(DISTINCT w) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
+             |FROM words GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // EXT — template-prefix mining: the top-20 three-token document
+    // prefixes with share — the boilerplate/template detector that
+    // catches "Subject: re:"-style scaffolding before dedup wastes
+    // cycles on it. One projection (no explode) + keyed count.
+    EngineQuery("q238_template_prefixes",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pfx = docs.select(
+          array_join(slice(split(col("text"), " "), 1, 3), " ")
+            .as("prefix3"))
+        val tot = docs.agg(count(lit(1)).as("n_docs"))
+        pfx.groupBy("prefix3").agg(count(lit(1)).as("n_docs_with"))
+          .orderBy(col("n_docs_with").desc, col("prefix3"))
+          .limit(20)
+          .crossJoin(broadcast(tot))
+          .select(col("prefix3"), col("n_docs_with"),
+            (col("n_docs_with").cast("double") /
+              col("n_docs").cast("double")).as("share"))
+          .orderBy(col("n_docs_with").desc, col("prefix3"))
+      },
+      Some("""WITH pfx AS (
+             |  SELECT array_to_string(string_split(text, ' ')[1:3], ' ')
+             |      AS prefix3
+             |  FROM documents),
+             |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |top AS (
+             |  SELECT prefix3, COUNT(*) AS n_docs_with
+             |  FROM pfx GROUP BY 1
+             |  ORDER BY n_docs_with DESC, prefix3 LIMIT 20)
+             |SELECT prefix3, n_docs_with,
+             |  CAST(n_docs_with AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |    AS share
+             |FROM top CROSS JOIN tot
+             |ORDER BY n_docs_with DESC, prefix3""".stripMargin)),
+
+    // EXT — character-class profile per source: alpha / digit / space /
+    // other fractions from regexp counts — the encoding-damage and
+    // machine-generated-text screen. Pure per-row regexp_count (one
+    // fused scan), exact integer sums, ratios at the end.
+    EngineQuery("q239_char_class_profile",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("source"), length(col("text")).as("n"),
+            regexp_count(col("text"), lit("[A-Za-z]")).as("alpha"),
+            regexp_count(col("text"), lit("[0-9]")).as("digit"),
+            regexp_count(col("text"), lit(" ")).as("space"))
+        d.groupBy("source")
+          .agg(sum("n").as("n_chars"), sum("alpha").as("a"),
+            sum("digit").as("dg"), sum("space").as("sp"))
+          .select(col("source"), col("n_chars"),
+            (col("a").cast("double") / col("n_chars").cast("double"))
+              .as("alpha_frac"),
+            (col("dg").cast("double") / col("n_chars").cast("double"))
+              .as("digit_frac"),
+            (col("sp").cast("double") / col("n_chars").cast("double"))
+              .as("space_frac"),
+            ((col("n_chars") - col("a") - col("dg") - col("sp"))
+              .cast("double") / col("n_chars").cast("double"))
+              .as("other_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, length(text) AS n,
+             |    len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+             |    len(regexp_extract_all(text, '[0-9]')) AS digit,
+             |    len(regexp_extract_all(text, ' ')) AS space
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(SUM(n) AS BIGINT) AS n_chars,
+             |  CAST(CAST(SUM(alpha) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS alpha_frac,
+             |  CAST(CAST(SUM(digit) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS digit_frac,
+             |  CAST(CAST(SUM(space) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS space_frac,
+             |  CAST(CAST(SUM(n) AS BIGINT) - CAST(SUM(alpha) AS BIGINT)
+             |      - CAST(SUM(digit) AS BIGINT)
+             |      - CAST(SUM(space) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS other_frac
+             |FROM d GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // EXT — hapax legomena ratio per source: the fraction of each
+    // slice's vocabulary that occurs exactly once — the corpus-level
+    // lexical-richness screen next to q121's per-doc n-gram diversity.
+    // Token counts aggregate once; the hapax rollup reads the counted
+    // frame, never the corpus twice.
+    EngineQuery("q240_hapax_ratio",
+      (s, dir) => {
+        val counts = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        counts.groupBy("source")
+          .agg(count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+            sum("c").as("n_tokens"))
+          .select(col("source"), col("vocab"), col("hapax"),
+            col("n_tokens"),
+            (col("hapax").cast("double") / col("vocab").cast("double"))
+              .as("hapax_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+             |  SELECT d.source, w.w, COUNT(*) AS c
+             |  FROM documents d
+             |  CROSS JOIN unnest(string_split(d.text, ' ')) AS w(w)
+             |  WHERE w.w <> ''
+             |  GROUP BY 1, 2)
+             |SELECT source, COUNT(*) AS vocab,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS hapax,
+             |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+             |FROM counts GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }
