@@ -2538,6 +2538,209 @@ object StatsQueries {
              |  CAST(SUM(c) AS BIGINT) AS n_tokens,
              |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
-             |FROM counts GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM counts GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // EXT — 2-D skyline (Pareto frontier): customers not dominated on
+    // (account balance, order count) — the classic multi-criteria
+    // operator missing from plain SQL engines. Computed WITHOUT an
+    // all-pairs dominance join: sort one dimension descending, keep
+    // rows that strictly beat the running maximum of the other —
+    // equivalent to the frontier for the strict-dominance definition.
+    // The running max runs over the per-balance-bucket sharded frame
+    // (q217 pattern) so no task sorts every customer.
+    EngineQuery("q241_skyline_customers",
+      (s, dir) => {
+        val perCust = t(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"),
+            (money(col("c_acctbal")) * 100).cast("long").as("bal100"))
+          .join(perCust, col("c_custkey") === col("o_custkey"))
+        // frontier = rows where no other row has (bal >=, orders >=,
+        // one strict). With ties broken toward keeping the smaller
+        // custkey, scan balances descending and keep strict improvers
+        // on n_orders; equal-balance groups keep only their best
+        // n_orders (then min custkey).
+        val best = c.groupBy("bal100")
+          .agg(max("n_orders").as("n_orders"))
+        val wCum = Window.orderBy(col("bal100").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sky = best
+          .withColumn("prior_max",
+            coalesce(max(col("n_orders")).over(wCum), lit(-1L)))
+          .filter(col("n_orders") > col("prior_max"))
+        sky.join(c, Seq("bal100", "n_orders"))
+          .groupBy("bal100", "n_orders")
+          .agg(min("c_custkey").as("custkey"))
+          .select(col("custkey"), col("bal100"), col("n_orders"))
+          .orderBy(col("bal100").desc)
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey, COUNT(*) AS n_orders
+             |  FROM orders GROUP BY 1),
+             |c AS (
+             |  SELECT cu.c_custkey,
+             |    CAST(CAST(cu.c_acctbal AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS bal100,
+             |    pc.n_orders
+             |  FROM customer cu JOIN pc ON pc.o_custkey = cu.c_custkey),
+             |best AS (
+             |  SELECT bal100, CAST(MAX(n_orders) AS BIGINT) AS n_orders
+             |  FROM c GROUP BY 1),
+             |sky AS (
+             |  SELECT bal100, n_orders FROM (
+             |    SELECT bal100, n_orders,
+             |      COALESCE(CAST(MAX(n_orders) OVER (
+             |        ORDER BY bal100 DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        AS BIGINT), -1) AS prior_max
+             |    FROM best) x
+             |  WHERE n_orders > prior_max)
+             |SELECT MIN(c.c_custkey) AS custkey, s.bal100, s.n_orders
+             |FROM sky s
+             |JOIN c ON c.bal100 = s.bal100 AND c.n_orders = s.n_orders
+             |GROUP BY 2, 3
+             |ORDER BY s.bal100 DESC""".stripMargin)),
+
+    // EXT — mutual information between event type and day-of-week, in
+    // nats: the information-theoretic twin of q194's χ² — how many
+    // bits the weekday actually tells you about the mix. Exact joint /
+    // marginal counts; each cell's p·ln(p/(px·py)) term is an
+    // identical double, accumulated in 1e-9 fixed point (the q212
+    // convention) so summation order cannot split the gate.
+    EngineQuery("q242_mutual_information",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .select(col("event_type"),
+            (dayofweek(col("ts").cast("date")) - 1).cast("long")
+              .as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("nxy"))
+        val rowT = cells.groupBy("event_type").agg(sum("nxy").as("nx"))
+        val colT = cells.groupBy("dow").agg(sum("nxy").as("ny"))
+        val tot = cells.agg(sum("nxy").as("n"))
+        val p = col("nxy").cast("double") / col("n").cast("double")
+        val px = col("nx").cast("double") / col("n").cast("double")
+        val py = col("ny").cast("double") / col("n").cast("double")
+        val term = p * log(p / (px * py))
+        val termQ = round(term * lit(1.0e9)).cast("long")
+        cells.join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "dow")
+          .crossJoin(broadcast(tot))
+          .agg(max(col("n")).as("n_events"),
+            sum(termQ).as("mi_q9"))
+          .select(col("n_events"), col("mi_q9"),
+            (col("mi_q9").cast("double") / lit(1.0e9)).as("mi_nats"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             |    COUNT(*) AS nxy
+             |  FROM events GROUP BY 1, 2),
+             |rt AS (SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx
+             |       FROM cells GROUP BY 1),
+             |ct AS (SELECT dow, CAST(SUM(nxy) AS BIGINT) AS ny
+             |       FROM cells GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+             |terms AS (
+             |  SELECT tt.n,
+             |    (CAST(c.nxy AS DOUBLE) / CAST(tt.n AS DOUBLE))
+             |    * ln((CAST(c.nxy AS DOUBLE) / CAST(tt.n AS DOUBLE))
+             |      / ((CAST(rt.nx AS DOUBLE) / CAST(tt.n AS DOUBLE))
+             |        * (CAST(ct.ny AS DOUBLE) / CAST(tt.n AS DOUBLE))))
+             |      AS term
+             |  FROM cells c
+             |  JOIN rt ON rt.event_type = c.event_type
+             |  JOIN ct ON ct.dow = c.dow
+             |  CROSS JOIN tt)
+             |SELECT MAX(n) AS n_events,
+             |  CAST(SUM(CAST(round(term * 1000000000.0) AS BIGINT))
+             |    AS BIGINT) AS mi_q9,
+             |  CAST(CAST(SUM(CAST(round(term * 1000000000.0) AS BIGINT))
+             |    AS BIGINT) AS DOUBLE) / 1000000000.0 AS mi_nats
+             |FROM terms""".stripMargin)),
+
+    // EXT — one-way ANOVA variance decomposition: how much of the
+    // event-value variance lives BETWEEN types vs WITHIN them (η² and
+    // the F statistic). Sufficient statistics per group are exact
+    // (n, Σcents, Σcents² — dollars for the squares, q215's int64
+    // rule); SSB/SSW and F close in one fixed double chain.
+    EngineQuery("q243_anova_eta2",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)" +
+              " div 100").as("usd"))
+        val per = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("ng"), sum("usd").as("sg"),
+            sum(col("usd") * col("usd")).as("ssg"))
+        val k = per.agg(count(lit(1)).as("n_groups"),
+          sum("ng").as("n"), sum("sg").as("st"), sum("ssg").as("sst"))
+        val j = per.crossJoin(broadcast(k))
+        // SSB = Σ ng·(mg − m)² accumulated in 1e-6 fixed point per
+        // group (identical doubles, order-free integer sum)
+        val mg = col("sg").cast("double") / col("ng").cast("double")
+        val m = col("st").cast("double") / col("n").cast("double")
+        val ssbTermQ = round(col("ng").cast("double") *
+          (mg - m) * (mg - m) * lit(1.0e6)).cast("long")
+        val agg = j.groupBy("n_groups", "n", "st", "sst")
+          .agg(sum(ssbTermQ).as("ssb_q6"))
+        val ssb = col("ssb_q6").cast("double") / lit(1.0e6)
+        val sstot = col("sst").cast("double") -
+          col("st").cast("double") * col("st").cast("double") /
+            col("n").cast("double")
+        val ssw = sstot - ssb
+        val dfb = (col("n_groups") - 1L).cast("double")
+        val dfw = (col("n") - col("n_groups")).cast("double")
+        agg.select(col("n_groups"), col("n").as("n_events"),
+          ssb.as("ss_between"), ssw.as("ss_within"),
+          (ssb / sstot).as("eta2"),
+          ((ssb / dfb) / (ssw / dfw)).as("f_stat"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // 100 AS usd
+             |  FROM events),
+             |per AS (
+             |  SELECT event_type, COUNT(*) AS ng,
+             |    CAST(SUM(usd) AS BIGINT) AS sg,
+             |    CAST(SUM(usd * usd) AS BIGINT) AS ssg
+             |  FROM ev GROUP BY 1),
+             |k AS (
+             |  SELECT COUNT(*) AS n_groups, CAST(SUM(ng) AS BIGINT) AS n,
+             |    CAST(SUM(sg) AS BIGINT) AS st,
+             |    CAST(SUM(ssg) AS BIGINT) AS sst
+             |  FROM per),
+             |terms AS (
+             |  SELECT k.n_groups, k.n, k.st, k.sst,
+             |    CAST(round(CAST(p.ng AS DOUBLE)
+             |      * (CAST(p.sg AS DOUBLE) / CAST(p.ng AS DOUBLE)
+             |        - CAST(k.st AS DOUBLE) / CAST(k.n AS DOUBLE))
+             |      * (CAST(p.sg AS DOUBLE) / CAST(p.ng AS DOUBLE)
+             |        - CAST(k.st AS DOUBLE) / CAST(k.n AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS ssb_term_q6
+             |  FROM per p CROSS JOIN k),
+             |agg AS (
+             |  SELECT n_groups, n, st, sst,
+             |    CAST(SUM(ssb_term_q6) AS BIGINT) AS ssb_q6
+             |  FROM terms GROUP BY 1, 2, 3, 4)
+             |SELECT n_groups, n AS n_events,
+             |  CAST(ssb_q6 AS DOUBLE) / 1000000.0 AS ss_between,
+             |  (CAST(sst AS DOUBLE)
+             |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             |      / CAST(n AS DOUBLE))
+             |  - CAST(ssb_q6 AS DOUBLE) / 1000000.0 AS ss_within,
+             |  (CAST(ssb_q6 AS DOUBLE) / 1000000.0)
+             |  / (CAST(sst AS DOUBLE)
+             |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS eta2,
+             |  ((CAST(ssb_q6 AS DOUBLE) / 1000000.0)
+             |    / CAST(n_groups - 1 AS DOUBLE))
+             |  / (((CAST(sst AS DOUBLE)
+             |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             |        / CAST(n AS DOUBLE))
+             |    - CAST(ssb_q6 AS DOUBLE) / 1000000.0)
+             |    / CAST(n - n_groups AS DOUBLE)) AS f_stat
+             |FROM agg""".stripMargin))
   )
 }
