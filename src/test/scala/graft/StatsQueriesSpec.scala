@@ -407,6 +407,62 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q237 word-length profile: TTR in (0,1], token counts conserve") {
+    val rows = run("q237_word_length_profile")
+    rows.foreach { r =>
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(r.getAs[Double]("mean_len") <= r.getAs[Int]("max_len"))
+    }
+  }
+
+  test("q238 template prefixes: shares in (0,1], descending frequencies") {
+    val rows = run("q238_template_prefixes")
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_docs_with") >= b.getAs[Long]("n_docs_with"))
+      case _ =>
+    }
+  }
+
+  test("q239 char classes: fractions partition to exactly 1 per source") {
+    run("q239_char_class_profile").foreach { r =>
+      val total = r.getAs[Double]("alpha_frac") +
+        r.getAs[Double]("digit_frac") + r.getAs[Double]("space_frac") +
+        r.getAs[Double]("other_frac")
+      assert(math.abs(total - 1.0) < 1e-9)
+    }
+  }
+
+  test("q240 hapax: hapax <= vocab <= tokens") {
+    run("q240_hapax_ratio").foreach { r =>
+      assert(r.getAs[Long]("hapax") <= r.getAs[Long]("vocab"))
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("q241 skyline: no frontier point dominates another") {
+    val rows = run("q241_skyline_customers")
+      .map(r => (r.getAs[Long]("bal100"), r.getAs[Long]("n_orders")))
+    for (a <- rows; b <- rows if a != b)
+      assert(!(a._1 >= b._1 && a._2 >= b._2),
+        s"$a dominates $b — not a frontier")
+  }
+
+  test("q242 mutual information nonnegative (within fixed-point quantum)") {
+    val mi = run("q242_mutual_information").head.getAs[Double]("mi_nats")
+    assert(mi >= -1e-6, s"MI $mi negative beyond quantization")
+  }
+
+  test("q243 ANOVA: eta2 in [0,1] and SS components nonnegative") {
+    val r = run("q243_anova_eta2").head
+    val e = r.getAs[Double]("eta2")
+    assert(e >= 0.0 && e <= 1.0)
+    assert(r.getAs[Double]("ss_between") >= 0.0)
+    assert(r.getAs[Double]("ss_within") >= -1e-6)
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
