@@ -1294,7 +1294,7 @@ object StatsQueries {
           // the sharded-prefix pattern (q86/q167): value-ordered shards
           // cumulate locally in parallel, and only the |shards|-row
           // shard-total prefix runs through a single-partition window
-          .withColumn("shard", expr("cents div 2097152"))
+          .withColumn("shard", expr("cents div 131072"))
         val wLocal = Window.partitionBy("shard").orderBy("cents")
           .rowsBetween(Window.unboundedPreceding, -1)
         val shardTot = vals.groupBy(col("shard").as("sh"))
