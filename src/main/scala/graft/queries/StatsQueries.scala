@@ -2741,6 +2741,163 @@ object StatsQueries {
              |        / CAST(n AS DOUBLE))
              |    - CAST(ssb_q6 AS DOUBLE) / 1000000.0)
              |    / CAST(n - n_groups AS DOUBLE)) AS f_stat
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // EXT — duplicate-invoice screen: order pairs from the same
+    // customer whose totals land in the same $100 band within 90 days
+    // — the finance double-charge audit. Blocking on the exact
+    // (custkey, band) key keeps the self-join keyed (never all pairs);
+    // the day-window filter prunes inside each block. Band blocking is
+    // the declared semantics: exact-equal continuous totals never
+    // collide, near-equal ones are exactly what the screen hunts.
+    EngineQuery("q244_duplicate_invoices",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100" +
+              " as bigint) div 10000").as("band"),
+            col("o_orderdate").cast("date").as("day"))
+        val a = o.select(col("o_custkey"), col("band"),
+          col("o_orderkey").as("k1"), col("day").as("d1"))
+        val b = o.select(col("o_custkey"), col("band"),
+          col("o_orderkey").as("k2"), col("day").as("d2"))
+        a.join(b, Seq("o_custkey", "band"))
+          .filter(col("k1") < col("k2") &&
+            abs(datediff(col("d2"), col("d1"))) <= 90)
+          .select(col("o_custkey"), col("band"), col("k1"), col("k2"),
+            col("d1"), col("d2"),
+            abs(datediff(col("d2"), col("d1"))).cast("long")
+              .as("days_apart"))
+          .orderBy("o_custkey", "k1", "k2")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) // 10000 AS band,
+             |    CAST(o_orderdate AS DATE) AS day
+             |  FROM orders)
+             |SELECT a.o_custkey, a.band,
+             |  a.o_orderkey AS k1, b.o_orderkey AS k2,
+             |  a.day AS d1, b.day AS d2,
+             |  CAST(abs(date_diff('day', a.day, b.day)) AS BIGINT)
+             |    AS days_apart
+             |FROM o a
+             |JOIN o b ON b.o_custkey = a.o_custkey
+             |  AND b.band = a.band AND a.o_orderkey < b.o_orderkey
+             |WHERE abs(date_diff('day', a.day, b.day)) <= 90
+             |ORDER BY a.o_custkey, k1, k2""".stripMargin)),
+
+    // EXT — price-consistency audit: the 20 parts whose lineitem
+    // unit-ish price (extendedprice/quantity kept as an exact integer
+    // ratio comparison) spreads widest across the fact table — the
+    // master-data-quality screen. Spread ordering is decided on the
+    // exact cross-multiplied integer ratio max·q_min vs min·q_max, so
+    // the top-20 cut is engine-stable.
+    EngineQuery("q245_price_spread_audit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (money(col("l_extendedprice")) * 100).cast("long").as("e"),
+            (money(col("l_quantity")) * 100).cast("long").as("q"))
+          .filter(col("q") > 0)
+        val per = li
+          .withColumn("unit_micents", expr("(e * 10000) div q"))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_lines"),
+            min("unit_micents").as("min_unit"),
+            max("unit_micents").as("max_unit"))
+          .filter(col("n_lines") >= 2)
+        per
+          .withColumn("spread_ratio",
+            col("max_unit").cast("double") / col("min_unit").cast("double"))
+          .orderBy(col("spread_ratio").desc, col("l_partkey"))
+          .limit(20)
+          .select(col("l_partkey"), col("n_lines"), col("min_unit"),
+            col("max_unit"), col("spread_ratio"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS e,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS q
+             |  FROM lineitem
+             |  WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |    AS BIGINT) > 0),
+             |per AS (
+             |  SELECT l_partkey, COUNT(*) AS n_lines,
+             |    MIN((e * 10000) // q) AS min_unit,
+             |    MAX((e * 10000) // q) AS max_unit
+             |  FROM li GROUP BY 1
+             |  HAVING COUNT(*) >= 2)
+             |SELECT l_partkey, n_lines, min_unit, max_unit,
+             |  CAST(max_unit AS DOUBLE) / CAST(min_unit AS DOUBLE)
+             |    AS spread_ratio
+             |FROM per
+             |ORDER BY spread_ratio DESC, l_partkey
+             |LIMIT 20""".stripMargin)),
+
+    // EXT — weighted median order value per priority, weighted by line
+    // count: the "typical order as a customer experiences it" — heavy
+    // orders count more. Weighted median = the exact value where the
+    // cumulative weight crosses half the total, picked on integers
+    // (cum·2 ≥ tot) — q91's element-pick discipline with weights.
+    EngineQuery("q246_weighted_median",
+      (s, dir) => {
+        val lineCnt = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("w"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .join(lineCnt, col("o_orderkey") === col("l_orderkey"))
+        val per = o.groupBy("o_orderpriority", "cents")
+          .agg(sum("w").as("w"))
+        val wCum = Window.partitionBy("o_orderpriority").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = per.groupBy(col("o_orderpriority").as("p"))
+          .agg(sum("w").as("tot_w"))
+        val picked = per
+          .withColumn("cum_w", sum(col("w")).over(wCum))
+          .join(broadcast(tot), col("o_orderpriority") === col("p"))
+          .filter(col("cum_w") * 2L >= col("tot_w"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("cents")))
+          .filter(col("rk") === 1)
+        picked.select(col("o_orderpriority"), col("tot_w"),
+            col("cents").as("weighted_median_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH lc AS (
+             |  SELECT l_orderkey, COUNT(*) AS w
+             |  FROM lineitem GROUP BY 1),
+             |o AS (
+             |  SELECT ord.o_orderpriority,
+             |    CAST(CAST(ord.o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS cents,
+             |    lc.w
+             |  FROM orders ord JOIN lc ON lc.l_orderkey = ord.o_orderkey),
+             |per AS (
+             |  SELECT o_orderpriority, cents, CAST(SUM(w) AS BIGINT) AS w
+             |  FROM o GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT o_orderpriority AS p, CAST(SUM(w) AS BIGINT)
+             |    AS tot_w
+             |  FROM per GROUP BY 1),
+             |cum AS (
+             |  SELECT per.o_orderpriority, per.cents, t.tot_w,
+             |    CAST(SUM(per.w) OVER (PARTITION BY per.o_orderpriority
+             |      ORDER BY per.cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_w
+             |  FROM per JOIN tot t ON t.p = per.o_orderpriority),
+             |picked AS (
+             |  SELECT o_orderpriority, tot_w, cents,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY cents) AS rk
+             |  FROM cum WHERE cum_w * 2 >= tot_w)
+             |SELECT o_orderpriority, tot_w,
+             |  cents AS weighted_median_cents
+             |FROM picked WHERE rk = 1
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }
