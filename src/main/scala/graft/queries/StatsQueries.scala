@@ -2744,7 +2744,7 @@ object StatsQueries {
              |FROM agg""".stripMargin)),
 
     // EXT — duplicate-invoice screen: order pairs from the same
-    // customer whose totals land in the same $100 band within 90 days
+    // customer whose totals land in the same $10k band within 90 days
     // — the finance double-charge audit. Blocking on the exact
     // (custkey, band) key keeps the self-join keyed (never all pairs);
     // the day-window filter prunes inside each block. Band blocking is
@@ -2755,7 +2755,7 @@ object StatsQueries {
         val o = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             expr("cast(cast(o_totalprice as decimal(18,2)) * 100" +
-              " as bigint) div 10000").as("band"),
+              " as bigint) div 1000000").as("band"),
             col("o_orderdate").cast("date").as("day"))
         val a = o.select(col("o_custkey"), col("band"),
           col("o_orderkey").as("k1"), col("day").as("d1"))
@@ -2773,7 +2773,7 @@ object StatsQueries {
       Some("""WITH o AS (
              |  SELECT o_orderkey, o_custkey,
              |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-             |      AS BIGINT) // 10000 AS band,
+             |      AS BIGINT) // 1000000 AS band,
              |    CAST(o_orderdate AS DATE) AS day
              |  FROM orders)
              |SELECT a.o_custkey, a.band,

@@ -463,6 +463,39 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ss_within") >= -1e-6)
   }
 
+  test("q244 duplicate invoices: pairs ordered, banded, within window") {
+    run("q244_duplicate_invoices").foreach { r =>
+      assert(r.getAs[Long]("k1") < r.getAs[Long]("k2"))
+      assert(r.getAs[Long]("days_apart") <= 90)
+    }
+  }
+
+  test("q245 price spread: ratios >= 1 and bounds ordered") {
+    val rows = run("q245_price_spread_audit")
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_unit") <= r.getAs[Long]("max_unit"))
+      assert(r.getAs[Double]("spread_ratio") >= 1.0)
+    }
+  }
+
+  test("q246 weighted median sits inside the per-priority value range") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CoreFunctions.money
+    val bounds = Tables.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(min((money(col("o_totalprice")) * 100).cast("long")).as("lo"),
+        max((money(col("o_totalprice")) * 100).cast("long")).as("hi"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    run("q246_weighted_median").foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("o_orderpriority"))
+      val m = r.getAs[Long]("weighted_median_cents")
+      assert(m >= lo && m <= hi)
+    }
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
