@@ -2898,6 +2898,219 @@ object StatsQueries {
              |SELECT o_orderpriority, tot_w,
              |  cents AS weighted_median_cents
              |FROM picked WHERE rk = 1
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // EXT — binary-segmentation changepoint: the split day of the
+    // daily-revenue series that maximizes the between-segment sum of
+    // squares — CUSUM's (q166) model-based sibling. Prefix sums give
+    // every candidate split's SSB from exact integers (whole-kUSD
+    // series — int64-safe at every SF); the argmax is decided on the
+    // unit-quantized SSB (identical doubles rounded, ties → earliest
+    // day), so both engines pick the same split.
+    EngineQuery("q247_binary_segmentation",
+      (s, dir) => {
+        // series in exact whole kUSD: SSB terms then stay inside the
+        // correctly-rounded int64 fixed-point range at every SF
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr("sum(cast(cast(o_totalprice as decimal(18,2)) * 100" +
+            " as bigint)) div 100000").as("rev"))
+        val wOrd = Window.orderBy("day")
+        val tot = daily.agg(count(lit(1)).as("n"), sum("rev").as("st"))
+        val pre = daily
+          .withColumn("i", row_number().over(wOrd))
+          .withColumn("s1", sum(col("rev")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(tot))
+          .filter(col("i") < col("n"))
+        val i = col("i").cast("double")
+        val nd = col("n").cast("double")
+        val m = col("st").cast("double") / nd
+        val m1 = col("s1").cast("double") / i
+        // try_divide: the i<n filter can co-evaluate with this
+        // projection (the q202 lesson); the NULL branch never survives
+        val m2 = expr("try_divide(cast(st - s1 as double), " +
+          "cast(n - i as double))")
+        val ssb = i * (m1 - m) * (m1 - m) + (nd - i) * (m2 - m) * (m2 - m)
+        val scored = pre.withColumn("ssb_q",
+          round(ssb).cast("long"))
+        val best = scored.agg(max("ssb_q").as("best_q"))
+        scored.crossJoin(broadcast(best))
+          .filter(col("ssb_q") === col("best_q"))
+          .orderBy("day").limit(1)
+          .select(col("day").as("split_after_day"), col("i").as("n_left"),
+            (col("n") - col("i")).as("n_right"),
+            m1.as("mean_left_kusd"), m2.as("mean_right_kusd"),
+            col("ssb_q").cast("double").as("ss_between_q"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) // 100000 AS rev
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT)
+             |  AS st FROM daily),
+             |pre AS (
+             |  SELECT day,
+             |    row_number() OVER (ORDER BY day) AS i,
+             |    CAST(SUM(rev) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS s1,
+             |    tot.n, tot.st
+             |  FROM daily CROSS JOIN tot),
+             |scored AS (
+             |  SELECT day, i, n, s1, st,
+             |    CAST(round(
+             |      CAST(i AS DOUBLE)
+             |      * (CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE)
+             |        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE)
+             |        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             |      + (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+             |      * (CAST(st - s1 AS DOUBLE)
+             |          / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+             |        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(st - s1 AS DOUBLE)
+             |          / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+             |        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             |      ) AS BIGINT) AS ssb_q
+             |  FROM pre WHERE i < n),
+             |best AS (SELECT MAX(ssb_q) AS best_q FROM scored)
+             |SELECT day AS split_after_day,
+             |  CAST(i AS DOUBLE) AS n_left,
+             |  CAST(n AS DOUBLE) - CAST(i AS DOUBLE) AS n_right,
+             |  CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left_kusd,
+             |  CAST(st - s1 AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+             |    AS mean_right_kusd,
+             |  CAST(ssb_q AS DOUBLE) AS ss_between_q
+             |FROM scored CROSS JOIN best
+             |WHERE ssb_q = best_q
+             |ORDER BY day LIMIT 1""".stripMargin)),
+
+    EngineQuery("q248_max_drawdown",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr("sum(cast(cast(o_totalprice as decimal(18,2)) * 100" +
+            " as bigint)) div 100 - 190000").as("delta"))
+        // center on an arbitrary fixed baseline so the cumulative
+        // series actually falls on weak days (a nonnegative daily
+        // revenue series would have zero drawdown by construction)
+        val wOrd = Window.orderBy("day")
+        val cum = daily.withColumn("c", sum(col("delta")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("peak", max(col("c")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("dd", col("peak") - col("c"))
+        val worst = cum.agg(max("dd").as("max_dd"))
+        cum.crossJoin(broadcast(worst))
+          .filter(col("dd") === col("max_dd"))
+          .orderBy("day").limit(1)
+          .select(col("day").as("trough_day"), col("peak").as("peak_usd"),
+            col("c").as("trough_usd"), col("max_dd").as("drawdown_usd"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) // 100 - 190000 AS delta
+             |  FROM orders GROUP BY 1),
+             |cum AS (
+             |  SELECT day,
+             |    CAST(SUM(delta) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS c
+             |  FROM daily),
+             |peaks AS (
+             |  SELECT day, c,
+             |    CAST(MAX(c) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS peak
+             |  FROM cum),
+             |dd AS (SELECT day, c, peak, peak - c AS dd FROM peaks),
+             |worst AS (SELECT MAX(dd) AS max_dd FROM dd)
+             |SELECT day AS trough_day, peak AS peak_usd,
+             |  c AS trough_usd, max_dd AS drawdown_usd
+             |FROM dd CROSS JOIN worst
+             |WHERE dd = max_dd ORDER BY day LIMIT 1""".stripMargin)),
+
+    // EXT — session revenue attribution: every purchase's value
+    // credited to the FIRST and LAST touch event type of its 30-minute
+    // session (q24's gap convention) — the marketing-attribution
+    // operator. Session ids come from a gap-flag running sum per user;
+    // first/last touches are windows INSIDE each session partition;
+    // exact DECIMAL revenue throughout.
+    EngineQuery("q249_revenue_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), money(col("value")).as("v"))
+          .withColumn("gap_us",
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+          .withColumn("new_sess",
+            when(col("gap_us").isNull ||
+              col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val wS = Window.partitionBy("user_id", "sess_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val attributed = ev
+          .withColumn("first_touch", first(col("event_type")).over(wS))
+          .withColumn("last_touch", last(col("event_type")).over(wS))
+          .filter(col("event_type") === "purchase")
+        val byFirst = attributed.groupBy(col("first_touch").as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("v")).cast("double").as("revenue"))
+          .withColumn("model", lit("first_touch"))
+        val byLast = attributed.groupBy(col("last_touch").as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("v")).cast("double").as("revenue"))
+          .withColumn("model", lit("last_touch"))
+        byFirst.unionByName(byLast)
+          .select(col("model"), col("touch_type"), col("n_purchases"),
+            col("revenue"))
+          .orderBy("model", "touch_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(value AS DECIMAL(18,2)) AS v,
+             |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id))
+             |        > 1800000000
+             |      OR lag(ts) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) IS NULL
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS sess_id
+             |  FROM ev),
+             |touched AS (
+             |  SELECT *,
+             |    first_value(event_type) OVER (
+             |      PARTITION BY user_id, sess_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND UNBOUNDED FOLLOWING) AS first_touch,
+             |    last_value(event_type) OVER (
+             |      PARTITION BY user_id, sess_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND UNBOUNDED FOLLOWING) AS last_touch
+             |  FROM sess)
+             |SELECT 'first_touch' AS model, first_touch AS touch_type,
+             |  COUNT(*) AS n_purchases,
+             |  CAST(SUM(v) AS DOUBLE) AS revenue
+             |FROM touched WHERE event_type = 'purchase'
+             |GROUP BY 2
+             |UNION ALL
+             |SELECT 'last_touch', last_touch, COUNT(*),
+             |  CAST(SUM(v) AS DOUBLE)
+             |FROM touched WHERE event_type = 'purchase'
+             |GROUP BY 2
+             |ORDER BY model, touch_type""".stripMargin))
   )
 }
