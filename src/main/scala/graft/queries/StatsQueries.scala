@@ -1088,9 +1088,9 @@ object StatsQueries {
             sum(when(sgn < 0, 1L).otherwise(0L)).as("n_disc"),
             count(lit(1)).as("n_pairs"))
         val tieX = daily.groupBy("rev").agg(count(lit(1)).as("tc"))
-          .agg(sum(col("tc") * (col("tc") - 1L) / 2L).as("n1"))
+          .agg(sum(expr("tc * (tc - 1) div 2")).as("n1"))
         val tieY = daily.groupBy("cnt").agg(count(lit(1)).as("tc"))
-          .agg(sum(col("tc") * (col("tc") - 1L) / 2L).as("n2"))
+          .agg(sum(expr("tc * (tc - 1) div 2")).as("n2"))
         val j = pairs.crossJoin(broadcast(tieX))
           .crossJoin(broadcast(tieY))
         val tau = (col("n_conc") - col("n_disc")).cast("double") /
@@ -1578,7 +1578,8 @@ object StatsQueries {
              |  SELECT i AS probe_id,
              |    i * (gmax + 1) // 8 AS lo,
              |    (i + 1) * (gmax + 1) // 8 - 1 AS hi
-             |  FROM (SELECT unnest([0,1,2,3,4,5,6,7]) AS i)
+             |  FROM (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS BIGINT)
+             |    AS i)
              |  CROSS JOIN bounds)
              |SELECT p.probe_id, p.lo, p.hi,
              |  COUNT(*) AS n_files,
@@ -2938,8 +2939,8 @@ object StatsQueries {
         scored.crossJoin(broadcast(best))
           .filter(col("ssb_q") === col("best_q"))
           .orderBy("day").limit(1)
-          .select(col("day").as("split_after_day"), col("i").as("n_left"),
-            (col("n") - col("i")).as("n_right"),
+          .select(col("day").as("split_after_day"), i.as("n_left"),
+            (nd - i).as("n_right"),
             m1.as("mean_left_kusd"), m2.as("mean_right_kusd"),
             col("ssb_q").cast("double").as("ss_between_q"))
       },

@@ -496,6 +496,33 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q247 changepoint: split strictly inside the series, SSB >= 0") {
+    val r = run("q247_binary_segmentation").head
+    assert(r.getAs[Double]("n_left") >= 1.0)
+    assert(r.getAs[Double]("n_right") >= 1.0)
+    assert(r.getAs[Double]("ss_between_q") >= 0.0)
+  }
+
+  test("q248 drawdown: trough never above its peak") {
+    val r = run("q248_max_drawdown").head
+    assert(r.getAs[Long]("trough_usd") <= r.getAs[Long]("peak_usd"))
+    assert(r.getAs[Long]("drawdown_usd") ==
+      r.getAs[Long]("peak_usd") - r.getAs[Long]("trough_usd"))
+  }
+
+  test("q249 attribution: both models conserve purchases and revenue") {
+    val rows = run("q249_revenue_attribution")
+    val byModel = rows.groupBy(_.getAs[String]("model"))
+    assert(byModel.keySet == Set("first_touch", "last_touch"))
+    val totals = byModel.view.mapValues(rs =>
+      (rs.map(_.getAs[Long]("n_purchases")).sum,
+        rs.map(_.getAs[Double]("revenue")).sum)).toMap
+    val (nF, revF) = totals("first_touch")
+    val (nL, revL) = totals("last_touch")
+    assert(nF == nL, "both models credit every purchase exactly once")
+    assert(math.abs(revF - revL) < 1e-6)
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
