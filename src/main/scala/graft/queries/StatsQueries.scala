@@ -3035,6 +3035,161 @@ object StatsQueries {
              |FROM dd CROSS JOIN worst
              |WHERE dd = max_dd ORDER BY day LIMIT 1""".stripMargin)),
 
+    // EXT — seasonal-naive forecast backtest: predict each of the last
+    // 28 days' revenue as the mean of the prior 4 same-weekday values,
+    // then score MAE / MAPE — the "is a model even worth it" baseline
+    // every forecasting effort starts from. The lag features come from
+    // a bounded 28-day-back self-join (4 rows per target); errors stay
+    // exact integers until the two final ratios.
+    EngineQuery("q250_snaive_backtest",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr("sum(cast(cast(o_totalprice as decimal(18,2)) * 100" +
+            " as bigint)) div 100").as("rev"))
+        val maxDay = daily.agg(max("day").as("max_day"))
+        val targets = daily.crossJoin(broadcast(maxDay))
+          .filter(datediff(col("max_day"), col("day")) < 28)
+        val hist = daily.select(col("day").as("hday"),
+          col("rev").as("hrev"))
+        val joined = targets.join(hist,
+            datediff(col("day"), col("hday")).isin(7, 14, 21, 28))
+          .groupBy("day", "rev")
+          .agg(count(lit(1)).as("n_lags"), sum("hrev").as("lag_sum"))
+          .filter(col("n_lags") === 4L)
+        val pred4 = col("lag_sum")
+        val err4 = abs(col("rev") * 4L - pred4)
+        val agg = joined.agg(count(lit(1)).as("n_days"),
+          sum(err4).as("abs_err4_sum"),
+          sum(col("rev")).as("actual_sum"))
+        agg.select(col("n_days"),
+          (col("abs_err4_sum").cast("double") / lit(4.0) /
+            col("n_days").cast("double")).as("mae_usd"),
+          (col("abs_err4_sum").cast("double") / lit(4.0) /
+            col("actual_sum").cast("double")).as("wmape"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) // 100 AS rev
+             |  FROM orders GROUP BY 1),
+             |mx AS (SELECT MAX(day) AS max_day FROM daily),
+             |targets AS (
+             |  SELECT d.day, d.rev
+             |  FROM daily d CROSS JOIN mx
+             |  WHERE date_diff('day', d.day, mx.max_day) < 28),
+             |joined AS (
+             |  SELECT t.day, t.rev, COUNT(*) AS n_lags,
+             |    CAST(SUM(h.rev) AS BIGINT) AS lag_sum
+             |  FROM targets t
+             |  JOIN daily h ON date_diff('day', h.day, t.day)
+             |    IN (7, 14, 21, 28)
+             |  GROUP BY 1, 2
+             |  HAVING COUNT(*) = 4)
+             |SELECT COUNT(*) AS n_days,
+             |  CAST(CAST(SUM(abs(rev * 4 - lag_sum)) AS BIGINT)
+             |    AS DOUBLE) / 4.0 / CAST(COUNT(*) AS DOUBLE) AS mae_usd,
+             |  CAST(CAST(SUM(abs(rev * 4 - lag_sum)) AS BIGINT)
+             |    AS DOUBLE) / 4.0
+             |    / CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) AS wmape
+             |FROM joined""".stripMargin)),
+
+    // EXT — ABC-XYZ inventory matrix: q207's revenue classes crossed
+    // with demand-variability classes (X: CV² < 0.25, Y: < 1.0, Z:
+    // volatile) from exact per-part weekly demand moments. The
+    // classic planning segmentation; the CV² class edges are decided
+    // on exact integer cross-multiplication (n·Σq² − (Σq)² vs
+    // k·(Σq)²), never a rounded CV.
+    EngineQuery("q251_abc_xyz",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (money(col("l_quantity")) * 100).cast("long").as("q100"),
+            (money(col("l_extendedprice")) *
+              (lit(1) - money(col("l_discount"))) * 10000).cast("long")
+              .as("rev_e4"),
+            expr("datediff(cast(l_shipdate as date), DATE '1995-01-01')" +
+              " div 7").as("wk"))
+        val weekly = li.groupBy("l_partkey", "wk")
+          .agg(sum("q100").as("wq"))
+        val moments = weekly.groupBy("l_partkey")
+          .agg(count(lit(1)).as("nw"), sum("wq").as("sq"),
+            sum(col("wq") * col("wq")).as("sqq"))
+        // CV² = (n·Σq²/(Σq)² − 1); class edges on integers:
+        // X: n·Σq²·4 < 5·(Σq)²  (CV² < 0.25)
+        // Y: n·Σq² < 2·(Σq)²    (CV² < 1)
+        val xyz = moments.withColumn("xyz_class",
+          when(col("nw") * col("sqq") * 4L < col("sq") * col("sq") * 5L,
+            "X")
+            .when(col("nw") * col("sqq") < col("sq") * col("sq") * 2L,
+              "Y")
+            .otherwise("Z"))
+        val rev = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum("rev_e4").as("rev_e4"))
+        val w = Window.orderBy(col("rev_e4").desc, col("pk"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = rev.agg(sum("rev_e4").as("tot_e4"))
+        val abc = rev
+          .withColumn("cum", sum(col("rev_e4")).over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("abc_class",
+            when(col("cum") * 100L <= col("tot_e4") * 80L, "A")
+              .when(col("cum") * 100L <= col("tot_e4") * 95L, "B")
+              .otherwise("C"))
+        abc.join(xyz, col("pk") === col("l_partkey"))
+          .groupBy("abc_class", "xyz_class")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_e4")).as("class_rev_e4"))
+          .orderBy("abc_class", "xyz_class")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS q100,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000
+             |      AS BIGINT) AS rev_e4,
+             |    date_diff('day', DATE '1995-01-01',
+             |      CAST(l_shipdate AS DATE)) // 7 AS wk
+             |  FROM lineitem),
+             |weekly AS (
+             |  SELECT l_partkey, wk, CAST(SUM(q100) AS BIGINT) AS wq
+             |  FROM li GROUP BY 1, 2),
+             |moments AS (
+             |  SELECT l_partkey, COUNT(*) AS nw,
+             |    CAST(SUM(wq) AS BIGINT) AS sq,
+             |    CAST(SUM(wq * wq) AS BIGINT) AS sqq
+             |  FROM weekly GROUP BY 1),
+             |xyz AS (
+             |  SELECT l_partkey,
+             |    CASE WHEN nw * sqq * 4 < sq * sq * 5 THEN 'X'
+             |         WHEN nw * sqq < sq * sq * 2 THEN 'Y'
+             |         ELSE 'Z' END AS xyz_class
+             |  FROM moments),
+             |rev AS (
+             |  SELECT l_partkey AS pk, CAST(SUM(rev_e4) AS BIGINT)
+             |    AS rev_e4
+             |  FROM li GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS tot_e4
+             |        FROM rev),
+             |abc AS (
+             |  SELECT pk, rev_e4,
+             |    CASE
+             |      WHEN CAST(SUM(rev_e4) OVER (
+             |          ORDER BY rev_e4 DESC, pk
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) * 100 <= tot_e4 * 80 THEN 'A'
+             |      WHEN CAST(SUM(rev_e4) OVER (
+             |          ORDER BY rev_e4 DESC, pk
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) * 100 <= tot_e4 * 95 THEN 'B'
+             |      ELSE 'C' END AS abc_class
+             |  FROM rev CROSS JOIN tot)
+             |SELECT a.abc_class, x.xyz_class, COUNT(*) AS n_parts,
+             |  CAST(SUM(a.rev_e4) AS BIGINT) AS class_rev_e4
+             |FROM abc a JOIN xyz x ON x.l_partkey = a.pk
+             |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin)),
+
     // EXT — session revenue attribution: every purchase's value
     // credited to the FIRST and LAST touch event type of its 30-minute
     // session (q24's gap convention) — the marketing-attribution

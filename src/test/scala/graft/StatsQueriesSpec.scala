@@ -523,6 +523,26 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(math.abs(revF - revL) < 1e-6)
   }
 
+  test("q250 backtest: wmape nonnegative, 28-day target window") {
+    val r = run("q250_snaive_backtest").head
+    assert(r.getAs[Long]("n_days") <= 28)
+    assert(r.getAs[Double]("wmape") >= 0.0)
+    assert(r.getAs[Double]("mae_usd") >= 0.0)
+  }
+
+  test("q251 ABC-XYZ: parts conserve vs the ABC classification") {
+    val matrix = run("q251_abc_xyz")
+    val abc = run("q207_abc_parts")
+    val matrixParts = matrix.map(_.getAs[Long]("n_parts")).sum
+    val abcParts = abc.map(_.getAs[Long]("n_parts")).sum
+    assert(matrixParts == abcParts,
+      "every classified part appears in exactly one matrix cell")
+    matrix.foreach { r =>
+      assert(Set("A", "B", "C")(r.getAs[String]("abc_class")))
+      assert(Set("X", "Y", "Z")(r.getAs[String]("xyz_class")))
+    }
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
