@@ -3190,6 +3190,196 @@ object StatsQueries {
              |FROM abc a JOIN xyz x ON x.l_partkey = a.pk
              |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin)),
 
+    // EXT — newsvendor stocking quantiles: for the 10 highest-volume
+    // parts, the critical-fractile order-up-to level — the q-th
+    // weekly-demand quantile at service levels 50/80/95% — picked as
+    // an exact element (cum·100 ≥ q·total over the per-demand-value
+    // frame), the inventory-theory cousin of q91's percentiles.
+    EngineQuery("q252_newsvendor_quantiles",
+      (s, dir) => {
+        val weekly = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (money(col("l_quantity")) * 100).cast("long").as("q100"),
+            expr("datediff(cast(l_shipdate as date), DATE '1995-01-01')" +
+              " div 7").as("wk"))
+          .groupBy("l_partkey", "wk").agg(sum("q100").as("wq"))
+        val top = weekly.groupBy("l_partkey")
+          .agg(sum("wq").as("tot_q"), count(lit(1)).as("n_weeks"))
+          .orderBy(col("tot_q").desc, col("l_partkey")).limit(10)
+        val per = weekly.join(broadcast(top.select("l_partkey")),
+            Seq("l_partkey"))
+          .groupBy("l_partkey", "wq").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("l_partkey").orderBy("wq")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = per.withColumn("cum", sum(col("c")).over(wCum))
+          .join(broadcast(top), Seq("l_partkey"))
+        def pick(pct: Int) = {
+          val wPick = Window.partitionBy("l_partkey").orderBy("wq")
+          cum.filter(col("cum") * 100L >= col("n_weeks") * pct)
+            .withColumn("rk", row_number().over(wPick))
+            .filter(col("rk") === 1)
+            .select(col("l_partkey"), col("n_weeks"),
+              lit(pct.toLong).as("service_pct"),
+              col("wq").as("order_up_to_q100"))
+        }
+        pick(50).unionAll(pick(80)).unionAll(pick(95))
+          .orderBy("l_partkey", "service_pct")
+      },
+      Some("""WITH weekly AS (
+             |  SELECT l_partkey,
+             |    date_diff('day', DATE '1995-01-01',
+             |      CAST(l_shipdate AS DATE)) // 7 AS wk,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS wq
+             |  FROM lineitem GROUP BY 1, 2),
+             |top AS (
+             |  SELECT l_partkey, CAST(SUM(wq) AS BIGINT) AS tot_q,
+             |    COUNT(*) AS n_weeks
+             |  FROM weekly GROUP BY 1
+             |  ORDER BY tot_q DESC, l_partkey LIMIT 10),
+             |per AS (
+             |  SELECT w.l_partkey, w.wq, COUNT(*) AS c
+             |  FROM weekly w JOIN top t ON t.l_partkey = w.l_partkey
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT p.l_partkey, p.wq, t.n_weeks,
+             |    CAST(SUM(p.c) OVER (PARTITION BY p.l_partkey
+             |      ORDER BY p.wq
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM per p JOIN top t ON t.l_partkey = p.l_partkey),
+             |levels AS (
+             |  SELECT CAST(unnest([50, 80, 95]) AS BIGINT)
+             |    AS service_pct),
+             |picked AS (
+             |  SELECT c.l_partkey, c.n_weeks, l.service_pct, c.wq,
+             |    row_number() OVER (
+             |      PARTITION BY c.l_partkey, l.service_pct
+             |      ORDER BY c.wq) AS rk
+             |  FROM cum c CROSS JOIN levels l
+             |  WHERE c.cum * 100 >= c.n_weeks * l.service_pct)
+             |SELECT l_partkey, n_weeks, service_pct,
+             |  wq AS order_up_to_q100
+             |FROM picked WHERE rk = 1
+             |ORDER BY l_partkey, service_pct""".stripMargin)),
+
+    // EXT — price-elasticity proxy: per brand, the Pearson correlation
+    // between lineitem discount and quantity — "do discounts move
+    // volume". Exact integer moments per brand (q156's discipline),
+    // one fixed double chain; degenerate zero-variance brands emit
+    // NULL on an exact integer predicate.
+    EngineQuery("q253_discount_elasticity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (money(col("l_discount")) * 100).cast("long").as("d100"),
+            (money(col("l_quantity")) * 100).cast("long").as("q100"))
+          .join(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+        val agg = li.groupBy("p_brand").agg(count(lit(1)).as("n"),
+          sum("d100").as("sx"), sum("q100").as("sy"),
+          sum(col("d100") * col("d100")).as("sxx"),
+          sum(col("q100") * col("q100")).as("syy"),
+          sum(col("d100") * col("q100")).as("sxy"))
+        val nd = col("n").cast("double")
+        val num = nd * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        val den = sqrt(vx.cast("double")) * sqrt(vy.cast("double"))
+        agg.select(col("p_brand"), col("n").as("n_lines"),
+            when(vx === 0L || vy === 0L, lit(null).cast("double"))
+              .otherwise(num / den).as("discount_qty_corr"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH li AS (
+             |  SELECT p.p_brand,
+             |    CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS d100,
+             |    CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS q100
+             |  FROM lineitem l
+             |  JOIN part p ON p.p_partkey = l.l_partkey),
+             |agg AS (
+             |  SELECT p_brand, COUNT(*) AS n,
+             |    CAST(SUM(d100) AS BIGINT) AS sx,
+             |    CAST(SUM(q100) AS BIGINT) AS sy,
+             |    CAST(SUM(d100 * d100) AS BIGINT) AS sxx,
+             |    CAST(SUM(q100 * q100) AS BIGINT) AS syy,
+             |    CAST(SUM(d100 * q100) AS BIGINT) AS sxy
+             |  FROM li GROUP BY 1)
+             |SELECT p_brand, n AS n_lines,
+             |  CASE WHEN n * sxx - sx * sx = 0
+             |      OR n * syy - sy * sy = 0 THEN NULL
+             |    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+             |    AS discount_qty_corr
+             |FROM agg ORDER BY p_brand""".stripMargin)),
+
+    // EXT — repeat-purchase cadence: the distribution of days between
+    // a customer's consecutive orders — histogram by week-bucket plus
+    // the exact overall median gap. Per-customer lag windows (fully
+    // parallel), then a value-frame element pick.
+    EngineQuery("q254_repeat_interval",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("day", "o_orderkey")
+        val gaps = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("day"))
+          .withColumn("prev", lag(col("day"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(datediff(col("day"), col("prev")).cast("long")
+            .as("gap_days"))
+        val per = gaps.groupBy("gap_days").agg(count(lit(1)).as("c"))
+        val tot = per.agg(sum("c").as("n_gaps"))
+        val wCum = Window.orderBy("gap_days")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val med = per.withColumn("cum", sum(col("c")).over(wCum))
+          .crossJoin(broadcast(tot))
+          .filter(col("cum") * 2L >= col("n_gaps"))
+          .orderBy("gap_days").limit(1)
+          .select(col("gap_days").as("median_gap_days"))
+        per
+          .withColumn("week_bucket", expr("gap_days div 7"))
+          .groupBy("week_bucket").agg(sum("c").as("n_gaps"))
+          .crossJoin(broadcast(med))
+          .select(col("week_bucket"), col("n_gaps"),
+            col("median_gap_days"))
+          .orderBy("week_bucket")
+      },
+      Some("""WITH gaps AS (
+             |  SELECT CAST(date_diff('day', prev, day) AS BIGINT)
+             |    AS gap_days
+             |  FROM (
+             |    SELECT CAST(o_orderdate AS DATE) AS day,
+             |      lag(CAST(o_orderdate AS DATE)) OVER (
+             |        PARTITION BY o_custkey
+             |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+             |        AS prev
+             |    FROM orders) x
+             |  WHERE prev IS NOT NULL),
+             |per AS (
+             |  SELECT gap_days, COUNT(*) AS c FROM gaps GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_gaps FROM per),
+             |med AS (
+             |  SELECT gap_days AS median_gap_days FROM (
+             |    SELECT gap_days,
+             |      CAST(SUM(c) OVER (ORDER BY gap_days
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) AS cum
+             |    FROM per) x CROSS JOIN tot
+             |  WHERE cum * 2 >= n_gaps
+             |  ORDER BY gap_days LIMIT 1)
+             |SELECT gap_days // 7 AS week_bucket,
+             |  CAST(SUM(c) AS BIGINT) AS n_gaps,
+             |  med.median_gap_days
+             |FROM per CROSS JOIN med
+             |GROUP BY 1, 3 ORDER BY week_bucket""".stripMargin)),
+
     // EXT — session revenue attribution: every purchase's value
     // credited to the FIRST and LAST touch event type of its 30-minute
     // session (q24's gap convention) — the marketing-attribution
