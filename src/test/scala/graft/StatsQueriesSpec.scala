@@ -543,6 +543,38 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q252 newsvendor: order-up-to levels monotone in service level") {
+    val rows = run("q252_newsvendor_quantiles")
+    rows.groupBy(_.getAs[Long]("l_partkey")).foreach { case (_, rs) =>
+      val byLevel = rs.sortBy(_.getAs[Long]("service_pct"))
+        .map(_.getAs[Long]("order_up_to_q100"))
+      byLevel.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b,
+          "a higher service level can only raise the stocking point")
+        case _ =>
+      }
+    }
+  }
+
+  test("q253 elasticity: correlations within [-1,1] when defined") {
+    run("q253_discount_elasticity").foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("discount_qty_corr"))) {
+        val c = r.getAs[Double]("discount_qty_corr")
+        assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+      }
+    }
+  }
+
+  test("q254 repeat intervals: gap counts conserve vs orders minus first-timers") {
+    val rows = run("q254_repeat_interval")
+    val totalGaps = rows.map(_.getAs[Long]("n_gaps")).sum
+    val orders = Tables.table(spark, dir, "orders")
+    val expect = orders.count() -
+      orders.select("o_custkey").distinct().count()
+    assert(totalGaps == expect,
+      "every order after a customer's first contributes one gap")
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
