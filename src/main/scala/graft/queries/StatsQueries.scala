@@ -3380,6 +3380,220 @@ object StatsQueries {
              |FROM per CROSS JOIN med
              |GROUP BY 1, 3 ORDER BY week_bucket""".stripMargin)),
 
+    // EXT — Syntetos-Boylan forecastability quadrants: each part
+    // classified smooth / intermittent / erratic / lumpy from its
+    // average inter-demand interval (ADI ≥ 1.32 ⇒ intermittent) and
+    // nonzero-demand CV² (≥ 0.49 ⇒ erratic). Both edges decided on
+    // exact integer cross-multiplication (ADI = weeks-spanned /
+    // demand-weeks as a ratio, CV² as n·Σq²·den vs num·(Σq)²), the
+    // demand-planning complement of q251's ABC-XYZ.
+    EngineQuery("q255_demand_quadrants",
+      (s, dir) => {
+        val weekly = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (money(col("l_quantity")) * 100).cast("long").as("q100"),
+            expr("datediff(cast(l_shipdate as date), DATE '1995-01-01')" +
+              " div 7").as("wk"))
+          .groupBy("l_partkey", "wk").agg(sum("q100").as("wq"))
+        val per = weekly.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_demand_weeks"),
+            (max("wk") - min("wk") + 1L).as("span_weeks"),
+            sum("wq").as("sq"), sum(col("wq") * col("wq")).as("sqq"))
+        // ADI = span/n ≥ 1.32 ⟺ span·100 ≥ n·132
+        // CV² = n·Σq²/(Σq)² − 1 ≥ 0.49 ⟺ n·Σq²·100 ≥ 149·(Σq)²
+        val intermittent =
+          col("span_weeks") * 100L >= col("n_demand_weeks") * 132L
+        val erratic =
+          col("n_demand_weeks") * col("sqq") * 100L >=
+            col("sq") * col("sq") * 149L
+        val classed = per.withColumn("quadrant",
+          when(!intermittent && !erratic, "smooth")
+            .when(intermittent && !erratic, "intermittent")
+            .when(!intermittent && erratic, "erratic")
+            .otherwise("lumpy"))
+        classed.groupBy("quadrant")
+          .agg(count(lit(1)).as("n_parts"),
+            sum("sq").as("total_q100"))
+          .orderBy("quadrant")
+      },
+      Some("""WITH weekly AS (
+             |  SELECT l_partkey,
+             |    date_diff('day', DATE '1995-01-01',
+             |      CAST(l_shipdate AS DATE)) // 7 AS wk,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS wq
+             |  FROM lineitem GROUP BY 1, 2),
+             |per AS (
+             |  SELECT l_partkey, COUNT(*) AS n_demand_weeks,
+             |    CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT) AS span_weeks,
+             |    CAST(SUM(wq) AS BIGINT) AS sq,
+             |    CAST(SUM(wq * wq) AS BIGINT) AS sqq
+             |  FROM weekly GROUP BY 1),
+             |classed AS (
+             |  SELECT *,
+             |    CASE
+             |      WHEN span_weeks * 100 < n_demand_weeks * 132
+             |        AND n_demand_weeks * sqq * 100 < sq * sq * 149
+             |        THEN 'smooth'
+             |      WHEN span_weeks * 100 >= n_demand_weeks * 132
+             |        AND n_demand_weeks * sqq * 100 < sq * sq * 149
+             |        THEN 'intermittent'
+             |      WHEN span_weeks * 100 < n_demand_weeks * 132
+             |        THEN 'erratic'
+             |      ELSE 'lumpy' END AS quadrant
+             |  FROM per)
+             |SELECT quadrant, COUNT(*) AS n_parts,
+             |  CAST(SUM(sq) AS BIGINT) AS total_q100
+             |FROM classed GROUP BY 1 ORDER BY quadrant""".stripMargin)),
+
+    // EXT — peak concurrency: the maximum number of simultaneously
+    // open 30-minute sessions (q24's convention) per day, via the
+    // classic sweep line — +1 at session start, −1 at session end,
+    // running sum, per-day max. Sessions build from per-user gap
+    // windows (parallel); the sweep windows partition BY DAY (a
+    // session's end event carries its own day), so no global sort.
+    EngineQuery("q256_peak_concurrency",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("new_sess",
+            when(unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
+              > 1800L * 1000000L ||
+              lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        val marks = sess.select(col("start_ts").as("mark_ts"),
+            lit(1L).as("delta"))
+          .unionAll(sess.select(col("end_ts").as("mark_ts"),
+            lit(-1L).as("delta")))
+          .withColumn("day", col("mark_ts").cast("date"))
+        // order ends BEFORE starts at identical timestamps (delta asc)
+        // so a zero-length touch never inflates the peak
+        val wSweep = Window.partitionBy("day")
+          .orderBy(col("mark_ts"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        marks.withColumn("open", sum(col("delta")).over(wSweep))
+          .groupBy("day")
+          .agg(max(col("open")).as("peak_concurrent"),
+            sum(when(col("delta") === 1L, 1L).otherwise(0L))
+              .as("n_sessions_started"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id))
+             |        > 1800000000
+             |      OR lag(ts) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) IS NULL
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id,
+             |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS sess_id,
+             |    ts
+             |  FROM ev),
+             |bounds AS (
+             |  SELECT user_id, sess_id, MIN(ts) AS start_ts,
+             |    MAX(ts) AS end_ts
+             |  FROM sess GROUP BY 1, 2),
+             |marks AS (
+             |  SELECT start_ts AS mark_ts, CAST(1 AS BIGINT) AS delta
+             |  FROM bounds
+             |  UNION ALL
+             |  SELECT end_ts, CAST(-1 AS BIGINT) FROM bounds),
+             |sweep AS (
+             |  SELECT CAST(mark_ts AS DATE) AS day, delta,
+             |    CAST(SUM(delta) OVER (
+             |      PARTITION BY CAST(mark_ts AS DATE)
+             |      ORDER BY mark_ts, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS open
+             |  FROM marks)
+             |SELECT day, MAX(open) AS peak_concurrent,
+             |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_sessions_started
+             |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // EXT — HLL mergeability proof: per-source deterministic HLL
+    // sketches (q197's registers) max-merge into a global sketch whose
+    // register values — and therefore estimate — must EQUAL the
+    // directly-built global sketch. The property that makes the
+    // cardinality sketch shippable as partial aggregates across 1000
+    // executors; here it is hash-gated, not just asserted.
+    EngineQuery("q257_hll_union",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val h = sha256PrefixLong15(
+          concat(lit("hllu:"), col("doc_id").cast("string")))
+        val base = docs.select(col("source"),
+          pmod(h, lit(256L)).as("reg"),
+          (h / 256L).cast("long").as("w"))
+        val rho = max(when(col("w") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("w"))))).as("m_rho")
+        val perSource = base.groupBy("source", "reg").agg(rho)
+        // max-merge the per-source registers…
+        val merged = perSource.groupBy("reg")
+          .agg(max("m_rho").as("m_rho"))
+        // …and build the global sketch directly
+        val direct = base.groupBy("reg").agg(rho)
+        def harmonic(df: DataFrame, label: String): DataFrame =
+          df.agg(count(lit(1)).as("n_filled"),
+              sum(expr("shiftleft(1L, cast(53 - m_rho as int))"))
+                .as("s_filled"))
+            .select(lit(label).as("path"),
+              (col("s_filled") +
+                (lit(256L) - col("n_filled")) * lit(9007199254740992L))
+                .as("s_num"))
+        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+        harmonic(merged, "merged").unionAll(harmonic(direct, "direct"))
+          .select(col("path"), col("s_num"),
+            (alpha * lit(65536.0) * lit(9007199254740992.0) /
+              col("s_num").cast("double")).as("hll_estimate"))
+          .orderBy("path")
+      },
+      Some("""WITH base AS (
+             |  SELECT source,
+             |    CAST('0x' || substr(sha256('hllu:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS reg,
+             |    CAST('0x' || substr(sha256('hllu:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) // 256 AS w
+             |  FROM documents),
+             |per_source AS (
+             |  SELECT source, reg,
+             |    MAX(CASE WHEN w = 0 THEN 53
+             |        ELSE 53 - length(bin(w)) END) AS m_rho
+             |  FROM base GROUP BY 1, 2),
+             |merged AS (
+             |  SELECT reg, MAX(m_rho) AS m_rho
+             |  FROM per_source GROUP BY 1),
+             |direct AS (
+             |  SELECT reg,
+             |    MAX(CASE WHEN w = 0 THEN 53
+             |        ELSE 53 - length(bin(w)) END) AS m_rho
+             |  FROM base GROUP BY 1),
+             |hm AS (
+             |  SELECT 'merged' AS path, COUNT(*) AS n_filled,
+             |    CAST(SUM(1::BIGINT << (53 - m_rho)) AS BIGINT)
+             |      AS s_filled
+             |  FROM merged
+             |  UNION ALL
+             |  SELECT 'direct', COUNT(*),
+             |    CAST(SUM(1::BIGINT << (53 - m_rho)) AS BIGINT)
+             |  FROM direct)
+             |SELECT path,
+             |  s_filled + (256 - n_filled) * 9007199254740992 AS s_num,
+             |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+             |    * 9007199254740992.0
+             |    / CAST(s_filled + (256 - n_filled) * 9007199254740992
+             |        AS DOUBLE) AS hll_estimate
+             |FROM hm ORDER BY path""".stripMargin)),
+
     // EXT — session revenue attribution: every purchase's value
     // credited to the FIRST and LAST touch event type of its 30-minute
     // session (q24's gap convention) — the marketing-attribution
