@@ -3449,9 +3449,11 @@ object StatsQueries {
     // EXT — peak concurrency: the maximum number of simultaneously
     // open 30-minute sessions (q24's convention) per day, via the
     // classic sweep line — +1 at session start, −1 at session end,
-    // running sum, per-day max. Sessions build from per-user gap
-    // windows (parallel); the sweep windows partition BY DAY (a
-    // session's end event carries its own day), so no global sort.
+    // running sum, per-day max — WITH the midnight carry: sessions
+    // still open at day start enter as the day's base level, computed
+    // from the bounded per-day net-delta prefix (the q86 sharded-
+    // prefix discipline: within-day sweeps partition BY DAY and run
+    // in parallel; only the |days|-row carry frame is sequential).
     EngineQuery("q256_peak_concurrency",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3471,16 +3473,31 @@ object StatsQueries {
           .unionAll(sess.select(col("end_ts").as("mark_ts"),
             lit(-1L).as("delta")))
           .withColumn("day", col("mark_ts").cast("date"))
-        // order ends BEFORE starts at identical timestamps (delta asc)
-        // so a zero-length touch never inflates the peak
+        // carry = sessions open at day start: prefix sum of per-day
+        // net deltas over the bounded |days| frame
+        val wCarry = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = marks.groupBy(col("day").as("d"))
+          .agg(sum("delta").as("net"))
+          .withColumn("carry", coalesce(sum(col("net")).over(wCarry),
+            lit(0L)))
+          .select(col("d"), col("carry"))
+        // closed-interval semantics: starts sort BEFORE ends at equal
+        // timestamps (delta desc), so a single-event session still
+        // counts as open at its instant
         val wSweep = Window.partitionBy("day")
-          .orderBy(col("mark_ts"), col("delta"))
+          .orderBy(col("mark_ts"), col("delta").desc)
           .rowsBetween(Window.unboundedPreceding, 0)
-        marks.withColumn("open", sum(col("delta")).over(wSweep))
+        marks.withColumn("open_in_day", sum(col("delta")).over(wSweep))
           .groupBy("day")
-          .agg(max(col("open")).as("peak_concurrent"),
+          .agg(max(col("open_in_day")).as("max_in_day"),
             sum(when(col("delta") === 1L, 1L).otherwise(0L))
               .as("n_sessions_started"))
+          .join(broadcast(carry), col("day") === col("d"))
+          .select(col("day"),
+            greatest(col("carry"), col("carry") + col("max_in_day"))
+              .as("peak_concurrent"),
+            col("n_sessions_started"))
           .orderBy("day")
       },
       Some("""WITH ev AS (
@@ -3509,25 +3526,34 @@ object StatsQueries {
              |  FROM bounds
              |  UNION ALL
              |  SELECT end_ts, CAST(-1 AS BIGINT) FROM bounds),
+             |carry AS (
+             |  SELECT d, COALESCE(CAST(SUM(net) OVER (ORDER BY d
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS carry
+             |  FROM (
+             |    SELECT CAST(mark_ts AS DATE) AS d,
+             |      CAST(SUM(delta) AS BIGINT) AS net
+             |    FROM marks GROUP BY 1)),
              |sweep AS (
              |  SELECT CAST(mark_ts AS DATE) AS day, delta,
              |    CAST(SUM(delta) OVER (
              |      PARTITION BY CAST(mark_ts AS DATE)
-             |      ORDER BY mark_ts, delta
+             |      ORDER BY mark_ts, delta DESC
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      AS BIGINT) AS open
-             |  FROM marks)
-             |SELECT day, MAX(open) AS peak_concurrent,
-             |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS n_sessions_started
-             |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin)),
+             |      AS BIGINT) AS open_in_day
+             |  FROM marks),
+             |daily AS (
+             |  SELECT day, MAX(open_in_day) AS max_in_day,
+             |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_sessions_started
+             |  FROM sweep GROUP BY 1)
+             |SELECT dl.day,
+             |  greatest(c.carry, c.carry + dl.max_in_day)
+             |    AS peak_concurrent,
+             |  dl.n_sessions_started
+             |FROM daily dl JOIN carry c ON c.d = dl.day
+             |ORDER BY dl.day""".stripMargin)),
 
-    // EXT — HLL mergeability proof: per-source deterministic HLL
-    // sketches (q197's registers) max-merge into a global sketch whose
-    // register values — and therefore estimate — must EQUAL the
-    // directly-built global sketch. The property that makes the
-    // cardinality sketch shippable as partial aggregates across 1000
-    // executors; here it is hash-gated, not just asserted.
     EngineQuery("q257_hll_union",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

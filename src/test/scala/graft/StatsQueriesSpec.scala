@@ -575,6 +575,31 @@ class StatsQueriesSpec extends AnyFunSuite {
       "every order after a customer's first contributes one gap")
   }
 
+  test("q255 quadrants: part counts conserve vs distinct demanded parts") {
+    val total = run("q255_demand_quadrants")
+      .map(_.getAs[Long]("n_parts")).sum
+    val nParts = Tables.table(spark, dir, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(total == nParts)
+  }
+
+  test("q256 concurrency: peak at least 1 and bounded by sessions started") {
+    run("q256_peak_concurrency").foreach { r =>
+      val p = r.getAs[Long]("peak_concurrent")
+      assert(p >= 1)
+      assert(p <= r.getAs[Long]("n_sessions_started") + 1,
+        "cannot exceed sessions opened that day (+1 midnight carry)")
+    }
+  }
+
+  test("q257 HLL merge: max-merged registers equal the direct build") {
+    val rows = run("q257_hll_union")
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("s_num"), r.getAs[Double]("hll_estimate"))).toMap
+    assert(rows("merged") == rows("direct"),
+      "mergeability must be exact, not approximate")
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
