@@ -3620,6 +3620,217 @@ object StatsQueries {
              |        AS DOUBLE) AS hll_estimate
              |FROM hm ORDER BY path""".stripMargin)),
 
+    // EXT — Count-Min mergeability proof: per-event-type CMS counter
+    // grids (q198's geometry) SUM-merge into a global sketch that must
+    // equal the directly-built one, counter by counter — verified as
+    // a zero mismatched-cells count plus checksums. The linear-sketch
+    // property that lets 1000 executors ship 2048-cell partials
+    // instead of raw keys.
+    EngineQuery("q258_cms_union",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val rows = Seq(0, 1, 2, 3)
+        def bucket(i: Int, c: Column): Column =
+          pmod(sha256PrefixLong(
+            concat(lit(s"cmu$i:"), c.cast("string"))), lit(512L))
+        val pairs = rows.map(i => struct(lit(i).as("row_id"),
+          bucket(i, col("user_id")).as("bucket")))
+        val base = ev.select(col("event_type"),
+            explode(array(pairs: _*)).as("rb"))
+          .select(col("event_type"), col("rb.row_id"), col("rb.bucket"))
+        val perType = base.groupBy("event_type", "row_id", "bucket")
+          .agg(count(lit(1)).as("c"))
+        val merged = perType.groupBy("row_id", "bucket")
+          .agg(sum("c").as("c_merged"))
+        val direct = base.groupBy("row_id", "bucket")
+          .agg(count(lit(1)).as("c_direct"))
+        merged.join(direct, Seq("row_id", "bucket"), "full_outer")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(coalesce(col("c_merged"), lit(-1L)) =!=
+              coalesce(col("c_direct"), lit(-2L)), 1L).otherwise(0L))
+              .as("n_mismatched"),
+            sum(col("c_merged")).as("merged_checksum"),
+            sum(col("c_direct")).as("direct_checksum"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type, r.row_id,
+             |    CAST('0x' || substr(sha256('cmu' || CAST(r.row_id AS VARCHAR)
+             |        || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 512 AS bucket
+             |  FROM events
+             |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row_id) r),
+             |per_type AS (
+             |  SELECT event_type, row_id, bucket, COUNT(*) AS c
+             |  FROM base GROUP BY 1, 2, 3),
+             |merged AS (
+             |  SELECT row_id, bucket, CAST(SUM(c) AS BIGINT) AS c_merged
+             |  FROM per_type GROUP BY 1, 2),
+             |direct AS (
+             |  SELECT row_id, bucket, COUNT(*) AS c_direct
+             |  FROM base GROUP BY 1, 2)
+             |SELECT COUNT(*) AS n_cells,
+             |  CAST(SUM(CASE WHEN COALESCE(m.c_merged, -1)
+             |      <> COALESCE(d.c_direct, -2) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_mismatched,
+             |  CAST(SUM(m.c_merged) AS BIGINT) AS merged_checksum,
+             |  CAST(SUM(d.c_direct) AS BIGINT) AS direct_checksum
+             |FROM merged m
+             |FULL OUTER JOIN direct d
+             |  ON d.row_id = m.row_id AND d.bucket = m.bucket""".stripMargin)),
+
+    // EXT — Bloom-filter mergeability proof: per-source bit sets
+    // (q220's geometry over document ids) OR-merge into a global
+    // filter identical to the directly-built one — zero asymmetric
+    // bits. The runtime-filter union property: partial filters built
+    // per partition ship and OR instead of re-hashing the world.
+    EngineQuery("q259_bloom_union",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val hashCols = (0 until 4).map(i =>
+          pmod(sha256PrefixLong(concat(lit(s"bfu$i:"),
+            col("doc_id").cast("string"))), lit(16384L)).as(s"p$i"))
+        val base = docs.select(col("source"),
+            explode(array(hashCols: _*)).as("bit_pos"))
+        val merged = base.select("source", "bit_pos").distinct()
+          .select("bit_pos").distinct()
+        val direct = base.select("bit_pos").distinct()
+        val mOnly = merged.join(direct, Seq("bit_pos"), "left_anti")
+          .agg(count(lit(1)).as("merged_only"))
+        val dOnly = direct.join(merged, Seq("bit_pos"), "left_anti")
+          .agg(count(lit(1)).as("direct_only"))
+        merged.agg(count(lit(1)).as("n_bits_set"))
+          .crossJoin(broadcast(mOnly))
+          .crossJoin(broadcast(dOnly))
+          .select(col("n_bits_set"), col("merged_only"),
+            col("direct_only"),
+            (col("merged_only") + col("direct_only") === 0L)
+              .as("merge_exact"))
+      },
+      Some("""WITH base AS (
+             |  SELECT source,
+             |    CAST('0x' || substr(sha256('bfu' || CAST(r.i AS VARCHAR)
+             |      || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 16384 AS bit_pos
+             |  FROM documents
+             |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r),
+             |merged AS (
+             |  SELECT DISTINCT bit_pos FROM (
+             |    SELECT DISTINCT source, bit_pos FROM base)),
+             |direct AS (SELECT DISTINCT bit_pos FROM base),
+             |monly AS (
+             |  SELECT COUNT(*) AS merged_only FROM merged m
+             |  WHERE NOT EXISTS (SELECT 1 FROM direct d
+             |    WHERE d.bit_pos = m.bit_pos)),
+             |donly AS (
+             |  SELECT COUNT(*) AS direct_only FROM direct d
+             |  WHERE NOT EXISTS (SELECT 1 FROM merged m
+             |    WHERE m.bit_pos = d.bit_pos))
+             |SELECT (SELECT COUNT(*) FROM merged) AS n_bits_set,
+             |  monly.merged_only, donly.direct_only,
+             |  monly.merged_only + donly.direct_only = 0 AS merge_exact
+             |FROM monly CROSS JOIN donly""".stripMargin)),
+
+    // EXT — HLL set algebra: audience intersection between the two
+    // largest event types by inclusion-exclusion over deterministic
+    // sketches — est(A) + est(B) − est(A∪B) — reported next to the
+    // EXACT intersection so the sketch error is visible. The union
+    // sketch is the register max-merge (proven exact in q257); all
+    // register math integer, estimates one double chain each.
+    EngineQuery("q260_hll_intersection",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val top2 = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("event_type")).limit(2)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("event_type"))))
+        val h = sha256PrefixLong15(
+          concat(lit("hlli:"), col("user_id").cast("string")))
+        val base = ev.join(broadcast(top2), Seq("event_type"))
+          .select(col("rk"), pmod(h, lit(256L)).as("reg"),
+            (h / 256L).cast("long").as("w"))
+        val rho = max(when(col("w") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("w"))))).as("m_rho")
+        val perSet = base.groupBy("rk", "reg").agg(rho)
+        val union = perSet.groupBy("reg").agg(max("m_rho").as("m_rho"))
+        def est(df: DataFrame, label: String): DataFrame =
+          df.agg(count(lit(1)).as("nf"),
+              sum(expr("shiftleft(1L, cast(53 - m_rho as int))"))
+                .as("sf"))
+            .select(lit(label).as("which"),
+              ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+                lit(65536.0) * lit(9007199254740992.0) /
+                (col("sf") + (lit(256L) - col("nf")) *
+                  lit(9007199254740992L)).cast("double")).as("e"))
+        val ests = est(perSet.filter(col("rk") === 1).drop("rk"), "a")
+          .unionAll(est(perSet.filter(col("rk") === 2).drop("rk"), "b"))
+          .unionAll(est(union, "u"))
+          .groupBy().pivot("which", Seq("a", "b", "u")).agg(first("e"))
+        val exact = ev.join(broadcast(top2), Seq("event_type"))
+          .groupBy("user_id")
+          .agg(count_distinct(col("rk")).as("n_types"))
+          .agg(sum(when(col("n_types") === 2L, 1L).otherwise(0L))
+            .as("exact_intersection"))
+        ests.crossJoin(broadcast(exact))
+          .select(col("a").as("est_a"), col("b").as("est_b"),
+            col("u").as("est_union"),
+            (col("a") + col("b") - col("u")).as("est_intersection"),
+            col("exact_intersection"))
+      },
+      Some("""WITH top2 AS (
+             |  SELECT event_type,
+             |    row_number() OVER (ORDER BY COUNT(*) DESC, event_type)
+             |      AS rk
+             |  FROM events GROUP BY 1
+             |  ORDER BY COUNT(*) DESC, event_type LIMIT 2),
+             |base AS (
+             |  SELECT t.rk,
+             |    CAST('0x' || substr(sha256('hlli:' || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS reg,
+             |    CAST('0x' || substr(sha256('hlli:' || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) // 256 AS w
+             |  FROM events e JOIN top2 t ON t.event_type = e.event_type),
+             |per_set AS (
+             |  SELECT rk, reg,
+             |    MAX(CASE WHEN w = 0 THEN 53
+             |        ELSE 53 - length(bin(w)) END) AS m_rho
+             |  FROM base GROUP BY 1, 2),
+             |uni AS (
+             |  SELECT reg, MAX(m_rho) AS m_rho FROM per_set GROUP BY 1),
+             |est AS (
+             |  SELECT 'a' AS which, COUNT(*) AS nf,
+             |    CAST(SUM(1::BIGINT << (53 - m_rho)) AS BIGINT) AS sf
+             |  FROM per_set WHERE rk = 1
+             |  UNION ALL
+             |  SELECT 'b', COUNT(*),
+             |    CAST(SUM(1::BIGINT << (53 - m_rho)) AS BIGINT)
+             |  FROM per_set WHERE rk = 2
+             |  UNION ALL
+             |  SELECT 'u', COUNT(*),
+             |    CAST(SUM(1::BIGINT << (53 - m_rho)) AS BIGINT)
+             |  FROM uni),
+             |vals AS (
+             |  SELECT which,
+             |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+             |      * 9007199254740992.0
+             |      / CAST(sf + (256 - nf) * 9007199254740992 AS DOUBLE)
+             |      AS e
+             |  FROM est),
+             |p AS (
+             |  SELECT
+             |    MAX(CASE WHEN which = 'a' THEN e END) AS est_a,
+             |    MAX(CASE WHEN which = 'b' THEN e END) AS est_b,
+             |    MAX(CASE WHEN which = 'u' THEN e END) AS est_union
+             |  FROM vals),
+             |ex AS (
+             |  SELECT CAST(SUM(CASE WHEN n_types = 2 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS exact_intersection
+             |  FROM (
+             |    SELECT e.user_id, COUNT(DISTINCT t.rk) AS n_types
+             |    FROM events e JOIN top2 t ON t.event_type = e.event_type
+             |    GROUP BY 1))
+             |SELECT p.est_a, p.est_b, p.est_union,
+             |  p.est_a + p.est_b - p.est_union AS est_intersection,
+             |  ex.exact_intersection
+             |FROM p CROSS JOIN ex""".stripMargin)),
+
     // EXT — session revenue attribution: every purchase's value
     // credited to the FIRST and LAST touch event type of its 30-minute
     // session (q24's gap convention) — the marketing-attribution
