@@ -600,6 +600,35 @@ class StatsQueriesSpec extends AnyFunSuite {
       "mergeability must be exact, not approximate")
   }
 
+  test("q258 CMS merge is exact: zero mismatched counters") {
+    val r = run("q258_cms_union").head
+    assert(r.getAs[Long]("n_mismatched") == 0L)
+    assert(r.getAs[Long]("merged_checksum") ==
+      r.getAs[Long]("direct_checksum"))
+  }
+
+  test("q259 Bloom OR-merge is exact: no asymmetric bits") {
+    val r = run("q259_bloom_union").head
+    assert(r.getAs[Boolean]("merge_exact"))
+    assert(r.getAs[Long]("n_bits_set") > 0)
+  }
+
+  test("q260 HLL intersection: inclusion-exclusion arithmetic exact; error bounded out of the linear regime") {
+    val r = run("q260_hll_intersection").head
+    val est = r.getAs[Double]("est_intersection")
+    val exact = r.getAs[Long]("exact_intersection").toDouble
+    // the identity est_int = est_a + est_b − est_u holds exactly by
+    // construction — pin it
+    assert(est == r.getAs[Double]("est_a") + r.getAs[Double]("est_b") -
+      r.getAs[Double]("est_union"))
+    // accuracy claim only applies above the raw-HLL linear-counting
+    // regime (q197's caveat): at test SF the audiences are tiny and
+    // raw estimates saturate near α·m, so skip the envelope there
+    if (exact > 256 * 2.5)
+      assert(math.abs(est - exact) <= 0.30 * exact,
+        s"intersection estimate $est too far from exact $exact")
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
