@@ -3908,6 +3908,41 @@ object StatsQueries {
              |  CAST(SUM(v) AS DOUBLE)
              |FROM touched WHERE event_type = 'purchase'
              |GROUP BY 2
-             |ORDER BY model, touch_type""".stripMargin))
+             |ORDER BY model, touch_type""".stripMargin)),
+
+    // EXT — effective sample size of length-weighted document
+    // sampling, per source: ESS = (Σw)²/Σw² with w = n_chars — how
+    // many "equivalent uniform documents" a weighted training mix
+    // really contains (ESS ≪ n flags a few giants dominating the
+    // slice). Exact integer weight moments, one double chain, plus
+    // the ESS/n efficiency ratio.
+    EngineQuery("q261_effective_sample_size",
+      (s, dir) => {
+        val agg = Tables.table(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("w"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+            sum(col("w") * col("w")).as("sww"))
+        agg.select(col("source"), col("n_docs"),
+            (col("sw").cast("double") * col("sw").cast("double") /
+              col("sww").cast("double")).as("ess"),
+            (col("sw").cast("double") * col("sw").cast("double") /
+              col("sww").cast("double") / col("n_docs").cast("double"))
+              .as("ess_efficiency"))
+          .orderBy("source")
+      },
+      Some("""WITH agg AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sw,
+             |    CAST(SUM(CAST(n_chars AS BIGINT)
+             |      * CAST(n_chars AS BIGINT)) AS BIGINT) AS sww
+             |  FROM documents GROUP BY 1)
+             |SELECT source, n_docs,
+             |  CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             |    / CAST(sww AS DOUBLE) AS ess,
+             |  CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             |    / CAST(sww AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |    AS ess_efficiency
+             |FROM agg ORDER BY source""".stripMargin))
   )
 }

@@ -629,6 +629,16 @@ class StatsQueriesSpec extends AnyFunSuite {
         s"intersection estimate $est too far from exact $exact")
   }
 
+  test("q261 ESS: between 1 and n, efficiency in (0,1]") {
+    run("q261_effective_sample_size").foreach { r =>
+      val ess = r.getAs[Double]("ess")
+      val n = r.getAs[Long]("n_docs").toDouble
+      assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-9)
+      val eff = r.getAs[Double]("ess_efficiency")
+      assert(eff > 0.0 && eff <= 1.0 + 1e-12)
+    }
+  }
+
   test("q212 JSD bounded by ln 2") {
     val r = run("q212_jsd_sources").head
     val jsd = r.getAs[Double]("jsd_nats")
