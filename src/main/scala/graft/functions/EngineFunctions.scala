@@ -34,6 +34,7 @@ object EngineFunctions {
     registry.createOrReplaceTempFunction("hex_prefix_long",
       exprs => HexPrefixToLongExpr(exprs.head, 8), "scala_udf")
     registry.createOrReplaceTempFunction("morton_code",
-      exprs => MortonCodeExpr(exprs.head, exprs(1), 8), "scala_udf")
+      exprs => GraftColumnBridge.expression(
+        MortonCode(col(exprs.head), col(exprs(1)), 8)), "scala_udf")
   }
 }

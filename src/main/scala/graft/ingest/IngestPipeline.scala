@@ -180,9 +180,16 @@ object IngestPipeline {
     // source carries them, so replay can reconstruct the message
     // (replay-dlq-job.js:36-51).
     val transport = Seq("message_id", "ordering_key").filter(v.columns.contains)
+    // the replay counter is a transport attribute (x-replay-attempts,
+    // replay-dlq-job.js:25): a re-ingested replay carries its incremented
+    // count, so a row that keeps failing accumulates attempts across
+    // DLQ→replay→DLQ cycles until DlqReplay.route parks it
+    val attemptsIn =
+      if (v.columns.contains("replay_attempts")) col("replay_attempts")
+      else lit(0)
     val dlq = v.filter(!col("is_valid"))
       .withColumn("http_status", categorizeError(col("error_type")))
-      .withColumn("replay_attempts", lit(0))
+      .withColumn("replay_attempts", attemptsIn)
       .select(("data" +: transport ++: Seq("error_type", "http_status",
         "replay_attempts")).map(col): _*)
     val sampledOut = v.filter(col("is_valid") && !col("sampled"))

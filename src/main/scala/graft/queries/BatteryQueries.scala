@@ -186,24 +186,51 @@ object BatteryQueries {
              |GROUP BY nk
              |ORDER BY op, nk""".stripMargin)),
 
-    // Q58 — approximate quantiles: rows-only (the GK sketch differs from
-    // DuckDB's); the test suite bounds it against an exact quantile at
-    // test SF. ONLY the mergeable sketch runs here — exact percentile
-    // buffers every group value in one aggregation buffer, which is
-    // unbounded memory at the 100 TB design point. Quartiles are exploded
-    // to one scalar row per (flag, q) so the driver gate can sort the
-    // output (arrays crash its compare).
+    // Q58 — approximate quantiles as a HASH-GATED rank-error report.
+    // ONLY the mergeable GK sketch runs here — exact percentile buffers
+    // every group value in one aggregation buffer, which is unbounded
+    // memory at the 100 TB design point — so the gate checks the
+    // sketch's RANK guarantee instead of its (engine-specific) value:
+    // percentile_approx(accuracy=1000) promises rank error ≤ n/1000;
+    // we assert the 10×-margin claim that the returned value's rank
+    // interval [count(<v), count(≤v)] overlaps [q−0.01, q+0.01], in
+    // pure BIGINT arithmetic, and the oracle asserts TRUE. Rank
+    // counting is one broadcast of 12 scalars + one aggregate — no
+    // per-group value buffering, unlike a value-space bound built from
+    // exact percentiles. The q260/q261 approx-vs-exact pattern.
     EngineQuery("q58_approx_quantile",
-      (s, dir) => Tables.table(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val approx = li.groupBy("l_returnflag")
+          .agg(expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
             .as("approx_quartiles"))
-        .select(col("l_returnflag"), posexplode(col("approx_quartiles")))
-        .select(col("l_returnflag"),
-          ((col("pos") + 1).cast("double") * lit(0.25)).as("quantile"),
-          col("col").as("approx"))
-        .orderBy("l_returnflag", "quantile"),
-      None),
+          .select(col("l_returnflag"), posexplode(col("approx_quartiles")))
+          .select(col("l_returnflag"),
+            ((col("pos") + 1L) * lit(250L)).as("qm"),
+            col("col").as("approx_val"))
+        val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("qm"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("l_extendedprice") <= col("approx_val"), 1L)
+              .otherwise(0L)).as("cnt_le"),
+            sum(when(col("l_extendedprice") < col("approx_val"), 1L)
+              .otherwise(0L)).as("cnt_lt"))
+        ranks.select(col("l_returnflag"),
+            (col("qm").cast("double") / lit(1000.0)).as("quantile"),
+            col("n_rows"),
+            (col("cnt_le") * lit(1000L) >= (col("qm") - 10L) * col("n_rows") &&
+             col("cnt_lt") * lit(1000L) <= (col("qm") + 10L) * col("n_rows"))
+              .as("within_rank_bound"))
+          .orderBy("l_returnflag", "quantile")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(q AS DOUBLE) / 1000.0 AS quantile,
+             |  n_rows, TRUE AS within_rank_bound
+             |FROM (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows
+             |      FROM lineitem GROUP BY 1)
+             |CROSS JOIN (SELECT CAST(unnest([250, 500, 750]) AS BIGINT) AS q)
+             |ORDER BY l_returnflag, quantile""".stripMargin)),
 
     // Q60 — as-of (point-in-time) join: each purchase gets the user's
     // most recent preceding click value. Composed as a union + ignore-

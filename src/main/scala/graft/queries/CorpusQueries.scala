@@ -791,8 +791,15 @@ object CorpusQueries {
     // corpus-vs-itself). Aggregate-first: grams dedupe per source
     // (shuffle on (source, gram), map-side partials), the pair join is
     // keyed on the gram, and everything after it is |sources|² rows.
-    // Jaccard denominators are pure integer algebra; at 100 TB the
-    // gram key would be the xxhash64 long (the q31 width discipline).
+    // Jaccard denominators are pure integer algebra. The gram key is
+    // the 8-byte xxhash64 of the gram string (the q31 width
+    // discipline) — the dedupe shuffle and the pair join move longs,
+    // not ~18–40-byte strings, which is several× less exchange volume
+    // on the biggest shuffle of the query at 100 TB. The DuckDB twin
+    // keys on the raw string (no xxhash64 there); a collision would
+    // surface as a gate mismatch, and at 2^64 hash width the expected
+    // collision count stays ≪1 until ~10^9 distinct grams per source
+    // pair.
     EngineQuery("q117_source_overlap",
       (s, dir) => {
         val g = TextQueries.docsSpread(s, dir)
@@ -802,7 +809,8 @@ object CorpusQueries {
             explode(sequence(lit(1), size(col("toks")) - 4)).as("i"),
             col("toks"))
           .select(col("source"),
-            concat_ws(" ", slice(col("toks"), col("i"), lit(5))).as("gram"))
+            xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(5))))
+              .as("gram"))
           .distinct()
         val counts = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
         val pairs = g.as("a").join(g.as("b"),

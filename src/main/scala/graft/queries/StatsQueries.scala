@@ -59,7 +59,7 @@ object StatsQueries {
           val h = sha256PrefixLong15(
             concat(lit("hll:"), keyCol.cast("string")))
           val regs = ev.select(pmod(h, lit(256L)).as("reg"),
-              (h / 256L).cast("long").as("w"))
+              shiftright(h, 8).as("w"))
             .groupBy("reg")
             .agg(max(when(col("w") === 0L, lit(53))
               .otherwise(lit(53) - length(bin(col("w"))))).as("m_rho"))
@@ -2136,10 +2136,16 @@ object StatsQueries {
              |FROM lat GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
     // EXT — supplier revenue concentration (HHI) per nation: the
-    // antitrust-style Herfindahl index Σ shareᵢ² computed as the exact
-    // integer ratio Σrevᵢ²/ (Σrev)² — whole-dollar revenue keeps every
-    // square inside int64 (see q215's conversion note) and the single
-    // final division makes the doubles engine-identical.
+    // antitrust-style Herfindahl index Σ shareᵢ². Each supplier's
+    // share is quantized to an exact 1e-9-granular integer
+    // s9 = rev·10^9 div tot, with the multiply carried in
+    // DECIMAL(38)/HUGEINT so it can never overflow; the quantized
+    // squares then sum inside int64 at ANY scale factor because
+    // Σ s9² ≤ (max s9)·(Σ s9) ≤ 10^9·10^9 — shares sum to ≤ 1, so the
+    // bound is SF-independent (unlike summing raw rev², whose
+    // per-nation total exits int64 around sf10). One final double
+    // division by the exactly-representable 10^18 keeps both engines
+    // bit-identical.
     EngineQuery("q232_supplier_hhi",
       (s, dir) => {
         val rev = t(s, dir, "lineitem")
@@ -2151,14 +2157,19 @@ object StatsQueries {
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(t(s, dir, "nation")),
             col("s_nationkey") === col("n_nationkey"))
-        val agg = j.groupBy(col("n_name").as("nation"))
+          .select(col("n_name").as("nation"), col("rev_usd"))
+        val tot = j.groupBy("nation")
           .agg(count(lit(1)).as("n_suppliers"),
-            sum(col("rev_usd")).as("tot_usd"),
-            sum(col("rev_usd") * col("rev_usd")).as("sq_sum"))
-        agg.select(col("nation"), col("n_suppliers"), col("tot_usd"),
-            (col("sq_sum").cast("double") /
-              (col("tot_usd").cast("double") * col("tot_usd").cast("double")))
-              .as("hhi"))
+            sum(col("rev_usd")).as("tot_usd"))
+        val shares = j.join(broadcast(tot), "nation")
+          .select(col("nation"), expr(
+            "cast((cast(rev_usd as decimal(38,0)) * 1000000000) div tot_usd as bigint)")
+            .as("s9"))
+        shares.groupBy("nation")
+          .agg(sum(col("s9") * col("s9")).as("ssq"))
+          .join(broadcast(tot), "nation")
+          .select(col("nation"), col("n_suppliers"), col("tot_usd"),
+            (col("ssq").cast("double") / lit(1e18)).as("hhi"))
           .orderBy("nation")
       },
       Some("""WITH rev AS (
@@ -2170,14 +2181,21 @@ object StatsQueries {
              |  SELECT n.n_name AS nation, r.rev_usd
              |  FROM rev r
              |  JOIN supplier s ON s.s_suppkey = r.l_suppkey
-             |  JOIN nation n ON n.n_nationkey = s.s_nationkey)
-             |SELECT nation, COUNT(*) AS n_suppliers,
-             |  CAST(SUM(rev_usd) AS BIGINT) AS tot_usd,
-             |  CAST(CAST(SUM(rev_usd * rev_usd) AS BIGINT) AS DOUBLE)
-             |    / (CAST(CAST(SUM(rev_usd) AS BIGINT) AS DOUBLE)
-             |      * CAST(CAST(SUM(rev_usd) AS BIGINT) AS DOUBLE))
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+             |tot AS (
+             |  SELECT nation, COUNT(*) AS n_suppliers,
+             |    CAST(SUM(rev_usd) AS BIGINT) AS tot_usd
+             |  FROM j GROUP BY 1),
+             |shares AS (
+             |  SELECT j.nation,
+             |    CAST((CAST(j.rev_usd AS HUGEINT) * 1000000000)
+             |      // t.tot_usd AS BIGINT) AS s9
+             |  FROM j JOIN tot t ON t.nation = j.nation)
+             |SELECT s.nation, t.n_suppliers, t.tot_usd,
+             |  CAST(CAST(SUM(s.s9 * s.s9) AS BIGINT) AS DOUBLE) / 1e18
              |    AS hhi
-             |FROM j GROUP BY 1 ORDER BY nation""".stripMargin)),
+             |FROM shares s JOIN tot t ON t.nation = s.nation
+             |GROUP BY 1, 2, 3 ORDER BY s.nation""".stripMargin)),
 
     // EXT — growth accounting: each day's active users split into NEW
     // (first activity today), RETAINED (also active yesterday) and
@@ -3561,7 +3579,7 @@ object StatsQueries {
           concat(lit("hllu:"), col("doc_id").cast("string")))
         val base = docs.select(col("source"),
           pmod(h, lit(256L)).as("reg"),
-          (h / 256L).cast("long").as("w"))
+          shiftright(h, 8).as("w"))
         val rho = max(when(col("w") === 0L, lit(53))
           .otherwise(lit(53) - length(bin(col("w"))))).as("m_rho")
         val perSource = base.groupBy("source", "reg").agg(rho)
@@ -3747,7 +3765,7 @@ object StatsQueries {
           concat(lit("hlli:"), col("user_id").cast("string")))
         val base = ev.join(broadcast(top2), Seq("event_type"))
           .select(col("rk"), pmod(h, lit(256L)).as("reg"),
-            (h / 256L).cast("long").as("w"))
+            shiftright(h, 8).as("w"))
         val rho = max(when(col("w") === 0L, lit(53))
           .otherwise(lit(53) - length(bin(col("w"))))).as("m_rho")
         val perSet = base.groupBy("rk", "reg").agg(rho)

@@ -26,7 +26,7 @@ object TextQueries {
     * doc text (narrowest point), and the hashpartitioning(doc_id) it
     * leaves behind is what every per-doc aggregation and window
     * downstream requires — they plan NO second exchange. */
-  private[queries] def docsSpread(s: SparkSession, dir: String) =
+  private[graft] def docsSpread(s: SparkSession, dir: String) =
     graft.operators.Spread.byKey(docs(s, dir), col("doc_id"))
 
   /** 8-char shingles at every position (1-based), as (doc_id, i, gram). */

@@ -57,16 +57,29 @@ object WindowQueries {
              |  COUNT(*) AS n_events
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Q17b — approx_count_distinct (HLL++): no cross-engine oracle (sketch
-    // implementations differ); driver records a rows-only check, and the
-    // scalatest suite asserts ±5% of exact.
+    // Q17b — approx_count_distinct (HLL++) as a HASH-GATED error
+    // report: DuckDB cannot replicate Spark's internal sketch, but it
+    // can replicate the CLAIM about it. Spark emits the 5%-accuracy
+    // check as data (integer arithmetic: 20·|approx−exact| ≤ exact, at
+    // rsd=0.01 so the bound is ~5σ) and the oracle asserts TRUE — any
+    // sketch drift past the bound flips the boolean and fails the hash
+    // gate. The q260/q261 approx-vs-exact reporting pattern; the raw
+    // estimate stays pinned ±5% in the scalatest suite.
     EngineQuery("q17b_approx_distinct",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (abs(col("approx_users") - col("exact_users")) * lit(20L) <=
+            col("exact_users")).as("within_5pct"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+             |  COUNT(DISTINCT user_id) AS exact_users,
+             |  COUNT(*) AS n_events,
+             |  TRUE AS within_5pct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Q16b — ranking/distribution window battery: ntile, percent_rank,
     // cume_dist, first/last value over deterministic frames.

@@ -55,4 +55,19 @@ class MortonCodeSpec extends AnyFunSuite {
     val row = spark.sql("SELECT morton_code(255L, 0L) AS z").collect().head
     assert(row.getLong(0) == 0x5555L)
   }
+
+  test("SQL registration casts INT arguments (interpreted eval too)") {
+    graft.functions.EngineFunctions.registerAll(spark)
+    // INT literals: the registration must cast to LONG like the Column
+    // API does, or interpreted eval throws ClassCastException
+    val row = spark.sql("SELECT morton_code(255, 0) AS z").collect().head
+    assert(row.getLong(0) == 0x5555L)
+    // and over a real column of ints
+    import spark.implicits._
+    val got = Seq(3, 5).toDF("x").createOrReplaceTempView("mc_ints")
+    val vals = spark.sql("SELECT morton_code(x, x) AS z FROM mc_ints ORDER BY z")
+      .collect().map(_.getLong(0))
+    assert(vals.sameElements(Array(Morton.interleave(3L, 3L, 8),
+      Morton.interleave(5L, 5L, 8)).sorted))
+  }
 }

@@ -28,35 +28,94 @@ class QueryRegistrySpec extends AnyFunSuite {
 
   test("percentile_approx stays within 5% of exact quartiles (q58 self-check)") {
     import org.apache.spark.sql.functions._
+    // the registry query gates the sketch's RANK guarantee as data;
+    // every row must report the bound held
     val rows = QueryRegistry.byName("q58_approx_quantile")
       .run(spark, dir).collect()
     assert(rows.length % 3 === 0) // three quartile rows per flag
-    // exact percentile runs ONLY here at test SF — it buffers whole
-    // groups in memory, so it must never ride in the registry query
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_rank_bound"),
+        s"rank bound violated at ${r.getAs[String]("l_returnflag")} " +
+          s"q=${r.getAs[Double]("quantile")}")
+    }
+    // the VALUE-space ±5% pin runs only here: exact percentile buffers
+    // whole groups in memory, so it must never ride in the registry
+    val approx = Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").as("aq"))
+      .select(col("l_returnflag"), posexplode(col("aq")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
     val exact = Tables.table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eq"))
       .select(col("l_returnflag"), posexplode(col("eq")))
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    rows.foreach { r =>
-      val a = r.getAs[Double]("approx")
-      val q = r.getAs[Double]("quantile")
-      val e = exact((r.getAs[String]("l_returnflag"), (q / 0.25).round.toInt - 1))
-      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e at q=$q")
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e at $k")
     }
   }
 
   test("approx_count_distinct stays within 5% of exact (Q17 self-check)") {
     import org.apache.spark.sql.functions._
+    // gated registry row: the 5% claim must hold as data
     val rows = QueryRegistry.byName("q17b_approx_distinct")
       .run(spark, dir).collect()
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"bound violated for ${r.getAs[String]("event_type")}")
     }
+    // raw estimate pin (the registry row only carries the boolean)
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .collect().foreach { r =>
+        val approx = r.getAs[Long]("approx_users").toDouble
+        val exact = r.getAs[Long]("exact_users").toDouble
+        assert(math.abs(approx - exact) / exact <= 0.05,
+          s"approx $approx vs exact $exact")
+      }
+  }
+
+  test("q117 hashed gram keys reproduce the string-keyed Jaccard matrix") {
+    import org.apache.spark.sql.functions._
+    // production path keys the dedupe + pair join on xxhash64(gram);
+    // this recomputes with raw string keys and demands the identical
+    // overlap matrix (collisions would perturb n_common/n_grams)
+    val hashed = QueryRegistry.byName("q117_source_overlap")
+      .run(spark, dir).collect().map(_.toString).sorted
+    val g = graft.queries.TextQueries.docsSpread(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("source"),
+        explode(sequence(lit(1), size(col("toks")) - 4)).as("i"),
+        col("toks"))
+      .select(col("source"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(5))).as("gram"))
+      .distinct()
+    val counts = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val stringKeyed = pairs
+      .join(broadcast(counts.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_grams", "n_a")), Seq("source_a"))
+      .join(broadcast(counts.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_grams", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+      .collect().map(_.toString).sorted
+    assert(hashed.sameElements(stringKeyed))
   }
 
   test("MAD outliers match a driver-side recompute (q112 self-check)") {
