@@ -135,8 +135,30 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
         ordered0.reverse
       else ordered0
-    val samples = (1 to runs).map { _ =>
-      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    // per-pass persist accounting (round-10 q26 adjudication): log the
+    // shared-frame cache state after EVERY pass so "did the persist set
+    // survive into pass N" is on record, not inferred. The q26 probe
+    // (DebugQ26Warm) showed the MinHash sig frame is tiny (0.2 MB at
+    // sf0.1), fully cached, and survives all passes — q26's
+    // first==steady is correct attribution: alphabetically earlier
+    // shared-frame consumers (q135…) pay the sig build in pass 1, and
+    // the per-pass cost left is the 3.18M-pair band join, deliberately
+    // uncached (it IS the engine cost under measurement).
+    def logPersistSet(tag: String): Unit =
+      try {
+        val store = spark.sparkContext.getRDDStorageInfo
+        val partial = store.filter(r => r.numCachedPartitions < r.numPartitions)
+        System.err.println(f"[bench] persist set $tag: ${store.length} RDDs, " +
+          f"${store.map(_.memSize).sum / 1e6}%.1f MB mem + " +
+          f"${store.map(_.diskSize).sum / 1e6}%.1f MB disk" +
+          (if (partial.nonEmpty)
+            partial.map(r => s" EVICTED[id=${r.id} ${r.numCachedPartitions}/${r.numPartitions}]").mkString
+          else ", no evictions"))
+      } catch { case scala.util.control.NonFatal(_) => }
+    val samples = (1 to runs).map { pass =>
+      val m = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+      logPersistSet(s"after pass $pass")
+      m
     }
     val results = ordered.map { case (name, _) =>
       val ts = samples.map(_(name)).filter(_ >= 0)

@@ -19,22 +19,31 @@ object EngineFunctions {
 
   private def col(e: Expression) = GraftColumnBridge.column(e)
 
+  /** Name → expression builder for every engine scalar function. One
+    * source of truth for both registration paths: the per-session
+    * [[registerAll]] and the cluster-wide [[graft.GraftExtensions]]
+    * (spark.sql.extensions) injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "normalize_phone" -> ((exprs: Seq[Expression]) =>
+      GraftColumnBridge.expression(
+        CoreFunctions.normalizePhone(col(exprs.head)))),
+    "hash_bucket" -> ((exprs: Seq[Expression]) =>
+      GraftColumnBridge.expression(
+        CoreFunctions.hashBucket(col(exprs.head)))),
+    "deterministic_sample" -> ((exprs: Seq[Expression]) =>
+      GraftColumnBridge.expression(
+        CoreFunctions.hashBucket(col(exprs.head)) <
+          col(exprs(1)).cast("double"))),
+    "hex_prefix_long" -> ((exprs: Seq[Expression]) =>
+      HexPrefixToLongExpr(exprs.head, 8)),
+    "morton_code" -> ((exprs: Seq[Expression]) =>
+      GraftColumnBridge.expression(
+        MortonCode(col(exprs.head), col(exprs(1)), 8))))
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("normalize_phone",
-      exprs => GraftColumnBridge.expression(
-        CoreFunctions.normalizePhone(col(exprs.head))), "scala_udf")
-    registry.createOrReplaceTempFunction("hash_bucket",
-      exprs => GraftColumnBridge.expression(
-        CoreFunctions.hashBucket(col(exprs.head))), "scala_udf")
-    registry.createOrReplaceTempFunction("deterministic_sample",
-      exprs => GraftColumnBridge.expression(
-        CoreFunctions.hashBucket(col(exprs.head)) <
-          col(exprs(1)).cast("double")), "scala_udf")
-    registry.createOrReplaceTempFunction("hex_prefix_long",
-      exprs => HexPrefixToLongExpr(exprs.head, 8), "scala_udf")
-    registry.createOrReplaceTempFunction("morton_code",
-      exprs => GraftColumnBridge.expression(
-        MortonCode(col(exprs.head), col(exprs(1)), 8)), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -68,7 +68,7 @@ object TextQueries {
     * teardown. */
   private val sharedSigs = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
     sharedSigs.getOrElseUpdate((s, dir),
       TextDedup.minhashSignatures(gramsDf(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
