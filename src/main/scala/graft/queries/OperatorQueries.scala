@@ -282,6 +282,40 @@ object OperatorQueries {
       Some(s"""WITH $mediaMetaSql
               |SELECT media_id, mime,
               |  CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS INT) AS frame_idx
-              |FROM meta ORDER BY media_id, frame_idx""".stripMargin))
+              |FROM meta ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // EXT — pure NON-equi temporal band join (operators/BandJoin): for
+    // every purchase, the count of clicks by ANY user within ±30
+    // minutes, plus the closest gap — cross-key temporal proximity, the
+    // join class Spark would plan as a cartesian/BNLJ without bucket
+    // decomposition (q14 is the other class: a theta band riding an
+    // equi key). One equi shuffle on the 30-min bucket id; pair volume
+    // is bounded by per-window event density. min_gap_us is exact
+    // integer microseconds, so the row hashes cross-engine.
+    EngineQuery("q262_temporal_band_join",
+      (s, dir) => {
+        import graft.operators.BandJoin
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("c_us"))
+        BandJoin.band(purchases, clicks, "p_us", "c_us", 1800000000L)
+          .groupBy(col("p_event_id").as("event_id"))
+          .agg(count(lit(1)).as("n_nearby_clicks"),
+            min(abs(col("p_us") - col("c_us"))).as("min_gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_nearby_clicks,
+             |  CAST(MIN(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT)
+             |    AS min_gap_us
+             |FROM events p JOIN events c
+             |  ON c.event_type = 'click'
+             |  AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY 1 ORDER BY p.event_id""".stripMargin))
   )
 }
