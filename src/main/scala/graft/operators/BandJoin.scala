@@ -58,4 +58,39 @@ object BandJoin {
       .filter(abs(col(leftOn) - col(rightOn)) <= radius)
       .drop("__band_bucket")
   }
+
+  /** Interval CONTAINMENT join: pair each point row with every
+    * interval row whose half-open [start, end) contains it — again
+    * with no equi key (the "which sessions were active at this
+    * moment" join). Points land in one `bucketWidth` bucket; each
+    * interval replicates to the ⌈len/width⌉+1 buckets it spans, so
+    * replication is bounded by interval length — `maxBucketsPerInterval`
+    * guards the degenerate open-ended interval (exceeding it raises at
+    * execution rather than silently exploding the shuffle). Pairs are
+    * exact (the point exists in one bucket) and produced exactly once.
+    * Pick `bucketWidth` near the TYPICAL interval length: shorter
+    * widths shrink per-bucket pair work but add interval copies. */
+  def intervalContain(points: DataFrame, intervals: DataFrame,
+      pointOn: String, startOn: String, endOn: String, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"column names must be disjoint; overlapping: ${overlap.mkString(", ")}")
+    def bucketSql(colName: String): String =
+      s"(cast($colName as bigint) + ${Long.MaxValue / 2}) div $bucketWidth"
+    val p = points.withColumn("__band_bucket", expr(bucketSql(pointOn)))
+    val i = intervals
+      .withColumn("__band_bucket", explode(expr(
+        s"""CASE
+           |  WHEN $endOn <= $startOn THEN array()
+           |  WHEN ${bucketSql(endOn)} - ${bucketSql(startOn)}
+           |      >= $maxBucketsPerInterval
+           |    THEN raise_error(concat('BandJoin.intervalContain: interval spans more than $maxBucketsPerInterval buckets at ', cast($startOn as string)))
+           |  ELSE sequence(${bucketSql(startOn)}, ${bucketSql(endOn)})
+           |END""".stripMargin)))
+    p.join(i, Seq("__band_bucket"))
+      .filter(col(pointOn) >= col(startOn) && col(pointOn) < col(endOn))
+      .drop("__band_bucket")
+  }
 }

@@ -316,6 +316,67 @@ object OperatorQueries {
              |  ON c.event_type = 'click'
              |  AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
              |WHERE p.event_type = 'purchase'
+             |GROUP BY 1 ORDER BY p.event_id""".stripMargin)),
+
+    // EXT — interval CONTAINMENT join (BandJoin.intervalContain): for
+    // every purchase, how many OTHER users had a 30-min-gap session
+    // open at that instant ("concurrent-audience at purchase time") —
+    // point-in-interval with no equi key, variable-length intervals.
+    // Sessions replicate across the 30-min buckets they span (bounded
+    // by session length), purchases stay single-bucket, and the exact
+    // [start, end) containment filter runs after one equi shuffle.
+    EngineQuery("q263_session_containment",
+      (s, dir) => {
+        import graft.operators.BandJoin
+        val ev = Tables.events(s, dir)
+        val sessions = ev
+          .groupBy(session_window(col("ts"), "30 minutes"),
+            col("user_id").as("s_user"))
+          .agg(count(lit(1)).as("s_events"))
+          .select(col("s_user"),
+            unix_micros(col("session_window.start").cast("timestamp"))
+              .as("s_start_us"),
+            unix_micros(col("session_window.end").cast("timestamp"))
+              .as("s_end_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user"),
+            unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        BandJoin.intervalContain(purchases, sessions,
+            "p_us", "s_start_us", "s_end_us", 1800000000L)
+          .filter(col("s_user") =!= col("p_user"))
+          .groupBy(col("p_event_id").as("event_id"))
+          .agg(count(lit(1)).as("n_open_sessions"),
+            countDistinct(col("s_user")).as("n_other_users"))
+          .orderBy("event_id")
+      },
+      Some("""WITH flags AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id AS s_user,
+             |    epoch_us(MIN(ts)) AS s_start_us,
+             |    epoch_us(MAX(ts)) + 1800000000 AS s_end_us
+             |  FROM (
+             |    SELECT user_id, ts,
+             |      SUM(new_session) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS session_id
+             |    FROM flags) g
+             |  GROUP BY user_id, session_id)
+             |SELECT p.event_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_open_sessions,
+             |  CAST(COUNT(DISTINCT s.s_user) AS BIGINT) AS n_other_users
+             |FROM events p JOIN sess s
+             |  ON epoch_us(p.ts) >= s.s_start_us
+             |  AND epoch_us(p.ts) < s.s_end_us
+             |  AND s.s_user <> p.user_id
+             |WHERE p.event_type = 'purchase'
              |GROUP BY 1 ORDER BY p.event_id""".stripMargin))
   )
 }

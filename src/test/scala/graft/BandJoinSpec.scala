@@ -61,6 +61,35 @@ class BandJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("intervalContain matches brute force, half-open, exactly once") {
+    val pts = (0L until 60L).map(i => (i, i * 7L % 101L)).toDF("pid", "pv")
+    val ivs = Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, 10L, 40L),
+      (4L, 90L, 120L), (5L, 50L, 51L), (6L, 30L, 30L))
+      .toDF("iid", "s", "e")
+    val got = BandJoin.intervalContain(pts, ivs, "pv", "s", "e", 8L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    val want = pts.crossJoin(ivs)
+      .filter(col("pv") >= col("s") && col("pv") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(got.sameElements(want))
+    // empty interval (e <= s, iid 2 and 6) never matches
+    assert(!want.exists(p => p._2 == 2L || p._2 == 6L))
+    // exactly-once under the multi-bucket interval replication
+    assert(got.distinct.length === got.length)
+  }
+
+  test("intervalContain raises on an interval spanning too many buckets") {
+    val pts = Seq((1L, 5L)).toDF("pid", "pv")
+    val ivs = Seq((1L, 0L, 100L)).toDF("iid", "s", "e")
+    val e = intercept[Exception](
+      BandJoin.intervalContain(pts, ivs, "pv", "s", "e", 10L,
+        maxBucketsPerInterval = 4).collect())
+    assert(e.getMessage.contains("spans more than"),
+      s"expected the bucket-span guard, got: ${e.getMessage}")
+  }
+
   test("q262 plans an equi shuffle join on the bucket, never a cartesian") {
     val plan = SparkEntry.queries("q262_temporal_band_join")(
       spark, "/root/testdata/sf0.001").queryExecution.sparkPlan.toString
