@@ -340,4 +340,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(again === salted)
   }
+
+  test("writeZOrdered keeps zones tight on BOTH dimensions (vs linear sort)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    graft.operators.WarehouseWriter.writeZOrdered(
+      li, zdir, "l_partkey", "l_suppkey", nFiles = 16)
+    // linear-sort baseline: same file count, sorted on one dimension
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(ldir)
+    def meanExtent(dir: String, c: String): Double = {
+      val ext = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("ext"))
+        .agg(avg("ext")).collect().head.getDouble(0)
+      val dom = spark.read.parquet(dir)
+        .agg((max(col(c)) - min(col(c))).cast("double")).collect()
+        .head.getDouble(0)
+      ext / dom
+    }
+    // linear layout: partkey zones tight, suppkey zones span ~the whole
+    // domain; z-order must keep BOTH well under the full domain
+    val (zx, zy) = (meanExtent(zdir, "l_partkey"), meanExtent(zdir, "l_suppkey"))
+    val ly = meanExtent(ldir, "l_suppkey")
+    assert(ly > 0.8, s"baseline suppkey zones should span the domain: $ly")
+    assert(zx < 0.5 && zy < 0.5,
+      s"z-order zones must be tight on both dims: partkey=$zx suppkey=$zy")
+    assert(zy < ly / 1.5, s"z-order suppkey zones ($zy) must beat linear ($ly)")
+  }
 }
