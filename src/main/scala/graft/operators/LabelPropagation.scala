@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Community detection by SYNCHRONOUS label propagation (Raghavan et
+  * al. 2007, public): every node starts with its own label and each
+  * round adopts the most frequent label among its neighbours — ties
+  * broken by the SMALLEST label, updates applied simultaneously — the
+  * density-sensitive complement of [[ConnectedComponents]] (which
+  * merges anything reachable; LPA keeps sparsely-linked dense regions
+  * apart, e.g. two near-dup clusters bridged by one borderline pair).
+  *
+  * Deterministic by construction: synchronous rounds + total
+  * (count desc, label asc) tie order — no random node order, so the
+  * same input gives the same communities on any cluster. The classic
+  * LPA caveat applies and is handled: synchronous updates can 2-cycle
+  * (bipartite oscillation), so convergence is "label multiset stopped
+  * changing OR oscillation detected" — on oscillation each node keeps
+  * the SMALLER of its two alternating labels (deterministic), which is
+  * also what breaks the trivial 2-node flip.
+  *
+  * Scale shape per round: one |E| join to look up neighbour labels,
+  * one (node, label) count aggregate, one top-1-per-node reduction via
+  * max_by on the packed (count, −label) key — NO window over the edge
+  * frame — and an eager localCheckpoint lineage cut (the CC iteration
+  * discipline). Rounds are O(1) plans over |V|+|E| rows.
+  */
+object LabelPropagation {
+
+  /** @param edges (src, dst) — undirected, deduped by caller if needed
+    * @param nodes one column of node ids (isolated nodes keep their id)
+    * @param maxIter hard round cap; LPA typically settles in < 10
+    * @return (<nodes' id column>, community_id) */
+  def communities(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val Array(srcCol, dstCol, _*) = edges.columns
+    val sym = edges
+      .select(col(srcCol).as("lp_id"), col(dstCol).as("lp_nbr"))
+      .union(edges.select(col(dstCol).as("lp_id"), col(srcCol).as("lp_nbr")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labeled = nodes.select(col(idCol).cast("long").as("lp_id")).distinct()
+      .withColumn("lp_label", col("lp_id"))
+      .localCheckpoint()
+    var prev: DataFrame = null // round N−2 labeling, for 2-cycle detection
+    var round = 0
+    var settled = false
+    while (!settled && round < maxIter) {
+      round += 1
+      val nbr = labeled.select(col("lp_id").as("lp_nbr"),
+        col("lp_label").as("lp_nbr_label"))
+      // most frequent neighbour label, ties to the smallest label:
+      // max_by over the exact packed key (count, -label) — count and
+      // label both fit comfortably; no window, no collect
+      val voted = sym.join(nbr, "lp_nbr")
+        .groupBy("lp_id", "lp_nbr_label")
+        .agg(count(lit(1)).as("lp_n"))
+        .groupBy("lp_id")
+        .agg(max_by(col("lp_nbr_label"),
+          struct(col("lp_n"), (-col("lp_nbr_label")).as("lp_neg")))
+          .as("lp_vote"))
+      val next = labeled.join(voted, Seq("lp_id"), "left")
+        .select(col("lp_id"),
+          coalesce(col("lp_vote"), col("lp_label")).as("lp_label"),
+          col("lp_label").as("lp_prev_label"))
+        .localCheckpoint()
+      val changed = next
+        .filter(col("lp_label") =!= col("lp_prev_label")).count()
+      if (changed == 0L) settled = true
+      else if (prev != null) {
+        // 2-cycle check: does round N equal round N−2 everywhere?
+        val osc = next.select(col("lp_id"), col("lp_label"))
+          .join(prev.select(col("lp_id"),
+            col("lp_label").as("lp_label_2ago")), "lp_id")
+          .filter(col("lp_label") =!= col("lp_label_2ago")).count() == 0L
+        if (osc) {
+          // deterministic break: keep the smaller of the two
+          // alternating labels per node
+          labeled = next.select(col("lp_id"),
+            least(col("lp_label"), col("lp_prev_label")).as("lp_label"))
+            .localCheckpoint()
+          settled = true
+        }
+      }
+      if (!settled) {
+        prev = labeled.select("lp_id", "lp_label")
+        labeled = next.select("lp_id", "lp_label")
+      }
+    }
+    sym.unpersist(blocking = false)
+    labeled.select(col("lp_id").as(idCol), col("lp_label").as("community_id"))
+  }
+}
