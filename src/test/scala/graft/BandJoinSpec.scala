@@ -90,6 +90,35 @@ class BandJoinSpec extends AnyFunSuite {
       s"expected the bucket-span guard, got: ${e.getMessage}")
   }
 
+  test("property: random key sets and radii match brute force (scalacheck)") {
+    import org.scalacheck.Gen
+    val keysGen = for {
+      n <- Gen.chooseNum(1, 60)
+      ks <- Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L))
+    } yield ks
+    val radiusGen = Gen.chooseNum(1L, 5000L)
+    for (trial <- 1 to 12) {
+      val lv = keysGen.sample.getOrElse(List(0L))
+      val rv = keysGen.sample.getOrElse(List(1L))
+      val radius = radiusGen.sample.getOrElse(17L)
+      val l = lv.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("lid", "lv")
+      val r = rv.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("rid", "rv")
+      val got = BandJoin.band(l, r, "lv", "rv", radius)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted
+      // driver-side brute force — independent of Spark's join machinery
+      val want = (for {
+        (a, i) <- lv.zipWithIndex
+        (b, j) <- rv.zipWithIndex
+        if math.abs(a - b) <= radius
+      } yield (i.toLong, j.toLong)).sorted
+      assert(got.toSeq == want,
+        s"trial $trial radius=$radius: got ${got.length} want ${want.length}")
+    }
+  }
+
   test("q262 plans an equi shuffle join on the bucket, never a cartesian") {
     val plan = SparkEntry.queries("q262_temporal_band_join")(
       spark, "/root/testdata/sf0.001").queryExecution.sparkPlan.toString
