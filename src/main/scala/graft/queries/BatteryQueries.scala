@@ -561,6 +561,144 @@ object BatteryQueries {
              |  UNION ALL SELECT 'event_type', n, nn4, nd4 FROM a
              |  UNION ALL SELECT 'value', n, nn5, nd5 FROM a
              |  UNION ALL SELECT 'props', n, nn6, nd6 FROM a)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // EXT — TPC-H Q2 SHAPE: correlated scalar MIN-equality subquery
+    // ("the supplier(s) offering each part at its minimum price",
+    // adapted to this schema's lineitem prices — no partsupp table).
+    // Exercises RewriteCorrelatedScalarSubquery: Catalyst decorrelates
+    // the per-part MIN into an aggregate + join, never a per-row
+    // re-execution. The compared value is the RAW parquet double (no
+    // arithmetic), so cross-engine equality is exact; DISTINCT
+    // collapses multi-lineitem ties and (partkey, suppkey) is then a
+    // total order.
+    EngineQuery("q264_cheapest_supplier",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""
+          |SELECT DISTINCT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+          |  l.l_extendedprice AS min_price
+          |FROM part p, lineitem l, supplier s
+          |WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
+          |  AND l.l_extendedprice = (
+          |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+          |    WHERE l2.l_partkey = p.p_partkey)
+          |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin)
+      },
+      Some("""SELECT DISTINCT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+             |  l.l_extendedprice AS min_price
+             |FROM part p, lineitem l, supplier s
+             |WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
+             |  AND l.l_extendedprice = (
+             |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+             |    WHERE l2.l_partkey = p.p_partkey)
+             |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin)),
+
+    // EXT — TPC-H Q17 SHAPE: correlated AVG-threshold subquery
+    // ("small-quantity orders revenue"): lineitems below 20% of their
+    // part's average quantity, revenue per brand ÷ 7. Quantities are
+    // integer-valued doubles, so AVG's sum is exact in fp regardless
+    // of accumulation order and the 0.2·avg threshold is the identical
+    // double in both engines; revenue sums in DECIMAL then one double
+    // division.
+    EngineQuery("q265_small_qty_revenue",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""
+          |SELECT p.p_brand,
+          |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    / 7.0 AS avg_yearly
+          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |WHERE l.l_quantity < (
+          |  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          |  WHERE l2.l_partkey = p.p_partkey)
+          |GROUP BY p.p_brand
+          |ORDER BY p.p_brand""".stripMargin)
+      },
+      Some("""SELECT p.p_brand,
+             |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    / 7.0 AS avg_yearly
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE l.l_quantity < (
+             |  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+             |  WHERE l2.l_partkey = p.p_partkey)
+             |GROUP BY p.p_brand
+             |ORDER BY p.p_brand""".stripMargin)),
+
+    // EXT — TPC-H Q18 SHAPE: IN-subquery over a HAVING aggregate
+    // ("large-volume orders"): orders whose lineitems total > 180
+    // units, with customer and the order's own quantity sum. The IN
+    // rewrites to a semi join; the repeated aggregate is the join-back.
+    // Quantity sums are integral doubles → exact BIGINT casts.
+    EngineQuery("q266_large_orders",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""
+          |SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+          |  CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+          |FROM customer c, orders o, lineitem l
+          |WHERE o.o_orderkey IN (
+          |    SELECT l_orderkey FROM lineitem
+          |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+          |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+          |GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+          |ORDER BY o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             |  CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+             |FROM customer c, orders o, lineitem l
+             |WHERE o.o_orderkey IN (
+             |    SELECT l_orderkey FROM lineitem
+             |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+             |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+             |GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+             |ORDER BY o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
+    // EXT — TPC-H Q21 SHAPE: EXISTS + NOT EXISTS on the same fact
+    // ("suppliers who kept waiting others"): the supplier shipped >60
+    // days after the order date, the order has other suppliers, and NO
+    // other supplier was also late — the double-correlated semi/anti
+    // composition (lateness adapted to ship-vs-order dates; this
+    // schema has no commit/receipt dates). Only the date-add spelling
+    // differs between engine texts.
+    EngineQuery("q267_waiting_suppliers",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""
+          |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+          |FROM supplier s, lineitem l1, orders o
+          |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+          |  AND CAST(l1.l_shipdate AS DATE) >
+          |      date_add(CAST(o.o_orderdate AS DATE), 60)
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND CAST(l3.l_shipdate AS DATE) >
+          |          date_add(CAST(o.o_orderdate AS DATE), 60))
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s.s_name""".stripMargin)
+      },
+      Some("""SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM supplier s, lineitem l1, orders o
+             |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+             |  AND CAST(l1.l_shipdate AS DATE) >
+             |      CAST(o.o_orderdate AS DATE) + 60
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND CAST(l3.l_shipdate AS DATE) >
+             |          CAST(o.o_orderdate AS DATE) + 60)
+             |GROUP BY s.s_name
+             |ORDER BY numwait DESC, s.s_name""".stripMargin))
   )
 }
