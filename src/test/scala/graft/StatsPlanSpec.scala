@@ -94,4 +94,16 @@ class StatsPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"top-10 customer frame must broadcast into the cascade:\n$plan")
   }
+
+  test("q264/q267 subqueries decorrelate to joins (no per-row re-execution)") {
+    // the correlated MIN-equality must become an aggregate + equi join
+    val q264 = executedPlan("q264_cheapest_supplier")
+    assert(q264.contains("HashAggregate") &&
+      !q264.contains("CartesianProduct"),
+      s"Q2 shape must decorrelate:\n$q264")
+    // EXISTS/NOT EXISTS must become semi/anti joins on the order key
+    val q267 = executedPlan("q267_waiting_suppliers")
+    assert(q267.contains("LeftSemi"), s"EXISTS must plan semi:\n$q267")
+    assert(q267.contains("LeftAnti"), s"NOT EXISTS must plan anti:\n$q267")
+  }
 }
