@@ -119,6 +119,36 @@ class BandJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random intervals and points match brute force (scalacheck)") {
+    import org.scalacheck.Gen
+    val ptsGen = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-5000L, 5000L)))
+    val ivGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.chooseNum(-5000L, 5000L)
+        len <- Gen.chooseNum(0L, 900L) // includes empty intervals
+      } yield (s, s + len)))
+    for (trial <- 1 to 10) {
+      val pv = ptsGen.sample.getOrElse(List(0L))
+      val iv = ivGen.sample.getOrElse(List((0L, 10L)))
+      val width = Gen.chooseNum(1L, 400L).sample.getOrElse(50L)
+      val p = pv.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "pv")
+      val i = iv.zipWithIndex.map { case ((s, e), j) => (j.toLong, s, e) }
+        .toDF("iid", "s", "e")
+      val got = BandJoin.intervalContain(p, i, "pv", "s", "e", width)
+        .select("pid", "iid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted
+      val want = (for {
+        (v, pi) <- pv.zipWithIndex
+        ((s, e), ii) <- iv.zipWithIndex
+        if v >= s && v < e
+      } yield (pi.toLong, ii.toLong)).sorted
+      assert(got.toSeq == want,
+        s"trial $trial width=$width: got ${got.length} want ${want.length}")
+    }
+  }
+
   test("q262 plans an equi shuffle join on the bucket, never a cartesian") {
     val plan = SparkEntry.queries("q262_temporal_band_join")(
       spark, "/root/testdata/sf0.001").queryExecution.sparkPlan.toString
