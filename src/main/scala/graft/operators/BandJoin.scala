@@ -93,4 +93,47 @@ object BandJoin {
       .filter(col(pointOn) >= col(startOn) && col(pointOn) < col(endOn))
       .drop("__band_bucket")
   }
+
+  /** Interval OVERLAP join: pair every left interval [ls, le) with
+    * every right interval [rs, re) that overlaps it — ls < re AND
+    * rs < le — the third non-equi class (band = point×point,
+    * containment = point×interval, this = interval×interval; the
+    * "whose sessions were open at the same time" join). Both sides
+    * replicate to every `bucketWidth` bucket they span; overlapping
+    * intervals share the bucket of any common instant, so one equi
+    * shuffle on the bucket id finds all pairs. Because a pair can
+    * share MANY buckets, each pair is kept only in the bucket of
+    * `greatest(ls, rs)` — the first instant of the intersection,
+    * which both intervals contain — so output is exactly-once
+    * WITHOUT a distinct (no second shuffle). Replication is bounded
+    * by interval length via `maxBucketsPerInterval` on both sides,
+    * same guard as [[intervalContain]]. Empty intervals (end ≤
+    * start) join nothing. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"column names must be disjoint; overlapping: ${overlap.mkString(", ")}")
+    def bucketSql(colName: String): String =
+      s"(cast($colName as bigint) + ${Long.MaxValue / 2}) div $bucketWidth"
+    def spanBuckets(startOn: String, endOn: String): Column =
+      explode(expr(
+        s"""CASE
+           |  WHEN $endOn <= $startOn THEN array()
+           |  WHEN ${bucketSql(endOn)} - ${bucketSql(startOn)}
+           |      >= $maxBucketsPerInterval
+           |    THEN raise_error(concat('BandJoin.intervalOverlap: interval spans more than $maxBucketsPerInterval buckets at ', cast($startOn as string)))
+           |  ELSE sequence(${bucketSql(startOn)}, ${bucketSql(endOn)})
+           |END""".stripMargin))
+    val l = left.withColumn("__band_bucket", spanBuckets(leftStart, leftEnd))
+    val r = right.withColumn("__band_bucket", spanBuckets(rightStart, rightEnd))
+    l.join(r, Seq("__band_bucket"))
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .filter(col("__band_bucket") ===
+        expr(s"(cast(greatest($leftStart, $rightStart) as bigint) + ${Long.MaxValue / 2}) div $bucketWidth"))
+      .drop("__band_bucket")
+  }
 }

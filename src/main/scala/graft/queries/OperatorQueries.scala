@@ -377,6 +377,77 @@ object OperatorQueries {
              |  AND epoch_us(p.ts) < s.s_end_us
              |  AND s.s_user <> p.user_id
              |WHERE p.event_type = 'purchase'
-             |GROUP BY 1 ORDER BY p.event_id""".stripMargin))
+             |GROUP BY 1 ORDER BY p.event_id""".stripMargin)),
+
+    // EXT — interval OVERLAP join (BandJoin.intervalOverlap): the
+    // co-presence matrix of the 50 most active users — for each user
+    // pair, how many of their 30-min-gap sessions overlapped in time
+    // and for how long in total. interval×interval with no equi key;
+    // the top-50 prefilter (a 50-row broadcast semi-join) bounds the
+    // pair surface the way any real co-presence query would (the
+    // all-users matrix is O(users²) and not a query anyone runs).
+    // Pairs are produced exactly once via the greatest(start)-bucket
+    // rule — no distinct, one equi shuffle. overlap_us is exact
+    // integer microseconds (least/greatest on BIGINT), so the row
+    // hashes cross-engine.
+    EngineQuery("q268_session_copresence",
+      (s, dir) => {
+        import graft.operators.BandJoin
+        val ev = Tables.events(s, dir)
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("user_id")).limit(50)
+          .select("user_id")
+        val sess = ev.join(broadcast(top), Seq("user_id"))
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_ev"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start").cast("timestamp"))
+              .as("start_us"),
+            unix_micros(col("session_window.end").cast("timestamp"))
+              .as("end_us"))
+        val a = sess.select(col("user_id").as("a_user"),
+          col("start_us").as("a_s"), col("end_us").as("a_e"))
+        val b = sess.select(col("user_id").as("b_user"),
+          col("start_us").as("b_s"), col("end_us").as("b_e"))
+        BandJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
+            1800000000L)
+          .filter(col("a_user") < col("b_user"))
+          .groupBy("a_user", "b_user")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(least(col("a_e"), col("b_e")) -
+              greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+          .orderBy("a_user", "b_user")
+      },
+      Some("""WITH top50 AS (
+             |  SELECT user_id FROM events
+             |  GROUP BY 1 ORDER BY COUNT(*) DESC, user_id LIMIT 50),
+             |flags AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WHERE user_id IN (SELECT user_id FROM top50)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id,
+             |    epoch_us(MIN(ts)) AS s_us,
+             |    epoch_us(MAX(ts)) + 1800000000 AS e_us
+             |  FROM (
+             |    SELECT user_id, ts,
+             |      SUM(new_session) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS sid
+             |    FROM flags) g
+             |  GROUP BY user_id, sid)
+             |SELECT a.user_id AS a_user, b.user_id AS b_user,
+             |  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+             |  CAST(SUM(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+             |    AS BIGINT) AS overlap_us
+             |FROM sess a JOIN sess b
+             |  ON a.user_id < b.user_id
+             |  AND a.s_us < b.e_us AND b.s_us < a.e_us
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -91,6 +91,20 @@ object SimilarityQueries {
           preparedShared(s, dir).select("vec_id"), mutualShared(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared 3-core node frame per (session, dir): the KCore peel
+    * loop's per-round fixed cost (1 agg + 2 semi-joins + 1 action)
+    * dwarfs its data at test SF and a real run peels ONCE and fans
+    * out — the mutualClustersShared precedent. |core| rows;
+    * [[reset]] evicts. */
+  private val sharedKCore = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def kCoreShared(s: SparkSession, dir: String): DataFrame =
+    sharedKCore.getOrElseUpdate((s, dir),
+      graft.operators.KCore.coreNodes(
+          mutualShared(s, dir).select(col("vec_id").as("src"),
+            col("nbr_id").as("dst")), k = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** One shared PQ subspace-distance frame per (session, dir): the
     * encode report (q125), ADC search (q140), its recall eval (q141)
     * and rank fusion (q142) all start from the same exact
@@ -119,6 +133,8 @@ object SimilarityQueries {
       sharedMutual.remove(k).foreach(_.unpersist(blocking = false)))
     sharedMutualClusters.keys.filter(_._1 eq s).foreach(k =>
       sharedMutualClusters.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedKCore.keys.filter(_._1 eq s).foreach(k =>
+      sharedKCore.remove(k).foreach(_.unpersist(blocking = false)))
     sharedPower.keys.filter(_._1 eq s).foreach(k =>
       sharedPower.remove(k).foreach(_.unpersist(blocking = false)))
     sharedProj.keys.filter(_._1 eq s).foreach(k =>
@@ -523,6 +539,38 @@ object SimilarityQueries {
               |FROM n LEFT JOIN deg d ON d.vec_id = n.vec_id
               |LEFT JOIN tv t ON t.vec_id = n.vec_id
               |ORDER BY n.vec_id""".stripMargin)),
+
+    // EXT — 3-core of the mutual-KNN graph (operators/KCore): the
+    // recursive-peel refinement of q114's local density signal — a
+    // node survives only if ≥3 of its mutual neighbours ALSO survive,
+    // so hub-adjacent tendrils that pass a raw degree filter fall out
+    // with their support. Spark side peels to a true fixpoint (one
+    // keyed count + two semi-joins per round, lineage cut every
+    // round); the oracle runs the identical peel as a recursive CTE
+    // with a fixed 64-round horizon — far past the peel depth of a
+    // degree-≤5 graph, and stable once converged, so the two agree
+    // exactly. core_degree is the node's WITHIN-core degree.
+    EngineQuery("q270_knn_kcore",
+      (s, dir) => kCoreShared(s, dir)
+        .select(col("src").as("vec_id"), col("core_degree"))
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |surv AS (
+              |  SELECT 0 AS i, src, dst FROM mutual
+              |  UNION ALL
+              |  SELECT i + 1, src, dst FROM surv e
+              |  WHERE i < 64
+              |    AND e.src IN (SELECT src FROM surv
+              |                  GROUP BY src HAVING COUNT(*) >= 3)
+              |    AND e.dst IN (SELECT src FROM surv
+              |                  GROUP BY src HAVING COUNT(*) >= 3))
+              |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+              |FROM surv WHERE i = 64
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // EXT — coreset / representative selection: one keeper per
     // mutual-KNN cluster, chosen by PageRank centrality over the KNN

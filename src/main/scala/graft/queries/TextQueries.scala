@@ -1676,7 +1676,84 @@ object TextQueries {
               |  1.0 - CAST(SUM(CASE WHEN survives = 1 THEN n_tokens
               |      ELSE 0 END) AS DOUBLE)
               |    / CAST(SUM(n_tokens) AS DOUBLE) AS token_savings
-              |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — cross-document duplicate SPANS (the train-data dedup unit
+    // of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better": repeated substrings, not whole-doc dups): an
+    // 8-token gram is "duplicated" when it appears in ≥2 distinct
+    // docs; consecutive duplicated positions within a doc merge into
+    // MAXIMAL spans (the lag/running-sum islands trick), and each doc
+    // reports its span count, duplicated-token mass, and longest
+    // span. Scale shape: gram→doc-count is one shuffle keyed on the
+    // 8-byte xxhash64 of the gram (q117/q31 width discipline — the
+    // DuckDB twin keys on the raw string; a collision would surface
+    // as a gate mismatch), the positions join is a semi-join on the
+    // same key, and the island window is partitioned by doc_id —
+    // frame bounded by doc length. No pair explosion anywhere: cost
+    // is linear in total grams.
+    EngineQuery("q269_duplicate_spans",
+      (s, dir) => {
+        val g = docsSpread(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("toks")) - 7)).as("pos"),
+            col("toks"))
+          .select(col("doc_id"), col("pos"),
+            xxhash64(concat_ws(" ", slice(col("toks"), col("pos"), lit(8))))
+              .as("gram"))
+        val dup = g.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("gram")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val spans = g.join(dup, Seq("gram"))
+          .select("doc_id", "pos")
+          .withColumn("prev", lag("pos", 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
+              .otherwise(0L))
+          .withColumn("span_id", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "span_id")
+          .agg(min("pos").as("s"), (max("pos") + 7).as("e"))
+        spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).as("dup_tokens"),
+            max(col("e") - col("s") + 1).cast("long").as("max_span_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(toks[i : i + 7], ' ') AS gram
+             |  FROM t CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) p
+             |  WHERE i <= len(toks) - 7),
+             |dup AS (
+             |  SELECT gram FROM g
+             |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+             |x AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |  FROM (SELECT doc_id, pos FROM g JOIN dup USING (gram)) dp),
+             |sp AS (
+             |  SELECT doc_id, pos,
+             |    SUM(CASE WHEN prev IS NULL OR pos - prev > 1
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS span_id
+             |  FROM x),
+             |spans AS (
+             |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+             |  FROM sp GROUP BY 1, 2)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+             |  CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens
+             |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

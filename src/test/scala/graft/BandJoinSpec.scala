@@ -149,6 +149,49 @@ class BandJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlap: property — random interval sets match brute force") {
+    import org.scalacheck.Gen
+    val ivGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.chooseNum(-5000L, 5000L)
+        len <- Gen.chooseNum(0L, 900L) // includes empty intervals
+      } yield (s, s + len)))
+    for (trial <- 1 to 10) {
+      val av = ivGen.sample.getOrElse(List((0L, 10L)))
+      val bv = ivGen.sample.getOrElse(List((5L, 15L)))
+      val width = Gen.chooseNum(1L, 400L).sample.getOrElse(50L)
+      val a = av.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("aid", "as", "ae")
+      val b = bv.zipWithIndex.map { case ((s, e), j) => (j.toLong, s, e) }
+        .toDF("bid", "bs", "be")
+      val got = BandJoin.intervalOverlap(a, b, "as", "ae", "bs", "be", width)
+        .select("aid", "bid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted
+      val want = (for {
+        ((s1, e1), i) <- av.zipWithIndex
+        ((s2, e2), j) <- bv.zipWithIndex
+        // true half-open overlap: the intersection [max(s), min(e))
+        // must be non-empty — the bare s1<e2 && s2<e1 predicate is a
+        // LIE for empty intervals like [5,5) vs [4,6)
+        if e1 > s1 && e2 > s2 && s1 < e2 && s2 < e1
+      } yield (i.toLong, j.toLong)).sorted
+      assert(got.toSeq == want,
+        s"trial $trial width=$width: got ${got.length} want ${want.length}")
+    }
+  }
+
+  test("intervalOverlap produces each overlapping pair exactly once") {
+    // long intervals sharing MANY buckets — the greatest(start)-bucket
+    // dedup rule must still emit one row per pair
+    val a = Seq((1L, 0L, 4000L), (2L, 100L, 3900L)).toDF("aid", "as", "ae")
+    val b = Seq((1L, 50L, 3500L), (2L, 3999L, 8000L)).toDF("bid", "bs", "be")
+    val rows = BandJoin.intervalOverlap(a, b, "as", "ae", "bs", "be", 10L)
+      .groupBy("aid", "bid").count().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows == Map((1L, 1L) -> 1L, (1L, 2L) -> 1L, (2L, 1L) -> 1L),
+      s"got $rows") // (2L,2L): interval 2 of a ends at 3900 < 3999 start
+  }
+
   test("q262 plans an equi shuffle join on the bucket, never a cartesian") {
     val plan = SparkEntry.queries("q262_temporal_band_join")(
       spark, "/root/testdata/sf0.001").queryExecution.sparkPlan.toString
