@@ -572,6 +572,67 @@ object SimilarityQueries {
               |FROM surv WHERE i = 64
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // EXT — Adamic-Adar link prediction over the mutual-KNN graph:
+    // for every NON-edge (u,v) sharing ≥1 common neighbour, score
+    // AA = Σ_w 1/ln(deg w) over common neighbours w, and report the
+    // top-20 predicted links — the classic "these two docs are
+    // probably near-dups the KNN cutoff missed" signal, completing
+    // the graph battery (components → communities → PageRank →
+    // triangles → k-core → link prediction). Enumeration is the
+    // ordered-wedge join (w's neighbour pairs, ≤ k(k−1)/2 per node,
+    // k ≤ 5) minus existing edges via anti-join — never all-pairs.
+    // Each 1/ln(deg) term is fixed-pointed (×1e6, BIGINT, the q99
+    // surprisal recipe) BEFORE the cross-neighbour sum, so the
+    // ranking key is an exact integer and float addition order can
+    // never flip ranks; deg ≥ 2 for every wedge centre, so ln > 0.
+    EngineQuery("q271_link_prediction",
+      (s, dir) => {
+        val m = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        // deg = 1 ⇒ ln = 0: those nodes centre no wedge, but ANSI
+        // division evaluates before any join prunes them — filter first
+        val wW = m.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2)
+          .select(col("src").as("w"),
+            round(lit(1e6) / log(col("deg").cast("double")))
+              .cast("long").as("w_fp"))
+        val wedges = m.select(col("src").as("w"), col("dst").as("u"))
+          .join(m.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+          .filter(col("u") < col("v"))
+        wedges
+          .join(m.select(col("src").as("u"), col("dst").as("v")),
+            Seq("u", "v"), "left_anti")
+          .join(wW, Seq("w"))
+          .groupBy("u", "v")
+          .agg(count(lit(1)).as("n_common"), sum("w_fp").as("aa_fp"))
+          .orderBy(col("aa_fp").desc, col("u"), col("v")).limit(20)
+          .select(col("u"), col("v"), col("n_common"), col("aa_fp"),
+            round(col("aa_fp").cast("double") / 1e6, 6).as("aa"))
+      },
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |ww AS (
+              |  SELECT src AS w,
+              |    CAST(round(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)))
+              |      AS BIGINT) AS w_fp
+              |  FROM mutual GROUP BY src HAVING COUNT(*) >= 2),
+              |wedge AS (
+              |  SELECT m1.src AS w, m1.dst AS u, m2.dst AS v
+              |  FROM mutual m1 JOIN mutual m2
+              |    ON m2.src = m1.src AND m1.dst < m2.dst),
+              |ne AS (
+              |  SELECT wd.w, wd.u, wd.v FROM wedge wd
+              |  WHERE NOT EXISTS (SELECT 1 FROM mutual e
+              |                    WHERE e.src = wd.u AND e.dst = wd.v))
+              |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+              |  CAST(SUM(w_fp) AS BIGINT) AS aa_fp,
+              |  round(CAST(SUM(w_fp) AS DOUBLE) / 1000000.0, 6) AS aa
+              |FROM ne JOIN ww USING (w)
+              |GROUP BY 1, 2 ORDER BY aa_fp DESC, u, v LIMIT 20""".stripMargin)),
+
     // EXT — coreset / representative selection: one keeper per
     // mutual-KNN cluster, chosen by PageRank centrality over the KNN
     // graph (highest-centrality member = densest similarity

@@ -3961,6 +3961,78 @@ object StatsQueries {
              |  CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
              |    / CAST(sww AS DOUBLE) / CAST(n_docs AS DOUBLE)
              |    AS ess_efficiency
-             |FROM agg ORDER BY source""".stripMargin))
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // EXT — Holt linear-trend smoothing (double exponential smoothing,
+    // α = β = 1/2) of per-nation daily order revenue, with a 7-day
+    // forecast = level + 7·trend. The recurrence
+    //   l_t = (x_t + l_{t−1} + b_{t−1}) div 2
+    //   b_t = (l_t − l_{t−1} + b_{t−1}) div 2
+    // is NON-associative, so no window/closed form exists (q203's EWMA
+    // trick needs geometric weights; Holt's coupled state does not
+    // factor) — instead each nation's calendar-bounded series folds
+    // SEQUENTIALLY inside one codegen'd `aggregate` lambda over its
+    // sorted (day, cents) array: keys process in parallel, the
+    // per-key array is |days| (calendar-bounded, NOT SF-scaled), and
+    // all arithmetic is exact BIGINT cents with truncating `div` —
+    // DuckDB's recursive-CTE twin runs the identical integer
+    // recurrence step by step (BIGINT `//` truncates toward zero in
+    // both engines, the q181 rescale finding), so every intermediate
+    // state matches bit for bit.
+    EngineQuery("q272_holt_forecast",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("cents"))
+        daily.groupBy("n_name")
+          .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+            .as("series"))
+          .select(col("n_name"),
+            size(col("series")).cast("long").as("n_days"),
+            expr("""aggregate(
+                slice(series, 2, greatest(size(series) - 1, 0)),
+                named_struct('l', series[0].cents, 'b', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct(
+                  'l', (x.cents + acc.l + acc.b) div 2,
+                  'b', (((x.cents + acc.l + acc.b) div 2) - acc.l + acc.b)
+                    div 2))""").as("st"))
+          .select(col("n_name"), col("n_days"),
+            col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+            (col("st.l") + lit(7L) * col("st.b")).as("forecast7_cents"))
+          .orderBy("n_name")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |  GROUP BY 1, 2),
+             |d AS (
+             |  SELECT n_name, cents,
+             |    row_number() OVER (PARTITION BY n_name ORDER BY day)
+             |      AS rnk
+             |  FROM daily),
+             |holt AS (
+             |  SELECT n_name, rnk, cents AS l, CAST(0 AS BIGINT) AS b
+             |  FROM d WHERE rnk = 1
+             |  UNION ALL
+             |  SELECT d.n_name, d.rnk,
+             |    (d.cents + h.l + h.b) // 2,
+             |    (((d.cents + h.l + h.b) // 2) - h.l + h.b) // 2
+             |  FROM holt h JOIN d ON d.n_name = h.n_name
+             |    AND d.rnk = h.rnk + 1),
+             |fin AS (SELECT n_name, MAX(rnk) AS n_days FROM d GROUP BY 1)
+             |SELECT h.n_name, CAST(f.n_days AS BIGINT) AS n_days,
+             |  h.l AS level_cents, h.b AS trend_cents,
+             |  CAST(h.l + 7 * h.b AS BIGINT) AS forecast7_cents
+             |FROM holt h JOIN fin f ON f.n_name = h.n_name
+             |  AND h.rnk = f.n_days
+             |ORDER BY 1""".stripMargin))
   )
 }
