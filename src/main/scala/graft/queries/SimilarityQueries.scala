@@ -296,6 +296,32 @@ object SimilarityQueries {
       |    CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS fp
       |  FROM n LEFT JOIN m$i m ON m.id = n.vec_id)""".stripMargin
 
+  /** One unrolled MMR greedy step (operators.Mmr algebra, λ = 1/2):
+    * `ms<i>` max-sim-to-selected, `sc<i>` scores over the unselected
+    * remainder, `pk<i>` the per-group argmax, `sel<i>` the growing
+    * selection — from `sel<i-1>` (the pagerankIterSql pattern). */
+  private def mmrStepSql(i: Int): String =
+    s"""ms$i AS (
+      |  SELECT p.q_id, p.a AS vec_id, MAX(p.sim_fp) AS m
+      |  FROM pairs p JOIN sel${i - 1} s
+      |    ON s.q_id = p.q_id AND s.vec_id = p.b
+      |  GROUP BY 1, 2),
+      |sc$i AS (
+      |  SELECT c.q_id, c.vec_id,
+      |    c.rel_fp - COALESCE(m.m, CAST(0 AS BIGINT)) AS score_fp
+      |  FROM cand c LEFT JOIN ms$i m
+      |    ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+      |                    WHERE s.q_id = c.q_id
+      |                      AND s.vec_id = c.vec_id)),
+      |pk$i AS (
+      |  SELECT q_id, vec_id, CAST($i AS BIGINT) AS step, score_fp FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score_fp DESC, vec_id) AS rn FROM sc$i) x
+      |  WHERE rn = 1),
+      |sel$i AS MATERIALIZED (
+      |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pk$i)""".stripMargin
+
   /** Exploded 1e-6 fixed-point components (vec_id, pos, x) — the input
     * frame of the q181/q185 power-iteration chain. */
   private def powerComps(s: SparkSession, dir: String) =
@@ -632,6 +658,77 @@ object SimilarityQueries {
               |  round(CAST(SUM(w_fp) AS DOUBLE) / 1000000.0, 6) AS aa
               |FROM ne JOIN ww USING (w)
               |GROUP BY 1, 2 ORDER BY aa_fp DESC, u, v LIMIT 20""".stripMargin)),
+
+    // EXT — MMR diversified top-k (operators/Mmr, λ = 1/2): for each
+    // of 4 query vectors, greedily select 8 of the top-24 cosine
+    // candidates maximizing rel − max-sim-to-selected — the
+    // dedup-aware retrieval/sampling step plain top-k lacks (when the
+    // best matches are near-copies, MMR forces coverage; the
+    // curation-side dual of q111's SemDeDup). Every relevance and
+    // pair similarity is fixed-pointed (round(cos·1e6), BIGINT)
+    // BEFORE selection, so the greedy argmax key is exact and the
+    // 8-step trajectory is bit-reproducible; the oracle unrolls the
+    // identical greedy recurrence as 8 CTE steps. Scale shape:
+    // candidate generation is the bounded-query brute-force/ANN path
+    // (caller-blocked); the loop itself is k rounds of
+    // anti-join + keyed max + per-group top-1, distributed across
+    // query groups with lineage cut per round.
+    EngineQuery("q273_mmr_diverse_topk",
+      (s, dir) => {
+        import graft.operators.{Mmr, Similarity}
+        val e = preparedShared(s, dir)
+        val q = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        val rel = q.join(e, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(Similarity.dot(col("qv"), col("v")) /
+              (col("qnrm") * col("nrm")) * 1e6)
+              .cast("long").as("rel_fp"))
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("rel_fp").desc, col("vec_id"))
+        val cand = rel.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 24).select("q_id", "vec_id", "rel_fp")
+        val pairs = cand.select(col("q_id"), col("vec_id").as("a"))
+          .join(cand.select(col("q_id"), col("vec_id").as("b")), Seq("q_id"))
+          .filter(col("a") =!= col("b"))
+          .join(e.select(col("vec_id").as("a"), col("v").as("av"),
+            col("nrm").as("anrm")), Seq("a"))
+          .join(e.select(col("vec_id").as("b"), col("v").as("bv"),
+            col("nrm").as("bnrm")), Seq("b"))
+          .select(col("q_id"), col("a"), col("b"),
+            round(Similarity.dot(col("av"), col("bv")) /
+              (col("anrm") * col("bnrm")) * 1e6)
+              .cast("long").as("sim_fp"))
+        Mmr.select(cand, pairs, k = 8).orderBy("q_id", "step")
+      },
+      Some(s"""WITH $prepSql,
+              |rel AS (
+              |  SELECT q.vec_id AS q_id, t.vec_id AS vec_id,
+              |    CAST(round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm)
+              |      * 1000000.0) AS BIGINT) AS rel_fp
+              |  FROM n q JOIN n t ON t.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 4),
+              |cand AS MATERIALIZED (
+              |  SELECT q_id, vec_id, rel_fp FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY rel_fp DESC, vec_id) AS rn FROM rel) x
+              |  WHERE rn <= 24),
+              |pairs AS MATERIALIZED (
+              |  SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+              |    CAST(round(list_dot_product(na.v, nb.v)
+              |      / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS sim_fp
+              |  FROM cand a JOIN cand b
+              |    ON b.q_id = a.q_id AND b.vec_id <> a.vec_id
+              |  JOIN n na ON na.vec_id = a.vec_id
+              |  JOIN n nb ON nb.vec_id = b.vec_id),
+              |sel0 AS (
+              |  SELECT q_id, vec_id, CAST(0 AS BIGINT) AS step,
+              |    CAST(0 AS BIGINT) AS score_fp
+              |  FROM cand WHERE 1 = 0),
+              |${(1 to 8).map(mmrStepSql).mkString(",\n")}
+              |SELECT q_id, vec_id, step, score_fp FROM sel8
+              |ORDER BY q_id, step""".stripMargin)),
 
     // EXT — coreset / representative selection: one keeper per
     // mutual-KNN cluster, chosen by PageRank centrality over the KNN
