@@ -4033,6 +4033,141 @@ object StatsQueries {
              |  CAST(h.l + 7 * h.b AS BIGINT) AS forecast7_cents
              |FROM holt h JOIN fin f ON f.n_name = h.n_name
              |  AND h.rnk = f.n_days
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // EXT — join-cardinality estimation audit (the System-R/CBO
+    // statistics loop q217/q218 feed): estimate |A ⋈ B| from each
+    // side's top-20 MCVs plus a uniform-tail assumption —
+    //   Σ MCV∩MCV exact products
+    //   + MCV-only masses × the other side's tail average
+    //   + tailA·tailB / max(tail ndv)
+    // — and report it against the EXACT join cardinality
+    // (Σ cA(v)·cB(v)). The audited joins are the FK spine
+    // (orders⋈customer) and the many-to-many part spine
+    // (lineitem⋈part). Every arithmetic step is BIGINT with
+    // truncating div, so both engines produce the identical estimate.
+    // (At warehouse row counts the tail product wants DOUBLE or a
+    // div-first rewrite to stay in int64 — the estimate's precision,
+    // unlike a result's, tolerates it; here the exact form IS the
+    // cross-engine gate.)
+    EngineQuery("q274_join_card_estimate",
+      (s, dir) =>
+        cardAuditFrame(s, dir, "orders", "o_custkey",
+            "customer", "c_custkey", "orders_customer")
+          .union(cardAuditFrame(s, dir, "lineitem", "l_partkey",
+            "part", "p_partkey", "lineitem_part"))
+          .orderBy("join_name"),
+      Some(s"""WITH ${cardAuditSql("j1", "orders", "o_custkey",
+                "customer", "c_custkey", "orders_customer")},
+              |${cardAuditSql("j2", "lineitem", "l_partkey",
+                "part", "p_partkey", "lineitem_part")}
+              |SELECT * FROM j1est UNION ALL SELECT * FROM j2est
+              |ORDER BY join_name""".stripMargin))
   )
+
+  /** One join-cardinality audit row (q274): MCV-plus-uniform-tail
+    * estimate vs exact Σ cA·cB, all BIGINT/div so the oracle twin
+    * matches bit for bit. Heavy frames are the two per-key count
+    * aggregations; everything after is top-20/1-row broadcasts. */
+  private def cardAuditFrame(s: SparkSession, dir: String,
+      tblA: String, keyA: String, tblB: String, keyB: String,
+      label: String): DataFrame = {
+    val ca = t(s, dir, tblA).groupBy(col(keyA).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cb = t(s, dir, tblB).groupBy(col(keyB).as("v"))
+      .agg(count(lit(1)).as("c2"))
+    val ma = ca.orderBy(col("c").desc, col("v")).limit(20)
+    val mb = cb.orderBy(col("c2").desc, col("v")).limit(20)
+    val ta = ca.agg(sum("c").cast("long").as("rows_a"),
+      count(lit(1)).as("ndv_a"))
+    val tb = cb.agg(sum("c2").cast("long").as("rows_b"),
+      count(lit(1)).as("ndv_b"))
+    val sma = ma.agg(coalesce(sum("c"), lit(0L)).cast("long").as("mrows_a"),
+      count(lit(1)).as("mn_a"))
+    val smb = mb.agg(coalesce(sum("c2"), lit(0L)).cast("long").as("mrows_b"),
+      count(lit(1)).as("mn_b"))
+    val mcv = ma.join(mb, "v")
+      .agg(coalesce(sum(col("c") * col("c2")), lit(0L)).cast("long")
+        .as("est_mcv"))
+    val ao = ma.join(mb.select("v"), Seq("v"), "left_anti")
+      .agg(coalesce(sum("c"), lit(0L)).cast("long").as("s_a"))
+    val bo = mb.join(ma.select("v"), Seq("v"), "left_anti")
+      .agg(coalesce(sum("c2"), lit(0L)).cast("long").as("s_b"))
+    val act = ca.join(cb, "v")
+      .agg(coalesce(sum(col("c") * col("c2")), lit(0L)).cast("long")
+        .as("actual_rows"))
+    mcv.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .crossJoin(broadcast(sma)).crossJoin(broadcast(smb))
+      .crossJoin(broadcast(ao)).crossJoin(broadcast(bo))
+      .crossJoin(broadcast(act))
+      .select(lit(label).as("join_name"),
+        (col("est_mcv")
+          + when(col("ndv_b") - col("mn_b") > 0, col("s_a") *
+              expr("(rows_b - mrows_b) div (ndv_b - mn_b)")).otherwise(0L)
+          + when(col("ndv_a") - col("mn_a") > 0, col("s_b") *
+              expr("(rows_a - mrows_a) div (ndv_a - mn_a)")).otherwise(0L)
+          + when(greatest(col("ndv_a") - col("mn_a"),
+                col("ndv_b") - col("mn_b")) > 0,
+              expr("((rows_a - mrows_a) * (rows_b - mrows_b)) div " +
+                "greatest(ndv_a - mn_a, ndv_b - mn_b)")).otherwise(0L))
+          .as("est_rows"),
+        col("actual_rows"))
+      .select(col("join_name"), col("est_rows"), col("actual_rows"),
+        round(col("est_rows").cast("double") /
+          col("actual_rows").cast("double"), 6).as("est_over_actual"))
+  }
+
+  /** Oracle twin of [[cardAuditFrame]] as a `<p>est` CTE chain. */
+  private def cardAuditSql(p: String, tblA: String, keyA: String,
+      tblB: String, keyB: String, label: String): String =
+    s"""${p}ca AS (SELECT $keyA AS v, COUNT(*) AS c FROM $tblA GROUP BY 1),
+       |${p}cb AS (SELECT $keyB AS v, COUNT(*) AS c2 FROM $tblB GROUP BY 1),
+       |${p}ma AS (SELECT v, c FROM ${p}ca ORDER BY c DESC, v LIMIT 20),
+       |${p}mb AS (SELECT v, c2 FROM ${p}cb ORDER BY c2 DESC, v LIMIT 20),
+       |${p}ta AS (SELECT CAST(SUM(c) AS BIGINT) AS rows_a,
+       |  CAST(COUNT(*) AS BIGINT) AS ndv_a FROM ${p}ca),
+       |${p}tb AS (SELECT CAST(SUM(c2) AS BIGINT) AS rows_b,
+       |  CAST(COUNT(*) AS BIGINT) AS ndv_b FROM ${p}cb),
+       |${p}sma AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS mrows_a,
+       |  CAST(COUNT(*) AS BIGINT) AS mn_a FROM ${p}ma),
+       |${p}smb AS (SELECT CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS mrows_b,
+       |  CAST(COUNT(*) AS BIGINT) AS mn_b FROM ${p}mb),
+       |${p}mcv AS (SELECT CAST(COALESCE(SUM(a.c * b.c2), 0) AS BIGINT)
+       |  AS est_mcv FROM ${p}ma a JOIN ${p}mb b USING (v)),
+       |${p}ao AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS s_a
+       |  FROM ${p}ma WHERE v NOT IN (SELECT v FROM ${p}mb)),
+       |${p}bo AS (SELECT CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS s_b
+       |  FROM ${p}mb WHERE v NOT IN (SELECT v FROM ${p}ma)),
+       |${p}act AS (SELECT CAST(COALESCE(SUM(a.c * b.c2), 0) AS BIGINT)
+       |  AS actual_rows FROM ${p}ca a JOIN ${p}cb b USING (v)),
+       |${p}est AS (
+       |  SELECT '$label' AS join_name,
+       |    CAST(mcv.est_mcv
+       |      + CASE WHEN tb.ndv_b - smb.mn_b > 0 THEN ao.s_a *
+       |          ((tb.rows_b - smb.mrows_b) // (tb.ndv_b - smb.mn_b))
+       |        ELSE 0 END
+       |      + CASE WHEN ta.ndv_a - sma.mn_a > 0 THEN bo.s_b *
+       |          ((ta.rows_a - sma.mrows_a) // (ta.ndv_a - sma.mn_a))
+       |        ELSE 0 END
+       |      + CASE WHEN greatest(ta.ndv_a - sma.mn_a,
+       |            tb.ndv_b - smb.mn_b) > 0
+       |        THEN ((ta.rows_a - sma.mrows_a) * (tb.rows_b - smb.mrows_b))
+       |          // greatest(ta.ndv_a - sma.mn_a, tb.ndv_b - smb.mn_b)
+       |        ELSE 0 END AS BIGINT) AS est_rows,
+       |    act.actual_rows,
+       |    round(CAST(mcv.est_mcv
+       |      + CASE WHEN tb.ndv_b - smb.mn_b > 0 THEN ao.s_a *
+       |          ((tb.rows_b - smb.mrows_b) // (tb.ndv_b - smb.mn_b))
+       |        ELSE 0 END
+       |      + CASE WHEN ta.ndv_a - sma.mn_a > 0 THEN bo.s_b *
+       |          ((ta.rows_a - sma.mrows_a) // (ta.ndv_a - sma.mn_a))
+       |        ELSE 0 END
+       |      + CASE WHEN greatest(ta.ndv_a - sma.mn_a,
+       |            tb.ndv_b - smb.mn_b) > 0
+       |        THEN ((ta.rows_a - sma.mrows_a) * (tb.rows_b - smb.mrows_b))
+       |          // greatest(ta.ndv_a - sma.mn_a, tb.ndv_b - smb.mn_b)
+       |        ELSE 0 END AS DOUBLE)
+       |      / CAST(act.actual_rows AS DOUBLE), 6) AS est_over_actual
+       |  FROM ${p}mcv mcv, ${p}ta ta, ${p}tb tb, ${p}sma sma,
+       |    ${p}smb smb, ${p}ao ao, ${p}bo bo, ${p}act act)""".stripMargin
 }
