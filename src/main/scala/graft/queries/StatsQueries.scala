@@ -4062,8 +4062,73 @@ object StatsQueries {
               |${cardAuditSql("j2", "lineitem", "l_partkey",
                 "part", "p_partkey", "lineitem_part")}
               |SELECT * FROM j1est UNION ALL SELECT * FROM j2est
-              |ORDER BY join_name""".stripMargin))
+              |ORDER BY join_name""".stripMargin)),
+
+    // EXT — k-anonymity audit (k = 5) on the customer table's quasi-
+    // identifier triple (nation, market segment, $1000 account-balance
+    // bucket): a customer whose QI group has < k members is
+    // re-identifiable by linkage even after q77's direct-PII masking —
+    // the release-gate check that masking alone cannot provide
+    // (Sweeney 2002). Per nation: group count, violating-group count,
+    // exposed customers, and the exposed fraction. The balance bucket
+    // is exact integer cents div — no ntile/percentile, so the QI
+    // partition is stable across engines AND across data refreshes.
+    // One shuffle on the QI triple, then a 25-row nation rollup.
+    EngineQuery("q275_k_anonymity",
+      (s, dir) => {
+        val qi = t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            expr("(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint))" +
+              " div 100000").as("bal_bucket"))
+        val groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+          .agg(count(lit(1)).as("gsize"))
+        groups.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("gsize") < KAnonThreshold, 1L).otherwise(0L))
+              .as("n_violating"),
+            sum(when(col("gsize") < KAnonThreshold, col("gsize"))
+              .otherwise(0L)).as("exposed_customers"),
+            sum(col("gsize")).as("n_customers"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("n_groups"),
+            col("n_violating"), col("exposed_customers"),
+            round(col("exposed_customers").cast("double") /
+              col("n_customers").cast("double"), 6).as("exposed_frac"))
+          .orderBy("nation")
+      },
+      Some(s"""WITH qi AS (
+              |  SELECT c_nationkey, c_mktsegment,
+              |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+              |      // 100000 AS bal_bucket
+              |  FROM customer),
+              |g AS (
+              |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+              |    COUNT(*) AS gsize
+              |  FROM qi GROUP BY 1, 2, 3),
+              |pn AS (
+              |  SELECT c_nationkey,
+              |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+              |    CAST(SUM(CASE WHEN gsize < $KAnonThreshold
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+              |    CAST(SUM(CASE WHEN gsize < $KAnonThreshold
+              |      THEN gsize ELSE 0 END) AS BIGINT) AS exposed_customers,
+              |    CAST(SUM(gsize) AS BIGINT) AS n_customers
+              |  FROM g GROUP BY 1)
+              |SELECT n.n_name AS nation, pn.n_groups, pn.n_violating,
+              |  pn.exposed_customers,
+              |  round(CAST(pn.exposed_customers AS DOUBLE)
+              |    / CAST(pn.n_customers AS DOUBLE), 6) AS exposed_frac
+              |FROM pn JOIN nation n ON n.n_nationkey = pn.c_nationkey
+              |ORDER BY nation""".stripMargin))
   )
+
+  /** One k-anonymity quasi-identifier audit (q275). `final` without a
+    * type ascription = compile-time constant, INLINED at use sites —
+    * a plain val here reads 0 inside the eagerly-built oracle string
+    * (this object initializes `all` before vals declared below it)
+    * while the lazily-run Spark closure reads 5. */
+  private final val KAnonThreshold = 5
 
   /** One join-cardinality audit row (q274): MCV-plus-uniform-tail
     * estimate vs exact Σ cA·cB, all BIGINT/div so the oracle twin
