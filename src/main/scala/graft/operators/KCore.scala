@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * core when its support was other peeled nodes — exactly the
   * "mutually-supported dense cluster" semantics a near-dup or KNN graph
   * audit wants, and one strictly stronger than a degree filter (the
-  * reference's graph surface stops at pairwise audits; this is
+  * reference's graph surface stops at pairwise duplicate audits,
+  * `/root/reference/scripts/02_idempotency_test.js:125` — this is
   * engine-original, after Batagelj–Zaveršnik's peeling formulation).
   *
   * Algorithm: repeat { drop every edge with an endpoint of current

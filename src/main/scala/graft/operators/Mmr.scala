@@ -5,7 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Maximal Marginal Relevance (Carbonell–Goldstein 1998) diversified
-  * top-k selection, per query group: greedily pick the candidate
+  * top-k selection — engine-original: the reference has no retrieval
+  * surface (its query layer stops at delegated SQL,
+  * `/root/reference/scripts/01_smoke_publish.js`), but a
+  * training-data curation engine needs diversity-aware selection.
+  * Per query group: greedily pick the candidate
   * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected —
   * the de-dup-aware retrieval/sampling step that plain top-k lacks
   * (top-k returns k near-copies when the best results are near-dups;
