@@ -47,18 +47,31 @@ object Mmr {
     require(k >= 1, "k must be at least 1")
     val w = Window.partitionBy("q_id")
       .orderBy(col("score_fp").desc, col("vec_id"))
+    // pre-partition BOTH inputs on q_id: every per-round operator
+    // (anti-join, sim join, keyed max, per-group window) clusters on a
+    // key set CONTAINING q_id, and a hashpartitioning on a subset of
+    // the keys satisfies ClusteredDistribution — so the k rounds run
+    // exchange-free off these two checkpointed layouts instead of
+    // re-shuffling 4 times per round (at bench SF the rounds are pure
+    // fixed cost, and exchanges are most of it)
     val cand = candidates.select("q_id", "vec_id", "rel_fp")
+      .repartition(col("q_id"))
       .localCheckpoint()
     val pairs = pairSims.select("q_id", "a", "b", "sim_fp")
+      .repartition(col("q_id"))
       .localCheckpoint()
     var selected = cand.limit(0)
       .select(col("q_id"), col("vec_id"), lit(0L).as("step"),
         lit(0L).as("score_fp"))
     for (step <- 1 to k) {
-      val remaining = cand.join(selected.select("q_id", "vec_id"),
+      // selected is ≤ step·|groups| rows — broadcast both probes, so a
+      // round's only clustering requirements (the keyed max and the
+      // top-1 window) are already satisfied by the q_id layout above
+      val remaining = cand.join(
+        broadcast(selected.select("q_id", "vec_id")),
         Seq("q_id", "vec_id"), "left_anti")
       val maxSim = pairs
-        .join(selected.select(col("q_id"), col("vec_id").as("b")),
+        .join(broadcast(selected.select(col("q_id"), col("vec_id").as("b"))),
           Seq("q_id", "b"))
         .groupBy(col("q_id"), col("a").as("vec_id"))
         .agg(max(col("sim_fp")).as("max_sim_fp"))
