@@ -30,4 +30,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(102L) === None)      // 09:00 → no preceding quote
     assert(got(200L) === Some(3.0)) // other key isolated
   }
+
+  test("property: random series match the brute-force as-of (incl. ts collisions)") {
+    import org.scalacheck.Gen
+    val base = ts("00:00").getTime
+    for (trial <- 1 to 8) {
+      val nL = Gen.chooseNum(1, 30).sample.getOrElse(10)
+      val nR = Gen.chooseNum(0, 30).sample.getOrElse(10)
+      // coarse minute grid FORCES timestamp collisions, both across
+      // sides (same-instant visibility) and within the right side
+      def t() = new Timestamp(
+        base + Gen.chooseNum(0, 20).sample.getOrElse(0) * 60000L)
+      def key() = Gen.chooseNum(1L, 3L).sample.getOrElse(1L)
+      val lefts = (0 until nL).map(i => (key(), t(), 100L + i))
+      // right rows unique per (key, ts): multiple right rows at one
+      // instant have no defined winner without a tieBreak column
+      val rights = (0 until nR).map(i => (key(), t(), 900L + i, i * 1.5))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val got = AsOfJoin.asOf(
+          lefts.toDF("k", "ts", "event_id"),
+          rights.toDF("k", "ts", "rid", "px"),
+          "k", "ts", valueCols = Seq("px"), tieBreak = Seq("event_id"))
+        .select("event_id", "asof_px")
+        .as[(Long, Option[Double])].collect().toMap
+      val want = lefts.map { case (k, lts, id) =>
+        val preceding = rights.filter(r => r._1 == k && !r._2.after(lts))
+        id -> (if (preceding.isEmpty) None
+               else Some(preceding.maxBy(_._2.getTime)._4))
+      }.toMap
+      assert(got == want, s"trial $trial lefts=$lefts rights=$rights")
+    }
+  }
 }
