@@ -699,6 +699,150 @@ object BatteryQueries {
              |      AND CAST(l3.l_shipdate AS DATE) >
              |          CAST(o.o_orderdate AS DATE) + 60)
              |GROUP BY s.s_name
-             |ORDER BY numwait DESC, s.s_name""".stripMargin))
+             |ORDER BY numwait DESC, s.s_name""".stripMargin)),
+
+    // EXT — TPC-H Q11 SHAPE: GROUP BY + HAVING against a GLOBAL scalar
+    // subquery ("important stock"): parts whose lineitem value share
+    // exceeds the all-parts average (cents·|scalar| vs total — pure
+    // BIGINT comparison, no division anywhere, so the threshold is
+    // exact at any SF). Catalyst must plan the scalar ONCE (a 1-row
+    // broadcast into the HAVING filter), not per group.
+    EngineQuery("q276_important_parts",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(q276Sql)
+      },
+      Some(q276Sql)),
+
+    // EXT — TPC-H Q15 SHAPE: aggregate view consumed twice — once as
+    // the join input, once under MAX — with the WHERE total = (SELECT
+    // MAX…) equality ("top supplier"). The CTE must not recompute per
+    // row; revenue is exact BIGINT cents so the MAX-equality can never
+    // split on float noise; ties (multiple top suppliers) all return,
+    // ordered by key.
+    EngineQuery("q277_top_supplier",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(q277Sql)
+      },
+      Some(q277Sql)),
+
+    // EXT — TPC-H Q16 SHAPE: NOT IN over an aggregated subquery +
+    // COUNT(DISTINCT) ("supplier diversity excluding returns-heavy
+    // suppliers"): the NOT IN rewrites to a null-aware anti join
+    // against a HAVING-filtered aggregate (the exclusion is RELATIVE —
+    // R-count > 1.1x the average via integer cross-multiplication, so
+    // the predicate stays meaningful at every SF), then distinct
+    // supplier counts per (brand, type). Keys are never null here, so the
+    // null-aware path degenerates to a plain anti join — the rewrite
+    // itself is what's under test.
+    EngineQuery("q278_supplier_diversity",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(q278Sql)
+      },
+      Some(q278Sql)),
+
+    // EXT — TPC-H Q20 SHAPE: nested IN chains (supplier IN (… lineitem
+    // … WHERE part IN (…) GROUP BY HAVING)) — two levels of semi-join
+    // rewrite with an aggregate between them ("widget bulk
+    // suppliers"). Quantities are integral doubles → the HAVING
+    // threshold compares exact BIGINTs.
+    EngineQuery("q279_widget_bulk_suppliers",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(q279Sql)
+      },
+      Some(q279Sql)),
+
+    // EXT — TPC-H Q22 SHAPE: scalar average threshold + NOT EXISTS
+    // ("idle rich accounts by geography"): customers above the
+    // positive-balance average with no PENDING ('P') order — every
+    // customer in this generator has some order, so status-scoped
+    // NOT EXISTS is the Q22-analog anti-condition that stays
+    // non-empty at every test SF — rolled up per nation.
+    // The average is expressed as cnt·bal > sum — decimal-exact
+    // integer-style comparison, no division — so the cohort is
+    // identical cross-engine; the NOT EXISTS is the anti-join leg.
+    EngineQuery("q280_idle_rich_geography",
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(q280Sql)
+      },
+      Some(q280Sql))
   )
+
+  // Q276–Q280 run the IDENTICAL text through spark.sql and DuckDB —
+  // the optimizer shapes (scalar-subquery broadcast, CTE reuse,
+  // null-aware anti join, nested semi joins, exists decorrelation)
+  // are what differ under the hood.
+  private lazy val q276Sql =
+    """WITH val AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT v.l_partkey AS p_partkey, p.p_brand, v.cents AS value_cents
+      |FROM val v JOIN part p ON p.p_partkey = v.l_partkey
+      |GROUP BY v.l_partkey, p.p_brand, v.cents
+      |HAVING v.cents * (SELECT CAST(COUNT(*) AS BIGINT) FROM val) >
+      |  (SELECT CAST(SUM(cents) AS BIGINT) FROM val)
+      |ORDER BY value_cents DESC, p_partkey""".stripMargin
+
+  private lazy val q277Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.rev_cents
+      |FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+      |WHERE r.rev_cents = (SELECT MAX(rev_cents) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  private lazy val q278Sql =
+    """SELECT p.p_brand, p.p_type,
+      |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |WHERE p.p_size <= 20
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT l2.l_suppkey FROM lineitem l2
+      |    WHERE l2.l_returnflag = 'R'
+      |    GROUP BY l2.l_suppkey
+      |    HAVING COUNT(*) * (SELECT CAST(COUNT(DISTINCT l3.l_suppkey)
+      |        AS BIGINT) FROM lineitem l3 WHERE l3.l_returnflag = 'R')
+      |        * 10 >
+      |      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l4
+      |       WHERE l4.l_returnflag = 'R') * 11)
+      |GROUP BY p.p_brand, p.p_type
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type""".stripMargin
+
+  private lazy val q279Sql =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  WHERE l.l_partkey IN (
+      |    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      |  GROUP BY l.l_suppkey
+      |  HAVING CAST(SUM(l.l_quantity) AS BIGINT) > 1000)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  private lazy val q280Sql =
+    """WITH pos AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c.c_nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c.c_nationkey IN (0, 1, 2, 3, 4)
+      |  AND CAST(c.c_acctbal AS DECIMAL(18,2)) * (SELECT cnt FROM pos) >
+      |    (SELECT total FROM pos)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderstatus = 'P')
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
 }
