@@ -659,6 +659,40 @@ object SimilarityQueries {
               |FROM ne JOIN ww USING (w)
               |GROUP BY 1, 2 ORDER BY aa_fp DESC, u, v LIMIT 20""".stripMargin)),
 
+    // EXT — multi-source BFS hop distances (operators/Bfs): minimum
+    // hops from 3 seed vectors to everything within 6 hops of them on
+    // the mutual-KNN graph — the "how far from the curated seed set"
+    // curation signal, and the shortest-path primitive completing the
+    // graph suite. Level-synchronous frontier expansion, first-touch
+    // = min-dist (anti-join against visited — no per-node min agg);
+    // the oracle enumerates all ≤6-hop walks as a recursive CTE and
+    // takes MIN(d) per (seed, node), which is the same function.
+    EngineQuery("q281_knn_bfs_hops",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val seeds = preparedShared(s, dir).filter(col("vec_id") < 3)
+          .select("vec_id")
+        graft.operators.Bfs.distances(edges, seeds, maxHops = 6)
+          .select(col("bfs_seed").as("seed"), col("bfs_node").as("vec_id"),
+            col("bfs_dist").as("dist"))
+          .orderBy("seed", "vec_id")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |walk AS (
+              |  SELECT vec_id AS seed, vec_id AS node, 0 AS d
+              |  FROM n WHERE vec_id < 3
+              |  UNION
+              |  SELECT w.seed, m.dst AS node, w.d + 1
+              |  FROM walk w JOIN mutual m ON m.src = w.node
+              |  WHERE w.d < 6)
+              |SELECT seed, node AS vec_id, CAST(MIN(d) AS BIGINT) AS dist
+              |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // EXT — MMR diversified top-k (operators/Mmr, λ = 1/2): for each
     // of 4 query vectors, greedily select 8 of the top-24 cosine
     // candidates maximizing rel − max-sim-to-selected — the
