@@ -79,4 +79,54 @@ object PageRank {
     }
     rank.select(col("pr_id").as(idCol), col("pr_fp").as("rank_fp"))
   }
+
+  /** PERSONALIZED PageRank: teleport mass lands ONLY on `seeds`
+    * (uniformly), so ranks measure importance RELATIVE to the seed
+    * set — "which documents sit in the curated set's neighbourhood",
+    * the seeded-expansion dual of [[ranksFp]]'s global centrality.
+    * Same all-BIGINT ×1e9 algebra: the per-node teleport is
+    * `(0.15·Scale·|V|) div |S|` for seeds and 0 elsewhere (total
+    * teleport mass matches the global variant's 0.15·Scale·|V|, so
+    * the two scores are comparable), the start vector is the full
+    * Scale·|V| mass spread over the seeds, and |V|/|S| enter as
+    * 1-row broadcast scalars — never a driver-side count. */
+  def personalizedRanksFp(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "fixed iteration count must stay oracle-unrollable")
+    val idCol = nodes.columns.head
+    val Array(srcCol, dstCol, _*) = edges.columns
+    val e = edges.select(col(srcCol).as("pr_src"), col(dstCol).as("pr_dst"))
+    val deg = e.groupBy("pr_src").agg(count(lit(1)).as("pr_deg"))
+    val universe = nodes.select(col(idCol).as("pr_id")).distinct()
+    val seedSet = seeds.select(col(seeds.columns.head).as("pr_id"))
+      .distinct().withColumn("pr_is_seed", lit(1L))
+    val scalars = universe.agg(count(lit(1)).as("pr_n"))
+      .crossJoin(seedSet.agg(count(lit(1)).as("pr_ns")))
+    val base = universe
+      .join(broadcast(seedSet), Seq("pr_id"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("pr_id"),
+        coalesce(col("pr_is_seed"), lit(0L)).as("pr_is_seed"),
+        col("pr_n"), col("pr_ns"))
+    var rank = base.select(col("pr_id"),
+      when(col("pr_is_seed") === 1L, expr(s"($Scale * pr_n) div pr_ns"))
+        .otherwise(lit(0L)).as("pr_fp"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(rank.withColumnRenamed("pr_id", "pr_src"), "pr_src")
+        .join(deg, "pr_src")
+        .select(col("pr_dst"), expr("pr_fp div pr_deg").as("pr_contrib"))
+        .groupBy("pr_dst").agg(sum(col("pr_contrib")).as("pr_mass"))
+      rank = base
+        .join(contribs.withColumnRenamed("pr_dst", "pr_id"),
+          Seq("pr_id"), "left")
+        .select(col("pr_id"),
+          (when(col("pr_is_seed") === 1L,
+            expr(s"($TeleportFp * pr_n) div pr_ns")).otherwise(lit(0L)) +
+            expr(s"($DampNum * coalesce(pr_mass, CAST(0 AS BIGINT))) div 100"))
+            .as("pr_fp"))
+    }
+    rank.select(col("pr_id").as(idCol), col("pr_fp").as("ppr_fp"))
+  }
 }

@@ -296,6 +296,27 @@ object SimilarityQueries {
       |    CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS fp
       |  FROM n LEFT JOIN m$i m ON m.id = n.vec_id)""".stripMargin
 
+  /** One unrolled PERSONALIZED-PageRank iteration (the
+    * PageRank.personalizedRanksFp algebra): like [[pagerankIterSql]]
+    * but the teleport lands only on the seed set (vec_id < 3),
+    * scaled (0.15·1e9·|V|) // |S| — `pm<i>` mass and `pr<i>` rank
+    * from `pr<i-1>`. */
+  private def pprIterSql(i: Int): String =
+    s"""pm$i AS (
+      |  SELECT k.nbr_id AS id,
+      |    CAST(SUM(r.fp // d.deg) AS BIGINT) AS mass
+      |  FROM knn k JOIN pr${i - 1} r ON r.id = k.vec_id
+      |  JOIN pdeg d ON d.src = k.vec_id
+      |  GROUP BY 1),
+      |pr$i AS (
+      |  SELECT n.vec_id AS id,
+      |    CAST(CASE WHEN n.vec_id < 3
+      |        THEN (150000000 * (SELECT COUNT(*) FROM n))
+      |          // (SELECT COUNT(*) FROM n WHERE vec_id < 3)
+      |        ELSE 0 END
+      |      + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS fp
+      |  FROM n LEFT JOIN pm$i m ON m.id = n.vec_id)""".stripMargin
+
   /** One unrolled MMR greedy step (operators.Mmr algebra, λ = 1/2):
     * `ms<i>` max-sim-to-selected, `sc<i>` scores over the unselected
     * remainder, `pk<i>` the per-group argmax, `sel<i>` the growing
@@ -658,6 +679,43 @@ object SimilarityQueries {
               |  round(CAST(SUM(w_fp) AS DOUBLE) / 1000000.0, 6) AS aa
               |FROM ne JOIN ww USING (w)
               |GROUP BY 1, 2 ORDER BY aa_fp DESC, u, v LIMIT 20""".stripMargin)),
+
+    // EXT — PERSONALIZED PageRank (PageRank.personalizedRanksFp):
+    // teleport restricted to 3 seed vectors — "importance relative to
+    // the curated set", the seeded-expansion scorer that turns a few
+    // hand-labeled seeds into a ranked neighbourhood over the whole
+    // KNN graph (the q281 BFS's soft-weighted complement: hops count
+    // edges, PPR weighs paths). Same all-BIGINT ×1e9 algebra as q104,
+    // with |V|/|S| entering as broadcast scalars; the 3-iteration
+    // oracle unrolls the identical integer recurrence.
+    EngineQuery("q282_personalized_pagerank",
+      (s, dir) => {
+        val edges = knnShared(s, dir).select(col("vec_id"), col("nbr_id"))
+        val prep = preparedShared(s, dir)
+        graft.operators.PageRank
+          .personalizedRanksFp(edges, prep.select("vec_id"),
+            prep.filter(col("vec_id") < 3).select("vec_id"),
+            iterations = 3)
+          .select(col("vec_id"), col("ppr_fp"),
+            round(col("ppr_fp").cast("double") / 1e9, 6).as("ppr"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |pdeg AS (
+              |  SELECT vec_id AS src, COUNT(*) AS deg FROM knn GROUP BY 1),
+              |pr0 AS (
+              |  SELECT vec_id AS id,
+              |    CAST(CASE WHEN vec_id < 3
+              |      THEN (1000000000 * (SELECT COUNT(*) FROM n))
+              |        // (SELECT COUNT(*) FROM n WHERE vec_id < 3)
+              |      ELSE 0 END AS BIGINT) AS fp
+              |  FROM n),
+              |${(1 to 3).map(pprIterSql).mkString(",\n")}
+              |SELECT n.vec_id, r.fp AS ppr_fp,
+              |  round(CAST(r.fp AS DOUBLE) / 1000000000.0, 6) AS ppr
+              |FROM n JOIN pr3 r ON r.id = n.vec_id
+              |ORDER BY n.vec_id""".stripMargin)),
 
     // EXT — multi-source BFS hop distances (operators/Bfs): minimum
     // hops from 3 seed vectors to everything within 6 hops of them on

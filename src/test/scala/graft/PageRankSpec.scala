@@ -50,4 +50,28 @@ class PageRankSpec extends AnyFunSuite {
     assert(a(1L) > a(2L), "reciprocated spoke outranks pure sources")
     assert(a(2L) === a(3L) && a(3L) === a(4L))
   }
+  test("personalized: teleport and start mass land only on seeds, hand-exact") {
+    // seeds {1}: N=3, S=1 → seed teleport (0.15e9·3)//1 = 450e6,
+    // start fp(1) = (1e9·3)//1 = 3e9, others 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val got = PageRank.personalizedRanksFp(edges, nodes,
+        Seq(1L).toDF("id"), iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // r1(1) = 450e6 + (85 · fp0(3)=0) div 100       = 450_000_000
+    // r1(2) = 0     + (85 · fp0(1)=3e9) div 100     = 2_550_000_000
+    // r1(3) = 0     + (85 · fp0(2)=0) div 100       = 0
+    assert(got === Map(1L -> 450000000L, 2L -> 2550000000L, 3L -> 0L))
+  }
+
+  test("personalized: nodes unreachable from the seeds stay at exactly 0") {
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst") // two islands
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = PageRank.personalizedRanksFp(edges, nodes,
+        Seq(1L).toDF("id"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) === 0L && got(4L) === 0L)
+    assert(got(1L) > 0L && got(2L) > 0L)
+  }
+
 }
