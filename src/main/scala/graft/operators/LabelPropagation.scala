@@ -19,7 +19,14 @@ import org.apache.spark.storage.StorageLevel
   * (bipartite oscillation), so convergence is "label multiset stopped
   * changing OR oscillation detected" — on oscillation each node keeps
   * the SMALLER of its two alternating labels (deterministic), which is
-  * also what breaks the trivial 2-node flip.
+  * also what breaks the trivial 2-node flip. The SAME damping applies
+  * when `maxIter` is exhausted before either stop condition fires:
+  * the result is always least(label_H, label_{H−1}) — a single output
+  * law covering converged runs (the two coincide), detected 2-cycles
+  * (least of the alternating pair, phase-independent since least is
+  * symmetric), and still-churning runs (deterministic cutoff) — so a
+  * fixed-horizon oracle can reproduce the operator bit-for-bit without
+  * knowing which round it stopped at.
   *
   * Scale shape per round: one |E| join to look up neighbour labels,
   * one (node, label) count aggregate, one top-1-per-node reduction via
@@ -88,7 +95,13 @@ object LabelPropagation {
       }
       if (!settled) {
         prev = labeled.select("lp_id", "lp_label")
-        labeled = next.select("lp_id", "lp_label")
+        labeled =
+          if (round < maxIter) next.select("lp_id", "lp_label")
+          else // horizon exhausted: same damping as the 2-cycle break,
+            // so the output law is least(label_H, label_{H−1}) in
+            // every stop mode (see scaladoc)
+            next.select(col("lp_id"),
+              least(col("lp_label"), col("lp_prev_label")).as("lp_label"))
       }
     }
     sym.unpersist(blocking = false)

@@ -936,6 +936,125 @@ object RelationalQueries {
              |  SUM(chi2_term) OVER (ORDER BY yr, prio
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS chi2_running
-             |FROM terms ORDER BY yr, prio""".stripMargin))
+             |FROM terms ORDER BY yr, prio""".stripMargin)),
+
+    // EXT — supplier revenue/reach SKYLINE via the REUSABLE
+    // operators.Skyline.maxMax (q241 computes a customer frontier
+    // inline with strict-improver tie semantics; this gates the
+    // general operator, whose WEAK-dominance semantics keep ALL tied
+    // frontier members — the two conventions differ on ties, both
+    // legitimate): the Pareto frontier of (lineitem revenue, distinct
+    // parts supplied) — vendors undominated on volume AND breadth,
+    // the procurement scorecard short-list. The operator decomposes
+    // the O(n log n) sort-sweep over ≤256 data-derived d1-range
+    // shards (sharded prefix-max: only the 256-row shard-max frame
+    // crosses a single-partition window; within-shard dominance is a
+    // partitioned descending RANGE frame, d1 ties an equal-group
+    // max) — no all-pairs join, no global sort at any SF. The oracle
+    // states the SEMANTICS directly as the quadratic NOT-EXISTS
+    // dominance test — two maximally-different formulations that must
+    // agree on every row, all-integer so they agree exactly.
+    EngineQuery("q283_supplier_skyline",
+      (s, dir) => {
+        val pts = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+          .agg(sum((money(col("l_extendedprice")) * 100).cast("long"))
+            .as("rev_cents"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+        graft.operators.Skyline
+          .maxMax(pts, "l_suppkey", "rev_cents", "n_parts")
+          .filter(col("is_skyline"))
+          .select(col("l_suppkey").as("suppkey"), col("rev_cents"),
+            col("n_parts"))
+          .orderBy("suppkey")
+      },
+      Some("""WITH pts AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+             |    COUNT(DISTINCT l_partkey) AS n_parts
+             |  FROM lineitem GROUP BY 1)
+             |SELECT p.l_suppkey AS suppkey, p.rev_cents,
+             |  CAST(p.n_parts AS BIGINT) AS n_parts
+             |FROM pts p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM pts q
+             |  WHERE q.l_suppkey <> p.l_suppkey
+             |    AND q.rev_cents >= p.rev_cents
+             |    AND q.n_parts >= p.n_parts
+             |    AND (q.rev_cents > p.rev_cents
+             |      OR q.n_parts > p.n_parts))
+             |ORDER BY suppkey""".stripMargin)),
+
+    // EXT — market-basket association rules over order contents: the
+    // top-20 brand pairs co-appearing in an order, with support,
+    // directed confidence, and lift — the classic retail affinity
+    // report (and, in a training-data pipeline, the co-occurrence
+    // screen behind "these two sources always arrive together").
+    // Execution never builds a global pair space: baskets are the
+    // per-order DISTINCT brand sets (≤ 7 lineitems ⇒ ≤ 21 pairs per
+    // order), pairs come from a self-join CO-PARTITIONED on orderkey,
+    // then two keyed counts; the 25-row brand-support frame and the
+    // 1-row total broadcast back. Lift/confidence are single double
+    // chains over exact BIGINT counts (products ≤ |orders|², inside
+    // int64→fp64 hardware range). Top-20 by (pair_orders DESC, brands)
+    // is a strict total order — TakeOrdered, no global sort.
+    EngineQuery("q292_basket_lift",
+      (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct()
+        val nOrders = ob.select("okey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val supp = ob.groupBy("brand").agg(count(lit(1)).as("supp"))
+        val pairs = ob.select(col("okey"), col("brand").as("brand_a"))
+          .join(ob.select(col("okey"), col("brand").as("brand_b")), "okey")
+          .filter(col("brand_a") < col("brand_b"))
+          .groupBy("brand_a", "brand_b")
+          .agg(count(lit(1)).as("pair_orders"))
+        pairs
+          .join(broadcast(supp.select(col("brand").as("brand_a"),
+            col("supp").as("supp_a"))), Seq("brand_a"))
+          .join(broadcast(supp.select(col("brand").as("brand_b"),
+            col("supp").as("supp_b"))), Seq("brand_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("brand_a"), col("brand_b"), col("pair_orders"),
+            col("supp_a"), col("supp_b"),
+            round((col("pair_orders") * col("n_orders")).cast("double") /
+              (col("supp_a") * col("supp_b")).cast("double"), 6).as("lift"),
+            round(col("pair_orders").cast("double") /
+              col("supp_a").cast("double"), 6).as("conf_a_to_b"))
+          .orderBy(col("pair_orders").desc, col("brand_a"), col("brand_b"))
+          .limit(20)
+      },
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+             |n AS (
+             |  SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+             |  FROM ob),
+             |supp AS (
+             |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS supp
+             |  FROM ob GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+             |    CAST(COUNT(*) AS BIGINT) AS pair_orders
+             |  FROM ob a JOIN ob b
+             |    ON b.okey = a.okey AND a.brand < b.brand
+             |  GROUP BY 1, 2)
+             |SELECT p.brand_a, p.brand_b, p.pair_orders,
+             |  sa.supp AS supp_a, sb.supp AS supp_b,
+             |  round(CAST(p.pair_orders * n.n_orders AS DOUBLE)
+             |    / CAST(sa.supp * sb.supp AS DOUBLE), 6) AS lift,
+             |  round(CAST(p.pair_orders AS DOUBLE)
+             |    / CAST(sa.supp AS DOUBLE), 6) AS conf_a_to_b
+             |FROM pairs p
+             |JOIN supp sa ON sa.brand = p.brand_a
+             |JOIN supp sb ON sb.brand = p.brand_b
+             |CROSS JOIN n
+             |ORDER BY p.pair_orders DESC, p.brand_a, p.brand_b
+             |LIMIT 20""".stripMargin))
   )
 }

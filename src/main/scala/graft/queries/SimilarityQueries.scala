@@ -317,6 +317,30 @@ object SimilarityQueries {
       |      + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS fp
       |  FROM n LEFT JOIN pm$i m ON m.id = n.vec_id)""".stripMargin
 
+  /** One unrolled HITS iteration (operators.Hits algebra): raw
+    * authority = Σ in-edge hub, L1-normalized to ×1e9 by the exact
+    * `raw · 1e9 // total` BIGINT division; then raw hub = Σ out-edge
+    * NEW authority, normalized the same way — `aa<i>`/`ha<i>` from
+    * `ha<i-1>`. Start mass 1e9 // |V| per node keeps every sum ≤ 1e9
+    * so `raw · 1e9` can never overflow (see Hits scaladoc). */
+  private def hitsIterSql(i: Int): String =
+    s"""ar$i AS (
+      |  SELECT k.nbr_id AS id, CAST(SUM(h.h) AS BIGINT) AS raw
+      |  FROM knn k JOIN ha${i - 1} h ON h.id = k.vec_id GROUP BY 1),
+      |at$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM ar$i),
+      |aa$i AS (
+      |  SELECT n.vec_id AS id,
+      |    CAST(COALESCE(r.raw, 0) * 1000000000 // t.tot AS BIGINT) AS a
+      |  FROM n LEFT JOIN ar$i r ON r.id = n.vec_id CROSS JOIN at$i t),
+      |hr$i AS (
+      |  SELECT k.vec_id AS id, CAST(SUM(a.a) AS BIGINT) AS raw
+      |  FROM knn k JOIN aa$i a ON a.id = k.nbr_id GROUP BY 1),
+      |ht$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM hr$i),
+      |ha$i AS (
+      |  SELECT n.vec_id AS id,
+      |    CAST(COALESCE(r.raw, 0) * 1000000000 // t.tot AS BIGINT) AS h
+      |  FROM n LEFT JOIN hr$i r ON r.id = n.vec_id CROSS JOIN ht$i t)""".stripMargin
+
   /** One unrolled MMR greedy step (operators.Mmr algebra, λ = 1/2):
     * `ms<i>` max-sim-to-selected, `sc<i>` scores over the unselected
     * remainder, `pk<i>` the per-group argmax, `sel<i>` the growing
@@ -441,6 +465,19 @@ object SimilarityQueries {
       |  SELECT pos, wq // ((SELECT MAX(ABS(wq)) FROM w0) // 1048576 + 1)
       |    AS wq
       |  FROM w0)""".stripMargin
+
+  /** Rewrites the shared `assigned`/`knn` CTEs to MATERIALIZED for a
+    * NON-recursive oracle: q284 references `knn` six times (two per
+    * unrolled HITS iteration) and DuckDB would otherwise inline the
+    * quadratic within-list scoring each time — observed > 75 GB of
+    * temp spill at sf0.1. Applied per-query, NOT in the shared CTE
+    * strings, because a MATERIALIZED CTE consumed by a RECURSIVE term
+    * silently feeds it empty rows for the first iterations (observed:
+    * q289's vote subquery returned NULL for six rounds) — the
+    * recursive twins (q108/q270/q289 ...) must keep the plain CTEs. */
+  private def materializeKnnCtes(sql: String): String = sql
+    .replace("assigned AS (", "assigned AS MATERIALIZED (")
+    .replace("knn AS (", "knn AS MATERIALIZED (")
 
   val all: Seq[EngineQuery] = Seq(
 
@@ -2112,6 +2149,341 @@ object SimilarityQueries {
               |  CAST(SUM(CASE WHEN margin_fp > 0 THEN 1 ELSE 0 END)
               |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS separated_frac
-              |FROM fp GROUP BY 1 ORDER BY label""".stripMargin))
+              |FROM fp GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // EXT — HITS hubs & authorities over the KNN graph
+    // (operators.Hits): the link-analysis complement of q104's
+    // PageRank — authorities mark densely-cited neighbourhood centres
+    // (coreset candidates), hubs mark broad connectors whose edge
+    // lists touch many centres. Scores live entirely in the ×1e9
+    // BIGINT domain with exact L1 renormalization each half-step
+    // (`raw · 1e9 div total`, totals as 1-row broadcasts), so the
+    // 3-iteration unrolled oracle reproduces every bit. Per
+    // iteration: two edge⋈score shuffle joins + two keyed sums — the
+    // q104 scale shape exactly.
+    EngineQuery("q284_knn_hits",
+      (s, dir) => {
+        val edges = knnShared(s, dir).select(col("vec_id"), col("nbr_id"))
+        graft.operators.Hits
+          .scoresFp(edges, preparedShared(s, dir).select("vec_id"),
+            iterations = 3)
+          .select(col("vec_id"), col("hub_fp"), col("auth_fp"),
+            round(col("hub_fp").cast("double") / 1e9, 6).as("hub"),
+            round(col("auth_fp").cast("double") / 1e9, 6).as("authority"))
+          .orderBy("vec_id")
+      },
+      Some(materializeKnnCtes(s"""WITH $prepSql,
+              |$knnCteSql,
+              |ha0 AS (
+              |  SELECT vec_id AS id,
+              |    CAST(1000000000 // (SELECT COUNT(*) FROM n) AS BIGINT)
+              |      AS h
+              |  FROM n),
+              |${(1 to 3).map(hitsIterSql).mkString(",\n")}
+              |SELECT n.vec_id, h.h AS hub_fp, a.a AS auth_fp,
+              |  round(CAST(h.h AS DOUBLE) / 1000000000.0, 6) AS hub,
+              |  round(CAST(a.a AS DOUBLE) / 1000000000.0, 6) AS authority
+              |FROM n JOIN ha3 h ON h.id = n.vec_id
+              |JOIN aa3 a ON a.id = n.vec_id
+              |ORDER BY n.vec_id""".stripMargin))),
+
+    // EXT — density triage (DBSCAN core/border/noise) on a cheap 2-D
+    // projection of the embedding space (operators.GridDbscan): CORE
+    // points sit in dense regions, BORDER points hang off a core
+    // neighbour, NOISE is isolated — the embedding-space outlier
+    // screen that complements q104/q284's graph centrality with pure
+    // geometric density. The projection is two FIXED ±1-signed
+    // component sums (Achlioptas-style; sign = Knuth-hash parity of
+    // the component index, exact integer arithmetic both engines can
+    // compute), on the ×1e6 fixed-point components — so coordinates,
+    // the eps=200000 ball test and every classification bit are exact
+    // integers. Execution is the spatial-grid decomposition: eps-cells,
+    // 3×3 neighbour-cell probes, pair enumeration EXACTLY ONCE per
+    // qualifying pair, one semi-join for border detection — never
+    // all-pairs (the oracle states the same semantics with the same
+    // grid in SQL).
+    EngineQuery("q290_dbscan_triage",
+      (s, dir) => {
+        val comps = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("p"),
+            round(col("col").cast("double") * 1e6).cast("long").as("xq"))
+        val proj = comps
+          .select(col("vec_id"),
+            (col("xq") * when(
+              expr("(p * 2654435761) % 4294967296") < 2147483648L, 1L)
+              .otherwise(-1L)).as("tx"),
+            (col("xq") * when(
+              expr("(p * 2246822519) % 4294967296") < 2147483648L, 1L)
+              .otherwise(-1L)).as("ty"))
+          .groupBy("vec_id")
+          .agg(sum("tx").as("px"), sum("ty").as("py"))
+        graft.operators.GridDbscan
+          .classify(proj, "vec_id", "px", "py", eps = 200000L, minPts = 4)
+          .select(col("vec_id"), col("px").as("x"), col("py").as("y"),
+            col("n_neighbors"), col("pt_class"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH sv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+             |      AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |comp AS (
+             |  SELECT vec_id, unnest(sv) AS xq,
+             |    unnest(range(1, len(sv) + 1)) AS p
+             |  FROM sv),
+             |proj AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(xq * (CASE WHEN (p * 2654435761) % 4294967296
+             |      < 2147483648 THEN 1 ELSE -1 END)) AS BIGINT) AS px,
+             |    CAST(SUM(xq * (CASE WHEN (p * 2246822519) % 4294967296
+             |      < 2147483648 THEN 1 ELSE -1 END)) AS BIGINT) AS py
+             |  FROM comp GROUP BY 1),
+             |lo AS (SELECT MIN(px) AS lox, MIN(py) AS loy FROM proj),
+             |cells AS (
+             |  SELECT vec_id, px, py,
+             |    (px - lox) // 200000 AS cx, (py - loy) // 200000 AS cy
+             |  FROM proj CROSS JOIN lo),
+             |off(ox, oy) AS (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+             |  (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)),
+             |prs AS (
+             |  SELECT a.vec_id AS id, b.vec_id AS nid
+             |  FROM cells a CROSS JOIN off o JOIN cells b
+             |    ON b.cx = a.cx + o.ox AND b.cy = a.cy + o.oy
+             |    AND b.vec_id <> a.vec_id
+             |  WHERE (a.px - b.px) * (a.px - b.px)
+             |    + (a.py - b.py) * (a.py - b.py)
+             |    <= CAST(40000000000 AS BIGINT)),
+             |cnt AS (SELECT id, COUNT(*) AS nn FROM prs GROUP BY 1),
+             |cls AS (
+             |  SELECT c.vec_id, c.px, c.py,
+             |    CAST(COALESCE(n.nn, 0) AS BIGINT) AS nn,
+             |    COALESCE(n.nn, 0) + 1 >= 4 AS is_core
+             |  FROM cells c LEFT JOIN cnt n ON n.id = c.vec_id),
+             |nearcore AS (
+             |  SELECT DISTINCT p.id FROM prs p
+             |  JOIN cls c ON c.vec_id = p.nid AND c.is_core)
+             |SELECT vec_id, px AS x, py AS y, nn AS n_neighbors,
+             |  CASE WHEN is_core THEN 'core'
+             |    WHEN vec_id IN (SELECT id FROM nearcore) THEN 'border'
+             |    ELSE 'noise' END AS pt_class
+             |FROM cls ORDER BY vec_id""".stripMargin)),
+
+    // EXT — label-propagation communities + Newman MODULARITY audit
+    // (operators.LabelPropagation): synchronous LPA over the
+    // mutual-KNN graph (deterministic: count-desc/label-asc vote
+    // order, 2-cycle broken to the least label), then the standard
+    // community-quality report Q = Σᵢ (eᵢ/m − (dᵢ/2m)²) — one row per
+    // community with exact integer sufficient statistics (node count,
+    // internal edges, degree mass) and its modularity contribution as
+    // ONE fixed-shape double chain. Oracle exactness for the
+    // data-dependent loop: a per-step FULL-STATE recursive CTE (the
+    // q272 counter pattern) steps the identical synchronous vote to a
+    // fixed horizon H=20 = the operator's maxIter; the final
+    // per-node least(label_H, label_{H−1}) IS the operator's output
+    // law in ALL THREE stop modes (converged ⇒ the two rounds agree;
+    // 2-cycle ⇒ least of the alternating pair, phase-independent;
+    // horizon exhausted ⇒ the operator applies the same damping —
+    // see LabelPropagation scaladoc).
+    // Scale shape: per LPA round one |E| join + one keyed count + a
+    // max_by reduction (no window over edges); modularity adds two
+    // keyed aggregations and a 1-row broadcast total.
+    EngineQuery("q289_lpa_modularity",
+      (s, dir) => {
+        val m = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val comm = graft.operators.LabelPropagation
+          .communities(m, preparedShared(s, dir).select("vec_id"),
+            maxIter = 20)
+          .select(col("vec_id"), col("community_id"))
+        val und = m.filter(col("src") < col("dst"))
+        val tot = und.agg(count(lit(1)).as("m_edges"))
+        val deg = m.groupBy(col("src").as("vec_id"))
+          .agg(count(lit(1)).as("deg"))
+        val ds = comm.join(deg, Seq("vec_id"), "left")
+          .groupBy("community_id")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(coalesce(col("deg"), lit(0L))).as("deg_sum"))
+        val ie = und
+          .join(comm.select(col("vec_id").as("src"),
+            col("community_id").as("ca")), "src")
+          .join(comm.select(col("vec_id").as("dst"),
+            col("community_id").as("cb")), "dst")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community_id"))
+          .agg(count(lit(1)).as("in_edges"))
+        ds.join(ie, Seq("community_id"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("community_id"), col("n_nodes"),
+            coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+            col("deg_sum"),
+            (coalesce(col("in_edges"), lit(0L)).cast("double") /
+              col("m_edges").cast("double") -
+              (col("deg_sum").cast("double") /
+                (lit(2.0) * col("m_edges").cast("double"))) *
+              (col("deg_sum").cast("double") /
+                (lit(2.0) * col("m_edges").cast("double"))))
+              .as("contribution"))
+          .orderBy("community_id")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |lab AS (
+              |  SELECT 0 AS i, vec_id AS id, vec_id AS label FROM n
+              |  UNION ALL
+              |  SELECT l.i + 1, l.id,
+              |    COALESCE((
+              |      SELECT l2.label
+              |      FROM mutual m JOIN lab l2 ON l2.id = m.dst
+              |      WHERE m.src = l.id
+              |      GROUP BY l2.label
+              |      ORDER BY COUNT(*) DESC, l2.label ASC
+              |      LIMIT 1), l.label)
+              |  FROM lab l WHERE l.i < 20),
+              |comm AS (
+              |  SELECT f.id AS vec_id, LEAST(f.label, p.label)
+              |    AS community_id
+              |  FROM (SELECT id, label FROM lab WHERE i = 20) f
+              |  JOIN (SELECT id, label FROM lab WHERE i = 19) p
+              |    ON p.id = f.id),
+              |und AS (SELECT src, dst FROM mutual WHERE src < dst),
+              |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und),
+              |deg AS (SELECT src AS vec_id, COUNT(*) AS deg
+              |  FROM mutual GROUP BY 1),
+              |ds AS (
+              |  SELECT c.community_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              |    CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS deg_sum
+              |  FROM comm c LEFT JOIN deg d ON d.vec_id = c.vec_id
+              |  GROUP BY 1),
+              |ie AS (
+              |  SELECT ca.community_id,
+              |    CAST(COUNT(*) AS BIGINT) AS in_edges
+              |  FROM und u
+              |  JOIN comm ca ON ca.vec_id = u.src
+              |  JOIN comm cb ON cb.vec_id = u.dst
+              |    AND cb.community_id = ca.community_id
+              |  GROUP BY 1)
+              |SELECT ds.community_id, ds.n_nodes,
+              |  CAST(COALESCE(ie.in_edges, 0) AS BIGINT) AS in_edges,
+              |  ds.deg_sum,
+              |  CAST(COALESCE(ie.in_edges, 0) AS DOUBLE)
+              |    / CAST(t.m_edges AS DOUBLE)
+              |  - (CAST(ds.deg_sum AS DOUBLE)
+              |      / (2.0 * CAST(t.m_edges AS DOUBLE)))
+              |    * (CAST(ds.deg_sum AS DOUBLE)
+              |      / (2.0 * CAST(t.m_edges AS DOUBLE))) AS contribution
+              |FROM ds LEFT JOIN ie ON ie.community_id = ds.community_id
+              |CROSS JOIN tot t
+              |ORDER BY ds.community_id""".stripMargin)),
+
+    // EXT — graph MIXING report over the mutual-KNN graph: Newman's
+    // degree assortativity (do well-connected vectors link to other
+    // well-connected vectors?) and categorical label assortativity
+    // (homophily: do edges stay within an embedding label class?) —
+    // the two standard mixing coefficients that tell a curator whether
+    // the similarity graph is hub-stratified and how cleanly the label
+    // classes separate (a near-1 homophily validates the labels; a
+    // low one flags label noise). Both are computed from EXACT integer
+    // sufficient statistics over the directed edge frame (Σjk, Σj,
+    // Σj², same-label count, Σ per-label end-counts²) — two keyed
+    // sums + 1-row broadcasts — with ONE fixed-shape double chain per
+    // coefficient at the end (products taken in DOUBLE: at warehouse
+    // edge counts M·Σjk exits int64, and the coefficient, unlike a
+    // sum, tolerates the double — the chain is written identically in
+    // both engines so the gate stays exact).
+    EngineQuery("q291_graph_mixing",
+      (s, dir) => {
+        val m = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val deg = m.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"))
+        val j = m
+          .join(deg.select(col("id").as("src"), col("deg").as("dj")), "src")
+          .join(deg.select(col("id").as("dst"), col("deg").as("dk")), "dst")
+        val degStats = j.agg(count(lit(1)).as("m_dir_edges"),
+          sum(col("dj") * col("dk")).as("sum_jk"),
+          sum(col("dj")).as("sum_j"),
+          sum(col("dj") * col("dj")).as("sum_jj"))
+        val lbl = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val le = m
+          .join(lbl.select(col("vec_id").as("src"),
+            col("label").as("la")), "src")
+          .join(lbl.select(col("vec_id").as("dst"),
+            col("label").as("lb")), "dst")
+        val same = le.agg(
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+            .as("same_label_edges"))
+        val ssq = le.groupBy("la").agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") * col("cnt")).as("label_ssq"))
+        degStats.crossJoin(broadcast(same)).crossJoin(broadcast(ssq))
+          .select(col("m_dir_edges"), col("sum_jk"), col("sum_j"),
+            col("sum_jj"), col("same_label_edges"), col("label_ssq"),
+            ((col("m_dir_edges").cast("double") *
+              col("sum_jk").cast("double") -
+              col("sum_j").cast("double") * col("sum_j").cast("double")) /
+              (col("m_dir_edges").cast("double") *
+                col("sum_jj").cast("double") -
+                col("sum_j").cast("double") * col("sum_j").cast("double")))
+              .as("deg_assortativity"),
+            ((col("same_label_edges").cast("double") /
+              col("m_dir_edges").cast("double") -
+              col("label_ssq").cast("double") /
+                (col("m_dir_edges").cast("double") *
+                  col("m_dir_edges").cast("double"))) /
+              (lit(1.0) - col("label_ssq").cast("double") /
+                (col("m_dir_edges").cast("double") *
+                  col("m_dir_edges").cast("double"))))
+              .as("label_assortativity"))
+          .orderBy("m_dir_edges")
+      },
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |deg AS (SELECT src AS id, COUNT(*) AS deg
+              |  FROM mutual GROUP BY 1),
+              |ds AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS m_dir_edges,
+              |    CAST(SUM(a.deg * b.deg) AS BIGINT) AS sum_jk,
+              |    CAST(SUM(a.deg) AS BIGINT) AS sum_j,
+              |    CAST(SUM(a.deg * a.deg) AS BIGINT) AS sum_jj
+              |  FROM mutual m
+              |  JOIN deg a ON a.id = m.src JOIN deg b ON b.id = m.dst),
+              |le AS (
+              |  SELECT la.label AS la, lb.label AS lb
+              |  FROM mutual m
+              |  JOIN embeddings la ON la.vec_id = m.src
+              |  JOIN embeddings lb ON lb.vec_id = m.dst),
+              |sm AS (
+              |  SELECT CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS same_label_edges FROM le),
+              |sq AS (
+              |  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS label_ssq FROM (
+              |    SELECT la, COUNT(*) AS cnt FROM le GROUP BY 1) x)
+              |SELECT ds.m_dir_edges, ds.sum_jk, ds.sum_j, ds.sum_jj,
+              |  sm.same_label_edges, sq.label_ssq,
+              |  (CAST(ds.m_dir_edges AS DOUBLE) * CAST(ds.sum_jk AS DOUBLE)
+              |    - CAST(ds.sum_j AS DOUBLE) * CAST(ds.sum_j AS DOUBLE))
+              |  / (CAST(ds.m_dir_edges AS DOUBLE)
+              |      * CAST(ds.sum_jj AS DOUBLE)
+              |    - CAST(ds.sum_j AS DOUBLE) * CAST(ds.sum_j AS DOUBLE))
+              |    AS deg_assortativity,
+              |  (CAST(sm.same_label_edges AS DOUBLE)
+              |      / CAST(ds.m_dir_edges AS DOUBLE)
+              |    - CAST(sq.label_ssq AS DOUBLE)
+              |      / (CAST(ds.m_dir_edges AS DOUBLE)
+              |        * CAST(ds.m_dir_edges AS DOUBLE)))
+              |  / (1.0 - CAST(sq.label_ssq AS DOUBLE)
+              |      / (CAST(ds.m_dir_edges AS DOUBLE)
+              |        * CAST(ds.m_dir_edges AS DOUBLE)))
+              |    AS label_assortativity
+              |FROM ds CROSS JOIN sm CROSS JOIN sq
+              |ORDER BY m_dir_edges""".stripMargin))
   )
 }

@@ -4120,7 +4120,759 @@ object StatsQueries {
               |  round(CAST(pn.exposed_customers AS DOUBLE)
               |    / CAST(pn.n_customers AS DOUBLE), 6) AS exposed_frac
               |FROM pn JOIN nation n ON n.n_nationkey = pn.c_nationkey
-              |ORDER BY nation""".stripMargin))
+              |ORDER BY nation""".stripMargin)),
+
+    // EXT — Holt-Winters ADDITIVE-SEASONAL forecast (α=β=γ=1/2,
+    // weekly season m=7) per nation: the seasonal extension of q272's
+    // Holt fold. Same execution law: the coupled, NON-associative
+    // (level, trend, s₁..s₇) recurrence runs SEQUENTIALLY per key
+    // inside one codegen'd aggregate() lambda over the sorted daily
+    // series (keys parallel, per-key cost |days| — calendar-bounded,
+    // not SF-bounded); init is the classical first-season start
+    // (l₀ = 7-day mean, b₀ = 0, sᵢ = cᵢ − l₀). All BIGINT halving
+    // (div 2) so the DuckDB twin — a recursive CTE carrying the nine
+    // state columns and rotating the seasonal register — reproduces
+    // every bit. Forecasts at h=1 and h=7 read the rotated register
+    // directly (s₁ = season of t+1, s₇ = season of t+7).
+    EngineQuery("q285_holt_winters",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("cents"))
+        daily.groupBy("n_name")
+          .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+            .as("series"))
+          .filter(size(col("series")) >= 8)
+          .select(col("n_name"), col("series"),
+            expr("""(series[0].cents + series[1].cents + series[2].cents
+                + series[3].cents + series[4].cents + series[5].cents
+                + series[6].cents) div 7""").as("l0"))
+          .select(col("n_name"),
+            size(col("series")).cast("long").as("n_days"),
+            expr("""aggregate(
+                slice(series, 8, greatest(size(series) - 7, 0)),
+                named_struct('l', l0, 'b', CAST(0 AS BIGINT),
+                  's1', series[0].cents - l0, 's2', series[1].cents - l0,
+                  's3', series[2].cents - l0, 's4', series[3].cents - l0,
+                  's5', series[4].cents - l0, 's6', series[5].cents - l0,
+                  's7', series[6].cents - l0),
+                (acc, x) -> named_struct(
+                  'l', ((x.cents - acc.s1) + (acc.l + acc.b)) div 2,
+                  'b', ((((x.cents - acc.s1) + (acc.l + acc.b)) div 2)
+                    - acc.l + acc.b) div 2,
+                  's1', acc.s2, 's2', acc.s3, 's3', acc.s4,
+                  's4', acc.s5, 's5', acc.s6, 's6', acc.s7,
+                  's7', ((x.cents
+                    - (((x.cents - acc.s1) + (acc.l + acc.b)) div 2))
+                    + acc.s1) div 2))""").as("st"))
+          .select(col("n_name").as("nation"), col("n_days"),
+            col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+            (col("st.l") + col("st.b") + col("st.s1"))
+              .as("forecast1_cents"),
+            (col("st.l") + lit(7L) * col("st.b") + col("st.s7"))
+              .as("forecast7_cents"))
+          .orderBy("nation")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |  GROUP BY 1, 2),
+             |d AS (
+             |  SELECT n_name, cents,
+             |    row_number() OVER (PARTITION BY n_name ORDER BY day)
+             |      AS rnk
+             |  FROM daily),
+             |nk AS (
+             |  SELECT n_name, MAX(rnk) AS n_days FROM d GROUP BY 1
+             |  HAVING MAX(rnk) >= 8),
+             |ini AS (
+             |  SELECT n_name,
+             |    CAST(SUM(cents) AS BIGINT) // 7 AS l0,
+             |    MAX(CASE WHEN rnk = 1 THEN cents END) AS c1,
+             |    MAX(CASE WHEN rnk = 2 THEN cents END) AS c2,
+             |    MAX(CASE WHEN rnk = 3 THEN cents END) AS c3,
+             |    MAX(CASE WHEN rnk = 4 THEN cents END) AS c4,
+             |    MAX(CASE WHEN rnk = 5 THEN cents END) AS c5,
+             |    MAX(CASE WHEN rnk = 6 THEN cents END) AS c6,
+             |    MAX(CASE WHEN rnk = 7 THEN cents END) AS c7
+             |  FROM d WHERE rnk <= 7 GROUP BY 1),
+             |hw AS (
+             |  SELECT i.n_name, 7 AS rnk, i.l0 AS l,
+             |    CAST(0 AS BIGINT) AS b,
+             |    i.c1 - i.l0 AS s1, i.c2 - i.l0 AS s2, i.c3 - i.l0 AS s3,
+             |    i.c4 - i.l0 AS s4, i.c5 - i.l0 AS s5, i.c6 - i.l0 AS s6,
+             |    i.c7 - i.l0 AS s7
+             |  FROM ini i JOIN nk ON nk.n_name = i.n_name
+             |  UNION ALL
+             |  SELECT d.n_name, d.rnk,
+             |    ((d.cents - h.s1) + (h.l + h.b)) // 2,
+             |    ((((d.cents - h.s1) + (h.l + h.b)) // 2)
+             |      - h.l + h.b) // 2,
+             |    h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+             |    ((d.cents - (((d.cents - h.s1) + (h.l + h.b)) // 2))
+             |      + h.s1) // 2
+             |  FROM hw h JOIN d ON d.n_name = h.n_name
+             |    AND d.rnk = h.rnk + 1)
+             |SELECT h.n_name AS nation, CAST(nk.n_days AS BIGINT) AS n_days,
+             |  h.l AS level_cents, h.b AS trend_cents,
+             |  CAST(h.l + h.b + h.s1 AS BIGINT) AS forecast1_cents,
+             |  CAST(h.l + 7 * h.b + h.s7 AS BIGINT) AS forecast7_cents
+             |FROM hw h JOIN nk ON nk.n_name = h.n_name
+             |  AND h.rnk = nk.n_days
+             |ORDER BY nation""".stripMargin)),
+
+    // EXT — autocorrelation profile (ACF lags 1..7) of each nation's
+    // daily-revenue series: the seasonality/persistence screen run
+    // before picking a forecast model (q272/q285). Exactness: the
+    // mean-centering multiplies through by n (dev = n·x − S, all
+    // BIGINT — no mean rounding), then the q181 ADAPTIVE divisor
+    // (max|dev| div 2²⁰ + 1, data-derived, identical in both engines)
+    // rescales so every product and the per-key sums stay far inside
+    // int64 at ANY scale factor. All seven lags come from ONE window
+    // pass partitioned by nation (calendar-bounded series); the ACF
+    // value is a single division of two exact BIGINTs — bit-identical
+    // cross-engine, no rounding.
+    EngineQuery("q286_acf_profile",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("cents"))
+        val st = daily.groupBy("n_name")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        val d0 = daily.join(broadcast(st), "n_name")
+          .select(col("n_name"), col("day"),
+            (col("n") * col("cents") - col("s")).as("dr"))
+        val qf = d0.groupBy("n_name")
+          .agg(expr("max(abs(dr)) div 1048576 + 1").as("q"))
+        val dv = d0.join(broadcast(qf), "n_name")
+          .select(col("n_name"), col("day"), expr("dr div q").as("dv"))
+        val w = Window.partitionBy("n_name").orderBy("day")
+        val lagged = dv.select(col("n_name"), col("dv"),
+          lag("dv", 1).over(w).as("dv1"), lag("dv", 2).over(w).as("dv2"),
+          lag("dv", 3).over(w).as("dv3"), lag("dv", 4).over(w).as("dv4"),
+          lag("dv", 5).over(w).as("dv5"), lag("dv", 6).over(w).as("dv6"),
+          lag("dv", 7).over(w).as("dv7"))
+        lagged.groupBy("n_name")
+          .agg(sum(col("dv") * col("dv")).as("den"),
+            sum(col("dv") * col("dv1")).as("num1"),
+            count(col("dv1")).as("np1"),
+            sum(col("dv") * col("dv2")).as("num2"),
+            count(col("dv2")).as("np2"),
+            sum(col("dv") * col("dv3")).as("num3"),
+            count(col("dv3")).as("np3"),
+            sum(col("dv") * col("dv4")).as("num4"),
+            count(col("dv4")).as("np4"),
+            sum(col("dv") * col("dv5")).as("num5"),
+            count(col("dv5")).as("np5"),
+            sum(col("dv") * col("dv6")).as("num6"),
+            count(col("dv6")).as("np6"),
+            sum(col("dv") * col("dv7")).as("num7"),
+            count(col("dv7")).as("np7"))
+          .filter(col("den") > 0)
+          .select(col("n_name").as("nation"), col("den"),
+            expr("""stack(7,
+                CAST(1 AS BIGINT), num1, np1, CAST(2 AS BIGINT), num2, np2,
+                CAST(3 AS BIGINT), num3, np3, CAST(4 AS BIGINT), num4, np4,
+                CAST(5 AS BIGINT), num5, np5, CAST(6 AS BIGINT), num6, np6,
+                CAST(7 AS BIGINT), num7, np7)
+              AS (lag_k, acov_num, n_pairs)"""))
+          .select(col("nation"), col("lag_k"), col("n_pairs"),
+            col("acov_num"), col("den").as("acov_den"),
+            (col("acov_num").cast("double") / col("den").cast("double"))
+              .as("acf"))
+          .orderBy("nation", "lag_k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |  GROUP BY 1, 2),
+             |st AS (
+             |  SELECT n_name, COUNT(*) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS s
+             |  FROM daily GROUP BY 1),
+             |d0 AS (
+             |  SELECT d.n_name, d.day,
+             |    st.n * d.cents - st.s AS dr
+             |  FROM daily d JOIN st ON st.n_name = d.n_name),
+             |qf AS (
+             |  SELECT n_name,
+             |    CAST(MAX(ABS(dr)) AS BIGINT) // 1048576 + 1 AS q
+             |  FROM d0 GROUP BY 1),
+             |dv AS (
+             |  SELECT d0.n_name, d0.day, d0.dr // qf.q AS dv
+             |  FROM d0 JOIN qf ON qf.n_name = d0.n_name),
+             |lg AS (
+             |  SELECT n_name, dv,
+             |    lag(dv, 1) OVER wn AS dv1, lag(dv, 2) OVER wn AS dv2,
+             |    lag(dv, 3) OVER wn AS dv3, lag(dv, 4) OVER wn AS dv4,
+             |    lag(dv, 5) OVER wn AS dv5, lag(dv, 6) OVER wn AS dv6,
+             |    lag(dv, 7) OVER wn AS dv7
+             |  FROM dv
+             |  WINDOW wn AS (PARTITION BY n_name ORDER BY day)),
+             |ag AS (
+             |  SELECT n_name,
+             |    CAST(SUM(dv * dv) AS BIGINT) AS den,
+             |    CAST(SUM(dv * dv1) AS BIGINT) AS num1, COUNT(dv1) AS np1,
+             |    CAST(SUM(dv * dv2) AS BIGINT) AS num2, COUNT(dv2) AS np2,
+             |    CAST(SUM(dv * dv3) AS BIGINT) AS num3, COUNT(dv3) AS np3,
+             |    CAST(SUM(dv * dv4) AS BIGINT) AS num4, COUNT(dv4) AS np4,
+             |    CAST(SUM(dv * dv5) AS BIGINT) AS num5, COUNT(dv5) AS np5,
+             |    CAST(SUM(dv * dv6) AS BIGINT) AS num6, COUNT(dv6) AS np6,
+             |    CAST(SUM(dv * dv7) AS BIGINT) AS num7, COUNT(dv7) AS np7
+             |  FROM lg GROUP BY 1 HAVING SUM(dv * dv) > 0),
+             |un AS (
+             |  SELECT n_name, den, 1 AS lag_k, num1 AS acov_num,
+             |    np1 AS n_pairs FROM ag
+             |  UNION ALL SELECT n_name, den, 2, num2, np2 FROM ag
+             |  UNION ALL SELECT n_name, den, 3, num3, np3 FROM ag
+             |  UNION ALL SELECT n_name, den, 4, num4, np4 FROM ag
+             |  UNION ALL SELECT n_name, den, 5, num5, np5 FROM ag
+             |  UNION ALL SELECT n_name, den, 6, num6, np6 FROM ag
+             |  UNION ALL SELECT n_name, den, 7, num7, np7 FROM ag)
+             |SELECT n_name AS nation, CAST(lag_k AS BIGINT) AS lag_k,
+             |  CAST(n_pairs AS BIGINT) AS n_pairs, acov_num,
+             |  den AS acov_den,
+             |  CAST(acov_num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+             |FROM un ORDER BY nation, lag_k""".stripMargin)),
+
+    // EXT — functional-dependency discovery audit: for each candidate
+    // FD A→B, the number of A-values mapping to MORE than one distinct
+    // B (violations), the worst fan-out, and the row mass sitting in
+    // violating groups — the schema-inference / normalization report a
+    // warehouse runs before trusting a column as a key. One shuffle on
+    // (fd, lhs) for the whole battery (the candidates stack into a
+    // single tall frame; per-table scans prune to the two audited
+    // columns). c_custkey→c_mktsegment is a genuinely-held (key)
+    // dependency; the others are discovered false with exact
+    // violation counts.
+    EngineQuery("q287_fd_audit",
+      (s, dir) => {
+        def cand(tbl: String, a: String, b: String): DataFrame =
+          t(s, dir, tbl).select(lit(s"$tbl.$a->$b").as("fd"),
+            col(a).cast("string").as("lhs"),
+            col(b).cast("string").as("rhs"))
+        val stacked = cand("customer", "c_custkey", "c_mktsegment")
+          .unionAll(cand("part", "p_type", "p_size"))
+          .unionAll(cand("orders", "o_custkey", "o_orderpriority"))
+          .unionAll(cand("customer", "c_nationkey", "c_mktsegment"))
+          .unionAll(cand("lineitem", "l_partkey", "l_returnflag"))
+        stacked.groupBy("fd", "lhs")
+          .agg(countDistinct("rhs").as("ndv"), count(lit(1)).as("nrows"))
+          .groupBy("fd")
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("ndv") > 1, 1L).otherwise(0L))
+              .as("n_violating_lhs"),
+            max("ndv").as("max_fanout"),
+            sum(when(col("ndv") > 1, col("nrows")).otherwise(0L))
+              .as("rows_in_violation"),
+            when(max("ndv") === 1L, 1L).otherwise(0L).as("fd_holds"))
+          .orderBy("fd")
+      },
+      Some("""WITH cand AS (
+             |  SELECT 'customer.c_custkey->c_mktsegment' AS fd,
+             |    CAST(c_custkey AS VARCHAR) AS lhs,
+             |    CAST(c_mktsegment AS VARCHAR) AS rhs FROM customer
+             |  UNION ALL
+             |  SELECT 'part.p_type->p_size', CAST(p_type AS VARCHAR),
+             |    CAST(p_size AS VARCHAR) FROM part
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->o_orderpriority',
+             |    CAST(o_custkey AS VARCHAR),
+             |    CAST(o_orderpriority AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'customer.c_nationkey->c_mktsegment',
+             |    CAST(c_nationkey AS VARCHAR),
+             |    CAST(c_mktsegment AS VARCHAR) FROM customer
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->l_returnflag',
+             |    CAST(l_partkey AS VARCHAR),
+             |    CAST(l_returnflag AS VARCHAR) FROM lineitem),
+             |g AS (
+             |  SELECT fd, lhs, COUNT(DISTINCT rhs) AS ndv,
+             |    COUNT(*) AS nrows
+             |  FROM cand GROUP BY 1, 2)
+             |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating_lhs,
+             |  CAST(MAX(ndv) AS BIGINT) AS max_fanout,
+             |  CAST(SUM(CASE WHEN ndv > 1 THEN nrows ELSE 0 END)
+             |    AS BIGINT) AS rows_in_violation,
+             |  CAST(CASE WHEN MAX(ndv) = 1 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS fd_holds
+             |FROM g GROUP BY fd ORDER BY fd""".stripMargin)),
+
+    // EXT — inclusion-dependency (FK-candidate) discovery: for each
+    // candidate A ⊆ B, the distinct-value count of A, how many A
+    // values are MISSING from B, and the containment coefficient in
+    // exact ppm — the referential-integrity complement of the FK
+    // CONFORMANCE audit (which assumes the FK; this DISCOVERS it).
+    // Both sides reduce to distinct 8-byte-hashable values BEFORE the
+    // anti-join, so the join carries |distinct| rows, never raw rows.
+    // Three true TPC-H spines hold at 100%; two decoys are discovered
+    // false with exact missing counts.
+    EngineQuery("q288_inclusion_deps",
+      (s, dir) => {
+        def ind(lhsT: String, lhsC: String, rhsT: String, rhsC: String)
+            : DataFrame = {
+          val a = t(s, dir, lhsT).select(col(lhsC).cast("string").as("v"))
+            .distinct()
+          val b = t(s, dir, rhsT).select(col(rhsC).cast("string").as("v"))
+            .distinct()
+          val miss = a.join(b, Seq("v"), "left_anti")
+            .agg(count(lit(1)).as("n_missing"))
+          val na = a.agg(count(lit(1)).as("ndv_lhs"))
+          miss.crossJoin(broadcast(na))
+            .select(lit(s"$lhsT.$lhsC<=$rhsT.$rhsC").as("ind"),
+              col("ndv_lhs"), col("n_missing"),
+              when(col("n_missing") === 0L, 1L).otherwise(0L)
+                .as("ind_holds"),
+              expr("(ndv_lhs - n_missing) * 1000000 div ndv_lhs")
+                .as("containment_ppm"))
+        }
+        ind("orders", "o_custkey", "customer", "c_custkey")
+          .unionAll(ind("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+          .unionAll(ind("customer", "c_nationkey", "nation", "n_nationkey"))
+          .unionAll(ind("supplier", "s_nationkey", "customer", "c_custkey"))
+          .unionAll(ind("events", "user_id", "supplier", "s_suppkey"))
+          .orderBy("ind")
+      },
+      Some("""WITH i1 AS (
+             |  SELECT 'orders.o_custkey<=customer.c_custkey' AS ind,
+             |    (SELECT COUNT(DISTINCT CAST(o_custkey AS VARCHAR))
+             |      FROM orders) AS ndv_lhs,
+             |    (SELECT COUNT(*) FROM (
+             |      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+             |        FROM orders
+             |      EXCEPT
+             |      SELECT DISTINCT CAST(c_custkey AS VARCHAR)
+             |        FROM customer) x) AS n_missing),
+             |i2 AS (
+             |  SELECT 'lineitem.l_suppkey<=supplier.s_suppkey' AS ind,
+             |    (SELECT COUNT(DISTINCT CAST(l_suppkey AS VARCHAR))
+             |      FROM lineitem) AS ndv_lhs,
+             |    (SELECT COUNT(*) FROM (
+             |      SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS v
+             |        FROM lineitem
+             |      EXCEPT
+             |      SELECT DISTINCT CAST(s_suppkey AS VARCHAR)
+             |        FROM supplier) x) AS n_missing),
+             |i3 AS (
+             |  SELECT 'customer.c_nationkey<=nation.n_nationkey' AS ind,
+             |    (SELECT COUNT(DISTINCT CAST(c_nationkey AS VARCHAR))
+             |      FROM customer) AS ndv_lhs,
+             |    (SELECT COUNT(*) FROM (
+             |      SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS v
+             |        FROM customer
+             |      EXCEPT
+             |      SELECT DISTINCT CAST(n_nationkey AS VARCHAR)
+             |        FROM nation) x) AS n_missing),
+             |i4 AS (
+             |  SELECT 'supplier.s_nationkey<=customer.c_custkey' AS ind,
+             |    (SELECT COUNT(DISTINCT CAST(s_nationkey AS VARCHAR))
+             |      FROM supplier) AS ndv_lhs,
+             |    (SELECT COUNT(*) FROM (
+             |      SELECT DISTINCT CAST(s_nationkey AS VARCHAR) AS v
+             |        FROM supplier
+             |      EXCEPT
+             |      SELECT DISTINCT CAST(c_custkey AS VARCHAR)
+             |        FROM customer) x) AS n_missing),
+             |i5 AS (
+             |  SELECT 'events.user_id<=supplier.s_suppkey' AS ind,
+             |    (SELECT COUNT(DISTINCT CAST(user_id AS VARCHAR))
+             |      FROM events) AS ndv_lhs,
+             |    (SELECT COUNT(*) FROM (
+             |      SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+             |        FROM events
+             |      EXCEPT
+             |      SELECT DISTINCT CAST(s_suppkey AS VARCHAR)
+             |        FROM supplier) x) AS n_missing),
+             |un AS (
+             |  SELECT * FROM i1 UNION ALL SELECT * FROM i2
+             |  UNION ALL SELECT * FROM i3 UNION ALL SELECT * FROM i4
+             |  UNION ALL SELECT * FROM i5)
+             |SELECT ind, CAST(ndv_lhs AS BIGINT) AS ndv_lhs,
+             |  CAST(n_missing AS BIGINT) AS n_missing,
+             |  CAST(CASE WHEN n_missing = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS ind_holds,
+             |  CAST((ndv_lhs - n_missing) * 1000000 // ndv_lhs AS BIGINT)
+             |    AS containment_ppm
+             |FROM un ORDER BY ind""".stripMargin)),
+
+    // EXT — LINEAR and POSITION-BASED (U-shaped 40/20/40) multi-touch
+    // attribution, completing the q249 first/last family: each
+    // purchase session's revenue is credited across its non-purchase
+    // touches in EXACT basis points — largest-remainder division
+    // guarantees Σ bps = 10000 per session (linear: 10000 div n with
+    // the first 10000 % n touches getting +1 bp; position: 4000 first
+    // + 4000 last + 2000 split over the middles the same way), so the
+    // per-channel credit ledger reconciles to the cent·bp exactly.
+    // All integer; the only windows are the q249 session frames
+    // (PARTITIONED by user / by session) plus a per-session
+    // row_number — nothing global, nothing SF-bounded beyond the
+    // session cardinality.
+    EngineQuery("q293_position_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), cents.as("v"))
+          .withColumn("gap_us",
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+          .withColumn("new_sess",
+            when(col("gap_us").isNull ||
+              col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sess = ev.groupBy("user_id", "sess_id")
+          .agg(sum(when(col("event_type") === "purchase", col("v"))
+              .otherwise(0L)).as("rev_cents"),
+            sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+              .as("n_touches"))
+          .filter(col("rev_cents") > 0L && col("n_touches") > 0L)
+        val wt = Window.partitionBy("user_id", "sess_id")
+          .orderBy("ts", "event_id")
+        val tt = ev.filter(col("event_type") =!= "purchase")
+          .join(sess, Seq("user_id", "sess_id"))
+          .withColumn("rn", row_number().over(wt).cast("long"))
+          .withColumn("lin_bps",
+            expr("10000 div n_touches") +
+              when(col("rn") <= expr("10000 % n_touches"), 1L)
+                .otherwise(0L))
+          .withColumn("pos_bps",
+            when(col("n_touches") === 1L, lit(10000L))
+              .when(col("n_touches") === 2L, lit(5000L))
+              .when(col("rn") === 1L || col("rn") === col("n_touches"),
+                lit(4000L))
+              .otherwise(expr("2000 div (n_touches - 2)") +
+                when(col("rn") - 1L <= expr("2000 % (n_touches - 2)"),
+                  1L).otherwise(0L)))
+        def model(bps: String, name: String): DataFrame =
+          tt.groupBy(col("event_type").as("touch_type"))
+            .agg(count(lit(1)).as("n_touch_events"),
+              sum(col("rev_cents") * col(bps)).as("credit_cents_bps"))
+            .withColumn("model", lit(name))
+        model("lin_bps", "linear").unionByName(model("pos_bps", "position"))
+          .select(col("model"), col("touch_type"),
+            col("n_touch_events"), col("credit_cents_bps"))
+          .orderBy("model", "touch_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id))
+             |        > 1800000000
+             |      OR lag(ts) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) IS NULL
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS sess_id
+             |  FROM ev),
+             |sagg AS (
+             |  SELECT user_id, sess_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN v
+             |      ELSE 0 END) AS BIGINT) AS rev_cents,
+             |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1
+             |      ELSE 0 END) AS BIGINT) AS n_touches
+             |  FROM sess GROUP BY 1, 2),
+             |tt AS (
+             |  SELECT t.event_type, a.rev_cents, a.n_touches,
+             |    CAST(row_number() OVER (PARTITION BY t.user_id, t.sess_id
+             |      ORDER BY t.ts, t.event_id) AS BIGINT) AS rn
+             |  FROM sess t JOIN sagg a
+             |    ON a.user_id = t.user_id AND a.sess_id = t.sess_id
+             |  WHERE t.event_type <> 'purchase'
+             |    AND a.rev_cents > 0 AND a.n_touches > 0),
+             |bps AS (
+             |  SELECT event_type, rev_cents,
+             |    10000 // n_touches +
+             |      CASE WHEN rn <= 10000 % n_touches THEN 1 ELSE 0 END
+             |      AS lin_bps,
+             |    CASE WHEN n_touches = 1 THEN 10000
+             |      WHEN n_touches = 2 THEN 5000
+             |      WHEN rn = 1 OR rn = n_touches THEN 4000
+             |      ELSE 2000 // (n_touches - 2) +
+             |        CASE WHEN rn - 1 <= 2000 % (n_touches - 2) THEN 1
+             |          ELSE 0 END
+             |      END AS pos_bps
+             |  FROM tt)
+             |SELECT 'linear' AS model, event_type AS touch_type,
+             |  COUNT(*) AS n_touch_events,
+             |  CAST(SUM(rev_cents * lin_bps) AS BIGINT)
+             |    AS credit_cents_bps
+             |FROM bps GROUP BY 2
+             |UNION ALL
+             |SELECT 'position', event_type, COUNT(*),
+             |  CAST(SUM(rev_cents * pos_bps) AS BIGINT)
+             |FROM bps GROUP BY 2
+             |ORDER BY model, touch_type""".stripMargin)),
+
+    // EXT — WINSORIZED and TRIMMED means per return flag: the robust
+    // location estimates run before alerting on a mean shift (a 5%
+    // symmetric trim kills heavy-tail noise the plain mean amplifies).
+    // Exact by RANK arithmetic, not per-row windows: the value-
+    // frequency frame (flag × distinct cents) carries exclusive
+    // cumulative counts via the q217 sharded-prefix pattern (local
+    // windows per (flag, value-range shard), only the per-flag
+    // |shards|-row carry frame is sequential), each value's covered
+    // rank interval [cumb+1, cumb+c] intersects the kept interval
+    // [k+1, n−k] in pure BIGINT, and the cutoff values are the ones
+    // whose interval contains rank k+1 / n−k. Means are ONE double
+    // division over the exact integer numerators. Σ kept·cents stays
+    // under int64 to ~6e11 rows/flag at max cents 1.1e7.
+    EngineQuery("q294_winsorized_means",
+      (s, dir) => {
+        val vf = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            (money(col("l_extendedprice")) * 100).cast("long")
+              .as("cents"))
+          .groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+          .withColumn("shard", expr("cents div 131072"))
+        val wLocal = Window.partitionBy("flag", "shard").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val shardTot = vf.groupBy(col("flag").as("f"), col("shard").as("sh"))
+          .agg(sum("c").as("sc"))
+        val wShard = Window.partitionBy("f").orderBy("sh")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val shardPrefix = shardTot.withColumn("ps",
+          coalesce(sum("sc").over(wShard), lit(0L)))
+        val tot = vf.groupBy(col("flag").as("ft")).agg(sum("c").as("n"))
+        val cum = vf
+          .withColumn("lc", coalesce(sum(col("c")).over(wLocal), lit(0L)))
+          .join(broadcast(shardPrefix),
+            col("flag") === col("f") && col("shard") === col("sh"))
+          .withColumn("cumb", col("ps") + col("lc"))
+          .join(broadcast(tot), col("flag") === col("ft"))
+          .withColumn("k", expr("(n * 5) div 100"))
+          .withColumn("kept",
+            greatest(lit(0L),
+              least(col("cumb") + col("c"), col("n") - col("k")) -
+                greatest(col("cumb") + 1L, col("k") + 1L) + 1L))
+        cum.groupBy("flag")
+          .agg(max(col("n")).as("n"), max(col("k")).as("k_trim"),
+            min(when(col("cumb") <= col("k") &&
+              col("cumb") + col("c") >= col("k") + 1L, col("cents")))
+              .as("v_lo_cents"),
+            min(when(col("cumb") < col("n") - col("k") &&
+              col("cumb") + col("c") >= col("n") - col("k"),
+              col("cents"))).as("v_hi_cents"),
+            sum(col("kept") * col("cents")).as("trim_sum"))
+          .select(col("flag"), col("n"), col("k_trim"),
+            col("v_lo_cents"), col("v_hi_cents"),
+            ((col("trim_sum") + col("k_trim") *
+              (col("v_lo_cents") + col("v_hi_cents"))).cast("double") /
+              col("n").cast("double")).as("winsorized_mean_cents"),
+            (col("trim_sum").cast("double") /
+              (col("n") - lit(2L) * col("k_trim")).cast("double"))
+              .as("trimmed_mean_cents"))
+          .orderBy("flag")
+      },
+      Some("""WITH vf AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS cents,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT flag, CAST(SUM(c) AS BIGINT) AS n
+             |  FROM vf GROUP BY 1),
+             |cum AS (
+             |  SELECT v.flag, v.cents, v.c, t.n, (t.n * 5) // 100 AS k,
+             |    COALESCE(CAST(SUM(v.c) OVER (PARTITION BY v.flag
+             |      ORDER BY v.cents ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+             |  FROM vf v JOIN tot t ON t.flag = v.flag),
+             |kept AS (
+             |  SELECT flag, n, k, cents, c, cumb,
+             |    greatest(CAST(0 AS BIGINT),
+             |      least(cumb + c, n - k) - greatest(cumb + 1, k + 1)
+             |        + 1) AS kc
+             |  FROM cum)
+             |SELECT flag, MAX(n) AS n, MAX(k) AS k_trim,
+             |  MIN(CASE WHEN cumb <= k AND cumb + c >= k + 1
+             |    THEN cents END) AS v_lo_cents,
+             |  MIN(CASE WHEN cumb < n - k AND cumb + c >= n - k
+             |    THEN cents END) AS v_hi_cents,
+             |  CAST(CAST(SUM(kc * cents)
+             |      + MAX(k) * (MIN(CASE WHEN cumb <= k
+             |            AND cumb + c >= k + 1 THEN cents END)
+             |        + MIN(CASE WHEN cumb < n - k AND cumb + c >= n - k
+             |            THEN cents END)) AS BIGINT) AS DOUBLE)
+             |    / CAST(MAX(n) AS DOUBLE) AS winsorized_mean_cents,
+             |  CAST(CAST(SUM(kc * cents) AS BIGINT) AS DOUBLE)
+             |    / CAST(MAX(n) - 2 * MAX(k) AS DOUBLE)
+             |    AS trimmed_mean_cents
+             |FROM kept GROUP BY 1 ORDER BY flag""".stripMargin)),
+
+    // EXT — CUPED variance-reduced experiment readout (Deng et al.
+    // 2013, public): arms by user-id parity, covariate = each user's
+    // PRE-period spend (days 1–15), metric = POST-period spend.
+    // θ = cov(pre, post)/var(pre) pooled over all users, and each
+    // arm's adjusted mean subtracts θ·(arm pre-mean − grand pre-mean).
+    // Sufficient statistics (n, Σx, Σy, Σx², Σxy) are exact BIGINT in
+    // whole USD (the q247 downscale rule keeps squares inside int64);
+    // θ and the adjusted means are ONE identical double chain in both
+    // engines (products in DOUBLE — the q291 convention, since n·Σxy
+    // exits int64 at warehouse scale). Two keyed aggregations + 1-row
+    // broadcasts; no windows at all.
+    EngineQuery("q295_cuped_readout",
+      (s, dir) => {
+        val pu = t(s, dir, "events")
+          .select(col("user_id"),
+            when(col("ts").cast("date") <
+              lit("2024-01-16").cast("date"), cents).otherwise(0L)
+              .as("pre_c"),
+            when(col("ts").cast("date") >=
+              lit("2024-01-16").cast("date"), cents).otherwise(0L)
+              .as("post_c"))
+          .groupBy("user_id")
+          .agg(sum("pre_c").as("pre_cents"),
+            sum("post_c").as("post_cents"))
+          .select(col("user_id"), expr("pre_cents div 100").as("x"),
+            expr("post_cents div 100").as("y"),
+            expr("user_id % 2").as("arm"))
+        val g = pu.agg(count(lit(1)).as("n_all"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val theta =
+          (col("n_all").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_all").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+        pu.groupBy("arm")
+          .agg(count(lit(1)).as("n_users"), sum("x").as("arm_pre_usd"),
+            sum("y").as("arm_post_usd"))
+          .crossJoin(broadcast(g))
+          .select(col("arm"), col("n_users"), col("arm_pre_usd"),
+            col("arm_post_usd"), theta.as("theta"),
+            (col("arm_post_usd").cast("double") /
+              col("n_users").cast("double")).as("raw_mean_post_usd"),
+            (col("arm_post_usd").cast("double") /
+              col("n_users").cast("double") -
+              theta * (col("arm_pre_usd").cast("double") /
+                col("n_users").cast("double") -
+                col("sx").cast("double") /
+                  col("n_all").cast("double")))
+              .as("adj_mean_post_usd"))
+          .orderBy("arm")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |        AS BIGINT) ELSE 0 END) AS BIGINT) // 100 AS x,
+             |    CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+             |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |        AS BIGINT) ELSE 0 END) AS BIGINT) // 100 AS y,
+             |    user_id % 2 AS arm
+             |  FROM events GROUP BY user_id),
+             |g AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM pu),
+             |arms AS (
+             |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(x) AS BIGINT) AS arm_pre_usd,
+             |    CAST(SUM(y) AS BIGINT) AS arm_post_usd
+             |  FROM pu GROUP BY 1)
+             |SELECT a.arm, a.n_users, a.arm_pre_usd, a.arm_post_usd,
+             |  (CAST(g.n_all AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+             |    - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+             |  / (CAST(g.n_all AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+             |    - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+             |    AS theta,
+             |  CAST(a.arm_post_usd AS DOUBLE)
+             |    / CAST(a.n_users AS DOUBLE) AS raw_mean_post_usd,
+             |  CAST(a.arm_post_usd AS DOUBLE)
+             |    / CAST(a.n_users AS DOUBLE)
+             |  - ((CAST(g.n_all AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+             |      - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+             |    / (CAST(g.n_all AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+             |      - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)))
+             |    * (CAST(a.arm_pre_usd AS DOUBLE)
+             |        / CAST(a.n_users AS DOUBLE)
+             |      - CAST(g.sx AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+             |    AS adj_mean_post_usd
+             |FROM arms a CROSS JOIN g
+             |ORDER BY a.arm""".stripMargin)),
+
+    // EXT — largest-remainder (Hamilton) quota allocation: apportion a
+    // fixed sample budget of 10000 across the (nation × segment)
+    // strata proportionally, with the leftover seats going to the
+    // largest fractional remainders — the EXACT integer method a
+    // stratified sampler uses so quotas sum to the budget precisely
+    // (floor-only allocation under-fills; naive rounding over-fills).
+    // Pure BIGINT: base = cnt·10000 div total, remainders ranked by
+    // (cnt·10000 % total) DESC with the (nation, segment) key as the
+    // deterministic tie-break. The only window is the remainder rank
+    // over the |strata| aggregate frame (≤ 25·5 rows — allowlisted).
+    EngineQuery("q296_quota_allocation",
+      (s, dir) => {
+        val st = t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = st.agg(sum("cnt").as("total"))
+        val based = st.crossJoin(broadcast(tot))
+          .withColumn("base", expr("(cnt * 10000) div total"))
+          .withColumn("rem_num", expr("(cnt * 10000) % total"))
+        val extras = based.agg((lit(10000L) - sum("base")).as("extras"))
+        val wr = Window.orderBy(col("rem_num").desc, col("nation"),
+          col("segment"))
+        based.withColumn("rk", row_number().over(wr).cast("long"))
+          .crossJoin(broadcast(extras))
+          .select(col("nation"), col("segment"), col("cnt"), col("base"),
+            (col("base") + when(col("rk") <= col("extras"), 1L)
+              .otherwise(0L)).as("quota"))
+          .orderBy("nation", "segment")
+      },
+      Some("""WITH st AS (
+             |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM customer GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM st),
+             |based AS (
+             |  SELECT nation, segment, cnt,
+             |    (cnt * 10000) // total AS base,
+             |    (cnt * 10000) % total AS rem_num
+             |  FROM st CROSS JOIN tot),
+             |ex AS (
+             |  SELECT CAST(10000 - SUM(base) AS BIGINT) AS extras
+             |  FROM based),
+             |rk AS (
+             |  SELECT *, CAST(row_number() OVER (ORDER BY rem_num DESC,
+             |    nation, segment) AS BIGINT) AS rk
+             |  FROM based)
+             |SELECT nation, segment, cnt, base,
+             |  base + CASE WHEN rk <= ex.extras THEN 1 ELSE 0 END
+             |    AS quota
+             |FROM rk CROSS JOIN ex
+             |ORDER BY nation, segment""".stripMargin)),
+
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a

@@ -37,16 +37,20 @@ class LabelPropagationSpec extends AnyFunSuite {
       else if (prev != null && next == prev) {
         labels = next.map { case (n, l) => n -> math.min(l, labels(n)) }
         settled = true
+      } else if (round == maxIter) {
+        // horizon exhausted: same least-damping as the 2-cycle break
+        labels = next.map { case (n, l) => n -> math.min(l, labels(n)) }
       } else { prev = labels; labels = next }
     }
     labels
   }
 
-  private def check(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+  private def check(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      maxIter: Int = 20): Map[Long, Long] = {
     val got = LabelPropagation.communities(
-        edges.toDF("src", "dst"), nodes.toDF("id"))
+        edges.toDF("src", "dst"), nodes.toDF("id"), maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = referenceLpa(edges, nodes)
+    val want = referenceLpa(edges, nodes, maxIter)
     assert(got == want, s"\n got $got\nwant $want")
     got
   }
@@ -83,5 +87,14 @@ class LabelPropagationSpec extends AnyFunSuite {
 
   test("path graph matches the reference round for round") {
     check((1L until 7L).map(i => (i, i + 1)), (1L to 7L).toSeq)
+  }
+
+  test("horizon exhaustion damps with least(label_H, label_H-1)") {
+    // a long path is still churning after 1 and 2 rounds — the
+    // operator must apply the same least-damping the fixed-horizon
+    // oracle uses, not return the raw last round
+    val edges = (1L until 10L).map(i => (i, i + 1))
+    val nodes = (1L to 10L).toSeq
+    for (h <- Seq(1, 2, 3)) check(edges, nodes, maxIter = h)
   }
 }

@@ -70,7 +70,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q251_abc_xyz" -> "class edges over the |parts| aggregate frame, exact integer cross-multiplication",
     "q254_repeat_interval" -> "median element pick over the |distinct gap values| frame; lags partition by customer",
     "q256_peak_concurrency" -> "within-day sweeps partition BY DAY; only the |days|-row carry frame is sequential",
-    "q260_hll_intersection" -> "rank over the 2-row event-type frame; register math on 256-row frames")
+    "q260_hll_intersection" -> "rank over the 2-row event-type frame; register math on 256-row frames",
+    "q283_supplier_skyline" -> "Skyline.maxMax sharded prefix-max: the unpartitioned suffix-max window covers only the ≤257-row shard-max frame",
+    "q296_quota_allocation" -> "largest-remainder rank over the nation×segment aggregate frame (≤ 125 rows, domain-bounded)")
 
   private def plans(name: String) = {
     val qe = QueryRegistry.byName(name).run(spark, dir).queryExecution
