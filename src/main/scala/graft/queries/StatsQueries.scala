@@ -4873,6 +4873,87 @@ object StatsQueries {
              |FROM rk CROSS JOIN ex
              |ORDER BY nation, segment""".stripMargin)),
 
+    // EXT — ISOTONIC daily-revenue trend per event type
+    // (operators.Isotonic): the unique nondecreasing least-squares fit
+    // of each type's 30-day revenue series — plateaus and true growth
+    // separate from noise, the monotone screen run before trusting a
+    // "metric is still climbing" claim. Cross-engine exactness rides
+    // on PAVA's CONFLUENCE: the minimizer is unique and any
+    // adjacent-violator pooling order reaches it, so the operator's
+    // parallel merge schedule and the oracle's sequential
+    // leftmost-merge recursion (full-state counter CTE, horizon 31 ≥
+    // the ≤ 29 merges a 30-day series can need) produce the SAME
+    // fitted values; only the fit DOUBLE is emitted (one s/c division
+    // — equal rationals round to the identical IEEE double even when
+    // equal-mean blocks are split differently), never the block
+    // boundaries. All block arithmetic is exact BIGINT cross-
+    // multiplication. Scale: keys parallel, per-key cost ∝ series
+    // length (calendar-bounded — the q272 law).
+    EngineQuery("q297_isotonic_trend",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(sum(cents).as("cents"))
+          .withColumn("day_idx",
+            datediff(col("day"), lit("2024-01-01").cast("date"))
+              .cast("long"))
+        graft.operators.Isotonic
+          .fit(daily, "event_type", "day_idx", "cents")
+          .select(col("event_type"), col("day_idx"), col("cents"),
+            round(col("fit"), 6).as("fit"))
+          .orderBy("event_type", "day_idx")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type AS k,
+             |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+             |      AS x,
+             |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |blocks AS (
+             |  SELECT 0 AS i, k, x AS bstart, y AS s,
+             |    CAST(1 AS BIGINT) AS c
+             |  FROM daily
+             |  UNION ALL
+             |  SELECT i + 1, k, bstart,
+             |    CASE WHEN rn = v - 1 THEN s + ns ELSE s END,
+             |    CASE WHEN rn = v - 1 THEN c + nc ELSE c END
+             |  FROM (
+             |    SELECT b.*, m.v FROM (
+             |      SELECT i, k, bstart, s, c,
+             |        row_number() OVER (PARTITION BY k ORDER BY bstart)
+             |          AS rn,
+             |        lead(s) OVER (PARTITION BY k ORDER BY bstart) AS ns,
+             |        lead(c) OVER (PARTITION BY k ORDER BY bstart) AS nc
+             |      FROM blocks) b
+             |    LEFT JOIN (
+             |      SELECT k AS vk, MIN(rn) AS v FROM (
+             |        SELECT k, s, c,
+             |          row_number() OVER (PARTITION BY k ORDER BY bstart)
+             |            AS rn,
+             |          lag(s) OVER (PARTITION BY k ORDER BY bstart)
+             |            AS ps,
+             |          lag(c) OVER (PARTITION BY k ORDER BY bstart)
+             |            AS pc
+             |        FROM blocks) z
+             |      WHERE ps IS NOT NULL AND ps * c > s * pc
+             |      GROUP BY 1) m
+             |      ON m.vk = b.k) q
+             |  WHERE i < 31 AND (v IS NULL OR rn <> v)),
+             |fin AS (SELECT k, bstart, s, c FROM blocks WHERE i = 31),
+             |spans AS (
+             |  SELECT k, bstart, s, c,
+             |    COALESCE(lead(bstart) OVER (PARTITION BY k
+             |      ORDER BY bstart),
+             |      CAST(9223372036854775807 AS BIGINT)) AS bend
+             |  FROM fin)
+             |SELECT d.k AS event_type, d.x AS day_idx, d.y AS cents,
+             |  round(CAST(sp.s AS DOUBLE) / CAST(sp.c AS DOUBLE), 6)
+             |    AS fit
+             |FROM daily d JOIN spans sp
+             |  ON sp.k = d.k AND d.x >= sp.bstart AND d.x < sp.bend
+             |ORDER BY event_type, day_idx""".stripMargin)),
+
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a
