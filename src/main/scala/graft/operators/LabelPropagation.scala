@@ -75,23 +75,31 @@ object LabelPropagation {
           coalesce(col("lp_vote"), col("lp_label")).as("lp_label"),
           col("lp_label").as("lp_prev_label"))
         .localCheckpoint()
-      val changed = next
-        .filter(col("lp_label") =!= col("lp_prev_label")).count()
+      // ONE action per round: changed-vs-N−1 and (when available)
+      // changed-vs-N−2 come from the same aggregate over the
+      // checkpointed frame — two separate counts doubled the per-round
+      // job count for no information gain
+      val chgCol = coalesce(sum(when(
+        col("lp_label") =!= col("lp_prev_label"), 1L).otherwise(0L)),
+        lit(0L))
+      val stats =
+        if (prev != null)
+          next.join(prev.select(col("lp_id"),
+              col("lp_label").as("lp_label_2ago")), "lp_id")
+            .agg(chgCol, coalesce(sum(when(
+              col("lp_label") =!= col("lp_label_2ago"), 1L)
+              .otherwise(0L)), lit(0L)))
+            .first()
+        else next.agg(chgCol, lit(-1L)).first()
+      val changed = stats.getLong(0)
       if (changed == 0L) settled = true
-      else if (prev != null) {
-        // 2-cycle check: does round N equal round N−2 everywhere?
-        val osc = next.select(col("lp_id"), col("lp_label"))
-          .join(prev.select(col("lp_id"),
-            col("lp_label").as("lp_label_2ago")), "lp_id")
-          .filter(col("lp_label") =!= col("lp_label_2ago")).count() == 0L
-        if (osc) {
-          // deterministic break: keep the smaller of the two
-          // alternating labels per node
-          labeled = next.select(col("lp_id"),
-            least(col("lp_label"), col("lp_prev_label")).as("lp_label"))
-            .localCheckpoint()
-          settled = true
-        }
+      else if (prev != null && stats.getLong(1) == 0L) {
+        // 2-cycle (round N equals round N−2 everywhere): deterministic
+        // break keeps the smaller of the two alternating labels
+        labeled = next.select(col("lp_id"),
+          least(col("lp_label"), col("lp_prev_label")).as("lp_label"))
+          .localCheckpoint()
+        settled = true
       }
       if (!settled) {
         prev = labeled.select("lp_id", "lp_label")

@@ -1055,6 +1055,79 @@ object RelationalQueries {
              |JOIN supp sb ON sb.brand = p.brand_b
              |CROSS JOIN n
              |ORDER BY p.pair_orders DESC, p.brand_a, p.brand_b
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // EXT — ITEM-ITEM neighbor lists ("customers who ordered X also
+    // ordered Y"): each brand's top-5 most-similar brands by cosine
+    // over co-order counts — the classic collaborative-filtering
+    // recommendation surface, built on q292's basket frame. The
+    // ranking key is the QUANTIZED INTEGER ((c_ab·2²⁰) div c_b)·c_ab
+    // — monotone-enough in cos² = c_ab²/(c_a·c_b) for fixed a, EXACT
+    // and identical in both engines (the q67/q143 no-libm-in-sort-keys
+    // rule; c_ab ≤ c_b keeps the product ≤ 2²⁰·c_ab, inside int64 at
+    // any SF), ties to brand_b; the cosine itself is display-only
+    // (sqrt is IEEE-correctly-rounded, safe OUTSIDE the sort key).
+    // Per-brand ranking windows run over ≤ |brands| rows.
+    EngineQuery("q300_item_neighbors",
+      (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct()
+        val supp = ob.groupBy("brand").agg(count(lit(1)).as("c"))
+        val pairs = ob.select(col("okey"), col("brand").as("brand_a"))
+          .join(ob.select(col("okey"), col("brand").as("brand_b")), "okey")
+          .filter(col("brand_a") =!= col("brand_b"))
+          .groupBy("brand_a", "brand_b")
+          .agg(count(lit(1)).as("c_ab"))
+        val scored = pairs
+          .join(broadcast(supp.select(col("brand").as("brand_a"),
+            col("c").as("c_a"))), Seq("brand_a"))
+          .join(broadcast(supp.select(col("brand").as("brand_b"),
+            col("c").as("c_b"))), Seq("brand_b"))
+          .withColumn("rank_key",
+            expr("((c_ab * 1048576) div c_b) * c_ab"))
+        val w = Window.partitionBy("brand_a")
+          .orderBy(col("rank_key").desc, col("brand_b"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5L)
+          .select(col("brand_a"), col("rn"), col("brand_b"),
+            col("c_ab"), col("c_a"), col("c_b"),
+            round(col("c_ab").cast("double") /
+              sqrt(col("c_a").cast("double") * col("c_b").cast("double")),
+              6).as("cosine"))
+          .orderBy("brand_a", "rn")
+      },
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+             |supp AS (
+             |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM ob GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+             |    CAST(COUNT(*) AS BIGINT) AS c_ab
+             |  FROM ob a JOIN ob b
+             |    ON b.okey = a.okey AND a.brand <> b.brand
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT p.brand_a, p.brand_b, p.c_ab,
+             |    sa.c AS c_a, sb.c AS c_b,
+             |    ((p.c_ab * 1048576) // sb.c) * p.c_ab AS rank_key
+             |  FROM pairs p
+             |  JOIN supp sa ON sa.brand = p.brand_a
+             |  JOIN supp sb ON sb.brand = p.brand_b),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY brand_a
+             |    ORDER BY rank_key DESC, brand_b) AS BIGINT) AS rn
+             |  FROM scored)
+             |SELECT brand_a, rn, brand_b, c_ab, c_a, c_b,
+             |  round(CAST(c_ab AS DOUBLE)
+             |    / sqrt(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)), 6)
+             |    AS cosine
+             |FROM ranked WHERE rn <= 5
+             |ORDER BY brand_a, rn""".stripMargin))
   )
 }

@@ -788,6 +788,53 @@ object SimilarityQueries {
               |SELECT seed, node AS vec_id, CAST(MIN(d) AS BIGINT) AS dist
               |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // EXT — SEED-CLOSENESS centrality report over the mutual-KNN
+    // graph: per node, how many of the 3 curated seeds reach it within
+    // 6 hops and at what total/maximum distance — top-20 most central
+    // (pivot-based closeness, the multi-source-BFS aggregation
+    // Brandes-style sampling uses; the mutual graph fragments, so
+    // coverage count leads the rank rather than an all-seeds filter).
+    // Pure reuse of q281 level-synchronous BFS; one keyed
+    // aggregation; ranking is a strict integer total order
+    // (n_seeds DESC, sum_hops, max_hops, vec_id) → TakeOrdered 20.
+    EngineQuery("q301_seed_closeness",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val seeds = preparedShared(s, dir).filter(col("vec_id") < 3)
+          .select("vec_id")
+        graft.operators.Bfs.distances(edges, seeds, maxHops = 6)
+          .groupBy(col("bfs_node").as("vec_id"))
+          .agg(count(lit(1)).as("n_seeds"),
+            sum(col("bfs_dist")).as("sum_hops"),
+            max(col("bfs_dist")).as("max_hops"))
+          .orderBy(col("n_seeds").desc, col("sum_hops"),
+            col("max_hops"), col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |walk AS (
+              |  SELECT vec_id AS seed, vec_id AS node, 0 AS d
+              |  FROM n WHERE vec_id < 3
+              |  UNION
+              |  SELECT w.seed, m.dst AS node, w.d + 1
+              |  FROM walk w JOIN mutual m ON m.src = w.node
+              |  WHERE w.d < 6),
+              |dist AS (
+              |  SELECT seed, node, CAST(MIN(d) AS BIGINT) AS dist
+              |  FROM walk GROUP BY 1, 2)
+              |SELECT node AS vec_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_seeds,
+              |  CAST(SUM(dist) AS BIGINT) AS sum_hops,
+              |  CAST(MAX(dist) AS BIGINT) AS max_hops
+              |FROM dist GROUP BY 1
+              |ORDER BY n_seeds DESC, sum_hops, max_hops, vec_id
+              |LIMIT 20""".stripMargin)),
+
     // EXT — MMR diversified top-k (operators/Mmr, λ = 1/2): for each
     // of 4 query vectors, greedily select 8 of the top-24 cosine
     // candidates maximizing rel − max-sim-to-selected — the

@@ -4954,6 +4954,214 @@ object StatsQueries {
              |  ON sp.k = d.k AND d.x >= sp.bstart AND d.x < sp.bend
              |ORDER BY event_type, day_idx""".stripMargin)),
 
+    // EXT — walk-forward FORECAST BACKTEST of the q272 Holt fold:
+    // train on each nation's daily revenue before 1998-06-01, forecast
+    // every later revenue day at its calendar horizon (level + h·trend,
+    // clamped at 0), and score with the two standard scale-free
+    // metrics — SMAPE (per-day |a−f|·2e6 div (a+f) terms, summed as
+    // exact BIGINT then one integer division by n_test: order-free,
+    // no float summation) and MASE (test MAE over the train naive-1
+    // MAE, ONE double chain over four exact integer sufficient
+    // statistics). The eval harness that must accompany any forecast
+    // operator: q272/q285 produce forecasts, this decides whether to
+    // trust them. Scale: the fold is the q272 law (keys parallel,
+    // per-key cost |days|); the naive-error lag window is PARTITIONED
+    // by nation; everything after is 25-row broadcasts.
+    EngineQuery("q298_forecast_backtest",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+            .as("cents"))
+        val split = lit("1998-06-01").cast("date")
+        val train = daily.filter(col("day") < split)
+        val st = train.groupBy("n_name")
+          .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+            .as("series"))
+          .select(col("n_name"),
+            size(col("series")).cast("long").as("n_train"),
+            element_at(col("series"), -1).getField("day").as("last_day"),
+            expr("""aggregate(
+                slice(series, 2, greatest(size(series) - 1, 0)),
+                named_struct('l', series[0].cents, 'b', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct(
+                  'l', (x.cents + acc.l + acc.b) div 2,
+                  'b', (((x.cents + acc.l + acc.b) div 2) - acc.l + acc.b)
+                    div 2))""").as("hst"))
+          .select(col("n_name"), col("n_train"), col("last_day"),
+            col("hst.l").as("lvl"), col("hst.b").as("trd"))
+        val wN = Window.partitionBy("n_name").orderBy("day")
+        val naive = train.withColumn("pc", lag("cents", 1).over(wN))
+          .filter(col("pc").isNotNull)
+          .groupBy("n_name")
+          .agg(sum(abs(col("cents") - col("pc"))).as("naive_sum"),
+            count(lit(1)).as("n_diffs"))
+        daily.filter(col("day") >= split)
+          .join(broadcast(st), Seq("n_name"))
+          .join(broadcast(naive), Seq("n_name"))
+          .withColumn("h", datediff(col("day"), col("last_day"))
+            .cast("long"))
+          .withColumn("f",
+            greatest(col("lvl") + col("h") * col("trd"), lit(0L)))
+          .withColumn("ae", abs(col("cents") - col("f")))
+          .withColumn("sm", expr("(ae * 2000000) div (cents + f)"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(max("n_train").as("n_train"),
+            count(lit(1)).as("n_test"),
+            sum("ae").as("sae_cents"),
+            max("naive_sum").as("naive_sum_cents"),
+            max("n_diffs").as("n_diffs"),
+            sum("sm").as("sm_sum"))
+          .select(col("nation"), col("n_train"), col("n_test"),
+            col("sae_cents"), col("naive_sum_cents"), col("n_diffs"),
+            expr("sm_sum div n_test").as("smape_ppm"),
+            round((col("sae_cents").cast("double") *
+              col("n_diffs").cast("double")) /
+              (col("n_test").cast("double") *
+                col("naive_sum_cents").cast("double")), 6).as("mase"))
+          .orderBy("nation")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |  GROUP BY 1, 2),
+             |d AS (
+             |  SELECT n_name, day, cents,
+             |    row_number() OVER (PARTITION BY n_name ORDER BY day)
+             |      AS rnk
+             |  FROM daily WHERE day < DATE '1998-06-01'),
+             |holt AS (
+             |  SELECT n_name, rnk, cents AS l, CAST(0 AS BIGINT) AS b
+             |  FROM d WHERE rnk = 1
+             |  UNION ALL
+             |  SELECT d.n_name, d.rnk,
+             |    (d.cents + h.l + h.b) // 2,
+             |    (((d.cents + h.l + h.b) // 2) - h.l + h.b) // 2
+             |  FROM holt h JOIN d ON d.n_name = h.n_name
+             |    AND d.rnk = h.rnk + 1),
+             |fin AS (
+             |  SELECT n_name, MAX(rnk) AS n_train, MAX(day) AS last_day
+             |  FROM d GROUP BY 1),
+             |state AS (
+             |  SELECT h.n_name, f.n_train, f.last_day, h.l AS lvl,
+             |    h.b AS trd
+             |  FROM holt h JOIN fin f ON f.n_name = h.n_name
+             |    AND h.rnk = f.n_train),
+             |naive AS (
+             |  SELECT n_name,
+             |    CAST(SUM(ABS(cents - pc)) AS BIGINT) AS naive_sum,
+             |    CAST(COUNT(*) AS BIGINT) AS n_diffs
+             |  FROM (
+             |    SELECT n_name, cents,
+             |      lag(cents) OVER (PARTITION BY n_name ORDER BY rnk)
+             |        AS pc
+             |    FROM d) x
+             |  WHERE pc IS NOT NULL GROUP BY 1),
+             |scored AS (
+             |  SELECT t.n_name, s.n_train, nv.naive_sum, nv.n_diffs,
+             |    t.cents,
+             |    greatest(s.lvl + CAST(t.day - s.last_day AS BIGINT)
+             |      * s.trd, CAST(0 AS BIGINT)) AS f
+             |  FROM daily t
+             |  JOIN state s ON s.n_name = t.n_name
+             |  JOIN naive nv ON nv.n_name = t.n_name
+             |  WHERE t.day >= DATE '1998-06-01')
+             |SELECT n_name AS nation,
+             |  CAST(MAX(n_train) AS BIGINT) AS n_train,
+             |  CAST(COUNT(*) AS BIGINT) AS n_test,
+             |  CAST(SUM(ABS(cents - f)) AS BIGINT) AS sae_cents,
+             |  MAX(naive_sum) AS naive_sum_cents,
+             |  MAX(n_diffs) AS n_diffs,
+             |  CAST(SUM((ABS(cents - f) * 2000000) // (cents + f))
+             |    AS BIGINT) // COUNT(*) AS smape_ppm,
+             |  round((CAST(SUM(ABS(cents - f)) AS DOUBLE)
+             |      * CAST(MAX(n_diffs) AS DOUBLE))
+             |    / (CAST(COUNT(*) AS DOUBLE)
+             |      * CAST(MAX(naive_sum) AS DOUBLE)), 6) AS mase
+             |FROM scored GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // EXT — l-DIVERSITY release-gate audit, q275's companion: a
+    // quasi-identifier group can be k-anonymous yet still leak when
+    // every member shares the SAME sensitive value, so the gate also
+    // requires ≥ l distinct sensitive values per group (Machanavajjhala
+    // et al. 2007, public). QI = q275's (nation, segment, balance
+    // bucket); sensitive attribute = the order priorities of the
+    // group's customers (customers without orders don't contribute a
+    // sensitive value and are excluded, as in a real release of the
+    // joined fact table). Exact integer counts end-to-end: two keyed
+    // aggregations (distinct priorities per group, then the per-nation
+    // rollup) — no windows. l < 3 marks a violating group.
+    EngineQuery("q299_l_diversity",
+      (s, dir) => {
+        val qi = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"),
+            expr("(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint))" +
+              " div 100000").as("bal_bucket"))
+        val sens = qi.join(t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority")),
+          col("c_custkey") === col("o_custkey"))
+        val gl = sens
+          .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+          .agg(countDistinct(col("o_orderpriority")).as("l_div"),
+            countDistinct(col("c_custkey")).as("n_cust"))
+        gl.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("l_div")).as("min_l"),
+            sum(when(col("l_div") < 3L, 1L).otherwise(0L))
+              .as("n_low_diversity"),
+            sum(when(col("l_div") < 3L, col("n_cust")).otherwise(0L))
+              .as("exposed_customers"),
+            sum(col("n_cust")).as("n_customers"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("n_groups"),
+            col("min_l"), col("n_low_diversity"),
+            col("exposed_customers"),
+            round(col("exposed_customers").cast("double") /
+              col("n_customers").cast("double"), 6).as("exposed_frac"))
+          .orderBy("nation")
+      },
+      Some("""WITH qi AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // 100000 AS bal_bucket
+             |  FROM customer),
+             |sens AS (
+             |  SELECT q.c_nationkey, q.c_mktsegment, q.bal_bucket,
+             |    q.c_custkey, o.o_orderpriority
+             |  FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey),
+             |gl AS (
+             |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+             |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_div,
+             |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_cust
+             |  FROM sens GROUP BY 1, 2, 3),
+             |pn AS (
+             |  SELECT c_nationkey,
+             |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |    MIN(l_div) AS min_l,
+             |    CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_low_diversity,
+             |    CAST(SUM(CASE WHEN l_div < 3 THEN n_cust ELSE 0 END)
+             |      AS BIGINT) AS exposed_customers,
+             |    CAST(SUM(n_cust) AS BIGINT) AS n_customers
+             |  FROM gl GROUP BY 1)
+             |SELECT n.n_name AS nation, pn.n_groups, pn.min_l,
+             |  pn.n_low_diversity, pn.exposed_customers,
+             |  round(CAST(pn.exposed_customers AS DOUBLE)
+             |    / CAST(pn.n_customers AS DOUBLE), 6) AS exposed_frac
+             |FROM pn JOIN nation n ON n.n_nationkey = pn.c_nationkey
+             |ORDER BY nation""".stripMargin)),
+
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a
