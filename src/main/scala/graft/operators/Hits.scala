@@ -25,12 +25,19 @@ import org.apache.spark.sql.functions._
   * normalize; hub = Σ over out-edges of the NEW authority, then L1
   * normalize. Each half is one shuffle join of edges against the
   * |V|-row score frame plus one keyed sum; the L1 total is a 1-row
-  * broadcast (never a driver-side collect). Each half-step cuts
-  * lineage with an eager localCheckpoint: the L1 total references its
-  * raw frame a second time, so a lazy loop re-evaluates the previous
-  * frame twice per half-step — 2^(2·iterations) leaf re-evaluations
-  * by the end (measured 5.1 s → checkpointed ~1.5 s at sf0.1). Pass a
-  * persisted edge frame — it is consumed 2·iterations times.
+  * broadcast (never a driver-side collect). Like PageRank the loop is
+  * fully lazy; pass a persisted edge frame — it is consumed
+  * 2·iterations times.
+  *
+  * This exact structure is the measured optimum of three variants at
+  * sf0.1 (steady, ScaleProbe): lazy with the per-half-step |V|-row
+  * universe join 6.8 s; adding eager localCheckpoints per half-step
+  * 8.2 s (job overhead > recomputation saved — ReuseExchange already
+  * dedupes the L1 total's second reference through the SHUFFLE
+  * boundaries the universe join creates); dropping the universe joins
+  * to keep sparse frames 59 s (the totals then hang off BROADCAST
+  * subtrees, which do not get reused, so every iteration re-executes
+  * the whole preceding chain — exponential). Keep the universe join.
   *
   * Nodes with no in-edges (or no out-edges) get authority (hub) 0 via
   * the left join; isolated nodes survive with both scores 0.
@@ -68,7 +75,6 @@ object Hits {
         .select(col("ht_id"),
           expr(s"coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale div ht_tot")
             .as("ht_a"))
-        .localCheckpoint()
       val hRaw = e
         .join(auth.withColumnRenamed("ht_id", "ht_dst"), "ht_dst")
         .groupBy(col("ht_src").as("ht_id"))
@@ -80,7 +86,6 @@ object Hits {
         .select(col("ht_id"),
           expr(s"coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale div ht_tot")
             .as("ht_h"))
-        .localCheckpoint()
     }
     hub.join(auth, "ht_id")
       .select(col("ht_id").as(idCol), col("ht_h").as("hub_fp"),
