@@ -211,6 +211,7 @@ object Bench {
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
     graft.queries.SimilarityQueries.reset(spark)
+    graft.queries.RelationalQueries.reset(spark)
     spark.stop()
   }
 

@@ -53,6 +53,7 @@ object Verify {
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
     graft.queries.SimilarityQueries.reset(spark)
+    graft.queries.RelationalQueries.reset(spark)
     spark.stop()
   }
 }

@@ -296,4 +296,68 @@ object TextDedup {
       // carries only survivors
       .filter(col("hamming") <= maxHamming)
       .distinct()
+
+  /** AllPairs/PPJoin-style prefix-filtered candidate pairs for an EXACT
+    * Jaccard-threshold self-join (Bayardo, Ma & Srikant 2007; Xiao
+    * et al. 2008 — engine-original implementation): every unordered doc
+    * pair with J ≥ tauNum/tauDen is GUARANTEED to surface, without
+    * MinHash's probabilistic recall and without the all-pairs join.
+    *
+    * Why it is complete: fix ANY global total order on tokens and give
+    * each doc of length l a prefix of its first l − ⌈τ·l⌉ + 1 tokens.
+    * If two docs shared NO prefix token, their overlap would be at most
+    * min(⌈τ·la⌉, ⌈τ·lb⌉) − 1 < τ·max(la, lb) ≤ τ·|a ∪ b| — below
+    * threshold. The order chosen is document-frequency ASCENDING
+    * (rarest first, xxhash64 tie-break), which is pure heuristic for
+    * bucket size — completeness holds under any order, which is what
+    * frees Spark to order by the cheap 8-byte hash while an external
+    * verifier brute-forces raw strings to the same output.
+    *
+    * Scale design (100 TB): one df aggregation (map-side combined), one
+    * per-doc window (PARTITIONED by doc, frame bounded by doc length),
+    * one equi-join on the prefix-token hash — bucket population is the
+    * token's df *restricted to prefixes*, and the df-ascending order
+    * pushes frequent tokens OUT of prefixes, so buckets stay small on
+    * natural corpora (worst case — a corpus of near-identical docs —
+    * degenerates to the true candidate count, which no complete
+    * algorithm can beat). The PPJoin length filter (τ·lb ≤ la ≤ lb/τ
+    * cross-checked in exact integers) prunes inside the join before the
+    * distinct's shuffle.
+    *
+    * @param grams  (doc_id, ..., gram) token/shingle frame; duplicates
+    *               are collapsed (set semantics, as in [[jaccard]])
+    * @param tauNum / @param tauDen exact threshold τ as a fraction
+    * @return (doc_a, doc_b) candidate pairs, doc_a < doc_b, distinct —
+    *         a SUPERSET of the true τ-pairs; verify with [[jaccard]]
+    */
+  def prefixFilterCandidates(grams: DataFrame, tauNum: Long,
+      tauDen: Long): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val gset = grams
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .distinct()
+    val df = gset.groupBy("g").agg(count(lit(1)).as("g_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("g_df", "g")
+    val ranked = gset.join(df, "g")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("len", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
+        .cast("long"))
+    // prefix length = len − ⌈τ·len⌉ + 1, all-integer ceiling
+    val prefix = ranked
+      .filter(col("rn") <= col("len") -
+        expr(s"(len * $tauNum + $tauDen - 1) div $tauDen") + 1L)
+      .select(col("doc_id"), col("g"), col("len"))
+    prefix.select(col("doc_id").as("doc_a"), col("g"),
+        col("len").as("la"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("g"),
+          col("len").as("lb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("la") * tauNum <= col("lb") * tauDen &&
+        col("lb") * tauNum <= col("la") * tauDen)
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
 }

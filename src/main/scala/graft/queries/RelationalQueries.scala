@@ -22,6 +22,85 @@ object RelationalQueries {
   private def revenue =
     money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
 
+  /** One shared part-transition directed graph per (session, dir):
+    * consecutive line numbers within an order, both endpoints in the
+    * top-100 parts by lineitem count — the bounded hub domain the
+    * direction-sensitive suite (q306 SCC, q307 layering) runs on.
+    * ≤ 9,900 distinct edges at ANY scale factor (the cap is the
+    * point); persisted, [[reset]] evicts. */
+  private val sharedPartEdges = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def partEdgesShared(s: SparkSession, dir: String): DataFrame =
+    sharedPartEdges.getOrElseUpdate((s, dir), {
+      val li = t(s, dir, "lineitem")
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+        .limit(100)
+        .select(col("l_partkey").as("pk"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"),
+            (col("l_linenumber") - 1).as("l_linenumber"),
+            col("l_partkey").as("dst")),
+          Seq("l_orderkey", "l_linenumber"))
+        .filter(col("src") =!= col("dst"))
+        .join(broadcast(top).withColumnRenamed("pk", "src"),
+          Seq("src"), "left_semi")
+        .join(broadcast(top).withColumnRenamed("pk", "dst"),
+          Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** One shared SCC map (scc_node, scc_id) over [[partEdgesShared]]
+    * per (session, dir): q306's report and q307's condensation both
+    * consume it, and the path-doubling closure behind it is the
+    * expensive part. [[reset]] evicts. */
+  private val sharedScc = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def sccShared(s: SparkSession, dir: String): DataFrame =
+    sharedScc.getOrElseUpdate((s, dir),
+      graft.operators.Closure.sccIds(partEdgesShared(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist + evict the shared graph frames for a session (the
+    * SimilarityQueries.reset teardown contract). */
+  def reset(s: SparkSession): Unit = {
+    sharedScc.keys.filter(_._1 eq s).foreach(k =>
+      sharedScc.remove(k).foreach(_.unpersist(blocking = false)))
+    sharedPartEdges.keys.filter(_._1 eq s).foreach(k =>
+      sharedPartEdges.remove(k).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** The top-100 / edge CTEs shared verbatim by the q306 and q307
+    * oracles so the twins cannot drift. */
+  private val partEdgeCteSql =
+    """top100 AS (
+      |  SELECT l_partkey AS pk FROM lineitem GROUP BY 1
+      |  ORDER BY COUNT(*) DESC, l_partkey LIMIT 100),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a
+      |  JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+      |    AND b.l_linenumber = a.l_linenumber + 1
+      |  JOIN top100 ta ON ta.pk = a.l_partkey
+      |  JOIN top100 tb ON tb.pk = b.l_partkey
+      |  WHERE a.l_partkey <> b.l_partkey),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+      |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+      |mut AS (
+      |  SELECT a.src AS u, a.dst AS v FROM reach a
+      |  JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+      |scc AS (
+      |  SELECT n.v AS node,
+      |    CAST(LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS BIGINT) AS scc_id
+      |  FROM nodes n LEFT JOIN mut m ON m.v = n.v
+      |  GROUP BY n.v)""".stripMargin
+
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -1128,6 +1207,246 @@ object RelationalQueries {
              |    / sqrt(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)), 6)
              |    AS cosine
              |FROM ranked WHERE rn <= 5
-             |ORDER BY brand_a, rn""".stripMargin))
+             |ORDER BY brand_a, rn""".stripMargin)),
+
+    // EXT — RELATIONAL DIVISION: suppliers whose shipped parts cover
+    // EVERY manufacturer group — the classic "for all" query shape
+    // (Codd's ÷). The generator's part table carries brands 1..25 with
+    // no mfgr column, so the 5-way manufacturer group is derived as
+    // (brand_no − 1) div 5 — identical arithmetic in both engines.
+    // Spark states it the SCALE-RIGHT way: distinct (supplier, mfgr)
+    // coverage pairs, one keyed distinct-count, compare against the
+    // 1-row broadcast universe size — two shuffles total, no
+    // correlated probing. The oracle states the SEMANTICS as the
+    // textbook DOUBLE NOT EXISTS — maximally different formulations
+    // that must agree on every supplier.
+    EngineQuery("q302_relational_division",
+      (s, dir) => {
+        val mfgrOf = expr(
+          "(CAST(substring(p_brand, 7) AS BIGINT) - 1) div 5")
+        val cover = t(s, dir, "lineitem")
+          .join(t(s, dir, "part")
+            .select(col("p_partkey"), mfgrOf.as("mfgr")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_suppkey").as("suppkey"), col("mfgr"))
+          .distinct()
+        val universe = t(s, dir, "part").select(mfgrOf.as("mfgr"))
+          .distinct().agg(count(lit(1)).as("n_mfgr"))
+        cover.groupBy("suppkey")
+          .agg(countDistinct(col("mfgr")).as("n_covered"))
+          .crossJoin(broadcast(universe))
+          .filter(col("n_covered") === col("n_mfgr"))
+          .join(t(s, dir, "supplier")
+            .select(col("s_suppkey").as("suppkey"), col("s_name")),
+            Seq("suppkey"))
+          .select(col("suppkey"), col("s_name"), col("n_covered"))
+          .orderBy("suppkey")
+      },
+      Some("""WITH pm AS (
+             |  SELECT p_partkey,
+             |    (CAST(substr(p_brand, 7) AS BIGINT) - 1) // 5 AS mfgr
+             |  FROM part)
+             |SELECT s.s_suppkey AS suppkey, s.s_name,
+             |  (SELECT CAST(COUNT(DISTINCT mfgr) AS BIGINT) FROM pm)
+             |    AS n_covered
+             |FROM supplier s
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM (SELECT DISTINCT mfgr FROM pm) m
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM lineitem l
+             |    JOIN pm p ON p.p_partkey = l.l_partkey
+             |    WHERE l.l_suppkey = s.s_suppkey
+             |      AND p.mfgr = m.mfgr))
+             |ORDER BY suppkey""".stripMargin)),
+
+    // EXT — STRONGLY-CONNECTED COMPONENTS of the part-transition
+    // graph (operators/Closure): which hub parts feed back into each
+    // other through consecutive-purchase chains — the cyclic-
+    // dependency question the undirected suite (q75 components, q270
+    // cores) cannot ask because it ignores edge direction. Domain is
+    // CAPPED at the top-100 parts (the operator's bounded-domain
+    // contract: a closure is |V|² — cap first, close second); Spark
+    // closes by path DOUBLING (⌈log₂ D⌉ rounds of one keyed
+    // self-join + distinct each), the oracle by single-edge recursive
+    // extension — maximally different round structures that must
+    // produce the identical reachability relation, and from it the
+    // identical scc(v) = min mutually-reachable peer.
+    EngineQuery("q306_part_scc",
+      (s, dir) => {
+        val scc = sccShared(s, dir)
+        val sizes = scc.groupBy(col("scc_id"))
+          .agg(count(lit(1)).as("scc_size"))
+        scc.join(sizes, Seq("scc_id"))
+          .select(col("scc_node").as("node"), col("scc_id"),
+            col("scc_size"))
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE $partEdgeCteSql
+              |SELECT s.node, s.scc_id, CAST(c.n AS BIGINT) AS scc_size
+              |FROM scc s
+              |JOIN (SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY 1) c
+              |  USING (scc_id)
+              |ORDER BY node""".stripMargin)),
+
+    // EXT — CONDENSATION LAYERING: collapse each SCC of q306's graph
+    // to one node (the condensation is acyclic BY CONSTRUCTION) and
+    // assign every component its longest-path depth — the dependency
+    // layer a topological scheduler would run it at, and the
+    // "how deep does this feedback cluster sit in the purchase flow"
+    // ordering signal. Spark iterates monotone label correction
+    // (layer ← max(layer, max over predecessors + 1), the KCore loop
+    // shape, converging in depth rounds, maxIter = cycle detector);
+    // the oracle enumerates (node, depth) walk states — bounded by
+    // |C|·depth since UNION dedups states — and takes MAX(d).
+    EngineQuery("q307_condensation_layers",
+      (s, dir) => {
+        val scc = sccShared(s, dir)
+        val asSrc = scc.select(col("scc_node").as("src"),
+          col("scc_id").as("c_src"))
+        val asDst = scc.select(col("scc_node").as("dst"),
+          col("scc_id").as("c_dst"))
+        val cedges = partEdgesShared(s, dir)
+          .join(asSrc, Seq("src")).join(asDst, Seq("dst"))
+          .filter(col("c_src") =!= col("c_dst"))
+          .select(col("c_src"), col("c_dst")).distinct()
+        val cnodes = scc.select(col("scc_id")).distinct()
+        val members = scc.groupBy(col("scc_id"))
+          .agg(count(lit(1)).as("n_members"))
+        graft.operators.Closure.dagLayers(cedges, cnodes)
+          .join(members, col("lay_node") === col("scc_id"))
+          .select(col("scc_id"), col("lay_layer").as("layer"),
+            col("n_members"))
+          .orderBy("layer", "scc_id")
+      },
+      Some(s"""WITH RECURSIVE $partEdgeCteSql,
+              |ce AS (
+              |  SELECT DISTINCT su.scc_id AS src, sv.scc_id AS dst
+              |  FROM e
+              |  JOIN scc su ON su.node = e.src
+              |  JOIN scc sv ON sv.node = e.dst
+              |  WHERE su.scc_id <> sv.scc_id),
+              |walk AS (
+              |  SELECT scc_id AS node, 0 AS d FROM scc GROUP BY 1
+              |  UNION
+              |  SELECT ce.dst AS node, w.d + 1
+              |  FROM walk w JOIN ce ON ce.src = w.node
+              |  WHERE w.d < 128)
+              |SELECT w.node AS scc_id, CAST(MAX(w.d) AS BIGINT) AS layer,
+              |  CAST(m.n AS BIGINT) AS n_members
+              |FROM walk w
+              |JOIN (SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY 1) m
+              |  ON m.scc_id = w.node
+              |GROUP BY 1, 3 ORDER BY layer, scc_id""".stripMargin)),
+
+    // EXT — APRIORI FREQUENT TRIPLES over order baskets: brand
+    // 3-itemsets with support ≥ 0.33% of orders, extending q292's pair
+    // lift one level up the lattice. Spark runs the ACTUAL Apriori
+    // pruning cascade — frequent items → frequent pairs → candidate
+    // triples generated ONLY from pairs sharing a leading item and
+    // closed under the pair filter (all three sub-pairs frequent,
+    // ≤ |F₂|·√|F₂| candidates broadcast back) → one counting pass —
+    // while the oracle brute-force counts EVERY triple and
+    // thresholds; support monotonicity says the two must agree
+    // exactly, so the gate proves the pruning is lossless, not just
+    // plausible. Threshold is RELATIVE (n_orders div 300) so the same
+    // query is meaningful at every SF. Scale shape: baskets semi-join
+    // to frequent items before any pair/triple explode; per-order
+    // triple expansion is C(basket, 3), bounded by basket width;
+    // candidates and supports broadcast (≤ |brands|³ rows by
+    // construction); one map-side-combined count on the triple key.
+    EngineQuery("q310_apriori_triples",
+      (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(t(s, dir, "part")
+              .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct()
+        val nOrders = ob.select("okey").distinct()
+          .agg(count(lit(1)).as("n_orders"),
+            expr("count(1) div 300").as("min_supp"))
+        val supp = ob.groupBy("brand").agg(count(lit(1)).as("supp"))
+        val freq1 = supp.crossJoin(broadcast(nOrders))
+          .filter(col("supp") >= col("min_supp"))
+          .select(col("brand"), col("supp"))
+        val obf = ob.join(broadcast(freq1.select("brand")),
+          Seq("brand"), "left_semi")
+        val freq2 = obf.select(col("okey"), col("brand").as("ba"))
+          .join(obf.select(col("okey"), col("brand").as("bb")), "okey")
+          .filter(col("ba") < col("bb"))
+          .groupBy("ba", "bb").agg(count(lit(1)).as("supp2"))
+          .crossJoin(broadcast(nOrders))
+          .filter(col("supp2") >= col("min_supp"))
+          .select("ba", "bb")
+        // Apriori candidate generation: join pairs on the leading
+        // item, then require the (bb, bc) closing pair frequent too.
+        val cand3 = freq2.join(
+            freq2.select(col("ba"), col("bb").as("bc")), Seq("ba"))
+          .filter(col("bb") < col("bc"))
+          .join(freq2.select(col("ba").as("bb"), col("bb").as("bc")),
+            Seq("bb", "bc"), "left_semi")
+        val tri = obf.select(col("okey"), col("brand").as("ba"))
+          .join(obf.select(col("okey"), col("brand").as("bb")), "okey")
+          .filter(col("ba") < col("bb"))
+          .join(obf.select(col("okey"), col("brand").as("bc")), "okey")
+          .filter(col("bb") < col("bc"))
+          .join(broadcast(cand3), Seq("ba", "bb", "bc"), "left_semi")
+          .groupBy("ba", "bb", "bc").agg(count(lit(1)).as("supp3"))
+        tri.crossJoin(broadcast(nOrders))
+          .filter(col("supp3") >= col("min_supp"))
+          .join(broadcast(supp.select(col("brand").as("ba"),
+            col("supp").as("supp_a"))), Seq("ba"))
+          .join(broadcast(supp.select(col("brand").as("bb"),
+            col("supp").as("supp_b"))), Seq("bb"))
+          .join(broadcast(supp.select(col("brand").as("bc"),
+            col("supp").as("supp_c"))), Seq("bc"))
+          .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+            col("bc").as("brand_c"), col("supp3").as("triple_orders"),
+            col("supp_a"), col("supp_b"), col("supp_c"),
+            // products in DOUBLE, not BIGINT: int64 supp·n² exits the
+            // exact range around sf10, where Spark wraps silently but
+            // DuckDB raises — identical IEEE trees never diverge
+            round(col("supp3").cast("double") *
+                col("n_orders").cast("double") *
+                col("n_orders").cast("double") /
+              (col("supp_a").cast("double") *
+                col("supp_b").cast("double") *
+                col("supp_c").cast("double")), 6).as("lift3"))
+          .orderBy(col("triple_orders").desc, col("brand_a"),
+            col("brand_b"), col("brand_c"))
+          .limit(20)
+      },
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+             |n AS (
+             |  SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders,
+             |    CAST(COUNT(DISTINCT okey) AS BIGINT) // 300 AS min_supp
+             |  FROM ob),
+             |supp AS (
+             |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS supp
+             |  FROM ob GROUP BY 1),
+             |tri AS (
+             |  SELECT a.brand AS ba, b.brand AS bb, c.brand AS bc,
+             |    CAST(COUNT(*) AS BIGINT) AS supp3
+             |  FROM ob a
+             |  JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+             |  JOIN ob c ON c.okey = a.okey AND b.brand < c.brand
+             |  GROUP BY 1, 2, 3)
+             |SELECT t.ba AS brand_a, t.bb AS brand_b, t.bc AS brand_c,
+             |  t.supp3 AS triple_orders,
+             |  sa.supp AS supp_a, sb.supp AS supp_b, sc.supp AS supp_c,
+             |  round(CAST(t.supp3 AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             |      * CAST(n.n_orders AS DOUBLE)
+             |    / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)
+             |      * CAST(sc.supp AS DOUBLE)), 6) AS lift3
+             |FROM tri t
+             |JOIN supp sa ON sa.brand = t.ba
+             |JOIN supp sb ON sb.brand = t.bb
+             |JOIN supp sc ON sc.brand = t.bc
+             |CROSS JOIN n
+             |WHERE t.supp3 >= n.min_supp
+             |ORDER BY t.supp3 DESC, t.ba, t.bb, t.bc
+             |LIMIT 20""".stripMargin))
   )
 }

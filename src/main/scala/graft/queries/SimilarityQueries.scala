@@ -2531,6 +2531,59 @@ object SimilarityQueries {
               |        * CAST(ds.m_dir_edges AS DOUBLE)))
               |    AS label_assortativity
               |FROM ds CROSS JOIN sm CROSS JOIN sq
-              |ORDER BY m_dir_edges""".stripMargin))
+              |ORDER BY m_dir_edges""".stripMargin)),
+
+    // EXT — WEIGHTED shortest paths from the curated seeds
+    // (operators/Sssp, frontier Bellman–Ford): minimum total
+    // DISSIMILARITY (1 − cos, fixed-pointed ×1e6 per edge) from the 3
+    // seed vectors along the mutual-KNN graph, over paths of ≤ 4
+    // edges — the soft-distance refinement of q281's hop count: two
+    // nodes 3 hops apart through near-identical intermediates score
+    // closer than one 2 hops away through dissimilar ones. Every edge
+    // weight is an exact BIGINT before any summation, so min() is
+    // exact and the trajectory is bit-reproducible; the oracle
+    // enumerates all ≤4-edge walks with cumulative cost as a
+    // recursive CTE and takes MIN(cost) per (seed, node) — the same
+    // function Bellman–Ford computes after 4 relaxation rounds
+    // (branching ≤ k = 5 bounds the walk table at |S|·5⁴ rows).
+    EngineQuery("q305_seed_shortest_paths",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .join(knnShared(s, dir)
+              .select(col("vec_id"), col("nbr_id"), col("cos_sim")),
+            Seq("vec_id", "nbr_id"))
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"),
+            (lit(1000000L) -
+              round(col("cos_sim") * 1e6).cast("long")).as("w_fp"))
+        val seeds = preparedShared(s, dir).filter(col("vec_id") < 3)
+          .select("vec_id")
+        graft.operators.Sssp.distances(edges, seeds, maxRounds = 4)
+          .select(col("sp_seed").as("seed"),
+            col("sp_node").as("vec_id"),
+            col("sp_cost").as("cost_fp"),
+            round(col("sp_cost").cast("double") / 1e6, 6).as("cost"))
+          .orderBy("seed", "vec_id")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst,
+              |    1000000 - CAST(round(a.cos_sim * 1000000) AS BIGINT)
+              |      AS w_fp
+              |  FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |walk AS (
+              |  SELECT vec_id AS seed, vec_id AS node, 0 AS d,
+              |    CAST(0 AS BIGINT) AS cost
+              |  FROM n WHERE vec_id < 3
+              |  UNION
+              |  SELECT w.seed, m.dst AS node, w.d + 1,
+              |    CAST(w.cost + m.w_fp AS BIGINT) AS cost
+              |  FROM walk w JOIN mutual m ON m.src = w.node
+              |  WHERE w.d < 4)
+              |SELECT seed, node AS vec_id,
+              |  CAST(MIN(cost) AS BIGINT) AS cost_fp,
+              |  round(CAST(MIN(cost) AS DOUBLE) / 1000000.0, 6) AS cost
+              |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -5162,6 +5162,77 @@ object StatsQueries {
              |FROM pn JOIN nation n ON n.n_nationkey = pn.c_nationkey
              |ORDER BY nation""".stripMargin)),
 
+    // EXT — PAGE-HINKLEY upward-drift statistic over each event
+    // type's daily revenue: PH_t = m_t − min_{i≤t} m_i with
+    // m_t = Σ (x_i − x̄_i), the sequential change detector that fires
+    // when a series drifts above its own running mean (CUSUM's q166
+    // running-mean sibling; the streaming monitors' batch twin). The
+    // deviation terms are QUANTIZED to exact BIGINT before the
+    // cumulative sum — ((x_t·t − S_t)·2²⁰) div t, where S_t is the
+    // inclusive prefix sum — so no rational mean and no float ever
+    // enters a window (the fixed-point window-sum rule); note both
+    // engines TRUNCATE negative integer division toward zero
+    // (verified: DuckDB // and Spark div agree on −7/2 = −3), which
+    // the negative deviations here exercise. All windows PARTITIONED
+    // by event type; alarm at 50k-cents drift.
+    EngineQuery("q304_page_hinkley",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val wCum = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(sum(cents).as("x"))
+          .withColumn("t", row_number().over(w).cast("long"))
+          .withColumn("s_t", sum(col("x")).over(wCum))
+          .withColumn("dev_q",
+            expr("((x * t - s_t) * 1048576) div t"))
+          .withColumn("m_t", sum(col("dev_q")).over(wCum))
+          .withColumn("run_min", min(col("m_t")).over(wCum))
+          .select(col("event_type"),
+            datediff(col("day"), lit("2024-01-01").cast("date"))
+              .cast("long").as("day_idx"),
+            col("x").as("cents"),
+            (col("m_t") - col("run_min")).as("ph_q"),
+            (col("m_t") - col("run_min") >
+              lit(50000L) * lit(1048576L)).as("alarm"))
+          .orderBy("event_type", "day_idx")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |seq AS (
+             |  SELECT event_type, day, x,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS t,
+             |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS s_t
+             |  FROM daily),
+             |dev AS (
+             |  SELECT event_type, day, x, t,
+             |    ((x * t - s_t) * 1048576) // t AS dev_q
+             |  FROM seq),
+             |ph AS (
+             |  SELECT event_type, day, x,
+             |    CAST(SUM(dev_q) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS BIGINT) AS m_t
+             |  FROM dev),
+             |runm AS (
+             |  SELECT event_type, day, x, m_t,
+             |    CAST(MIN(m_t) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS BIGINT) AS run_min
+             |  FROM ph)
+             |SELECT event_type,
+             |  CAST(day - DATE '2024-01-01' AS BIGINT) AS day_idx,
+             |  x AS cents, m_t - run_min AS ph_q,
+             |  m_t - run_min > CAST(50000 AS BIGINT) * 1048576 AS alarm
+             |FROM runm ORDER BY event_type, day_idx""".stripMargin)),
+
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a

@@ -1753,7 +1753,55 @@ object TextQueries {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
              |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
              |  CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens
-             |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXT — EXACT Jaccard-threshold self-join by PREFIX FILTERING
+    // (TextDedup.prefixFilterCandidates — the AllPairs/PPJoin family):
+    // every doc pair with shingle-Jaccard ≥ 3/5, with GUARANTEED
+    // completeness — the deterministic complement of q26's MinHash
+    // (probabilistic recall) and q31's verify-what-LSH-found. Spark
+    // generates candidates from df-ascending token prefixes
+    // (completeness holds under ANY global token order — see the
+    // operator proof — so Spark orders by 8-byte xxhash64 while the
+    // oracle never builds prefixes at all), verifies with the
+    // codegen'd sorted-merge intersect, and thresholds in exact
+    // integers (5·inter ≥ 3·union). The oracle is the BRUTE-FORCE
+    // definition — every pair sharing any gram, counted and
+    // thresholded — so the gate proves the filter theorem's
+    // completeness on real data, not just the happy path.
+    EngineQuery("q309_prefix_filter_join",
+      (s, dir) => {
+        import graft.operators.TextDedup
+        val grams = gramsDf(s, dir)
+        val cand = TextDedup.prefixFilterCandidates(grams,
+          tauNum = 3L, tauDen = 5L)
+        TextDedup.jaccard(grams, cand)
+          .filter(col("n_inter") * 5L >=
+            lit(3L) * (col("na") + col("nb") - col("n_inter")))
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            col("na"), col("nb"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |g AS (SELECT DISTINCT doc_id, gram FROM grams),
+              |len AS (
+              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l
+              |  FROM g GROUP BY 1),
+              |pair AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(COUNT(*) AS BIGINT) AS n_inter
+              |  FROM g a JOIN g b
+              |    ON b.gram = a.gram AND b.doc_id > a.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT p.doc_a, p.doc_b, p.n_inter,
+              |  la.l AS na, lb.l AS nb,
+              |  CAST(p.n_inter AS DOUBLE)
+              |    / CAST(la.l + lb.l - p.n_inter AS DOUBLE) AS jaccard
+              |FROM pair p
+              |JOIN len la ON la.doc_id = p.doc_a
+              |JOIN len lb ON lb.doc_id = p.doc_b
+              |WHERE p.n_inter * 5 >= 3 * (la.l + lb.l - p.n_inter)
+              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */

@@ -1646,6 +1646,164 @@ object WindowQueries {
              |      / CAST(nt - n1 AS DOUBLE))
              |    / (CAST(nt - n1 AS DOUBLE) - 1.0)) AS df_welch
              |FROM per CROSS JOIN tot
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // EXT — EXACT rolling 7-day DISTINCT active users per day: the
+    // windowed-distinct aggregate no engine's plain window frames can
+    // express (COUNT(DISTINCT) OVER a moving frame is unsupported in
+    // both Spark and DuckDB). Spark computes it LINEARLY with the
+    // representative-span trick: each (user, active-day) pair
+    // represents the window-days [day, min(day+6, next_active−1)] —
+    // for any window day exactly the user's LATEST activity ≤ it can
+    // represent it, so exploding each pair into ≤ 7 representative
+    // rows and counting per day IS the distinct count, with no
+    // quadratic day×activity join and no distinct-in-window state.
+    // The per-user lead() is partitioned; the explode is bounded by
+    // the window width. The oracle states the semantics directly as
+    // the quadratic day-range join + COUNT(DISTINCT) — two maximally
+    // different formulations agreeing on every day.
+    EngineQuery("q303_rolling_distinct",
+      (s, dir) => {
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")).cast("long").as("d"))
+          .distinct()
+        val wU = Window.partitionBy("user_id").orderBy("d")
+        val spans = pairs.withColumn("nxt", lead("d", 1).over(wU))
+          .withColumn("rep_end",
+            least(col("d") + 6L,
+              coalesce(col("nxt") - 1L, col("d") + 6L)))
+        val days = pairs.select(col("d").as("day")).distinct()
+        spans.select(col("user_id"),
+            explode(sequence(col("d"), col("rep_end"))).as("day"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy("day")
+          .agg(count(lit(1)).as("active_users_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+             |      AS d
+             |  FROM events),
+             |days AS (SELECT DISTINCT d AS day FROM pairs)
+             |SELECT dy.day,
+             |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+             |    AS active_users_7d
+             |FROM days dy
+             |JOIN pairs p ON p.d BETWEEN dy.day - 6 AND dy.day
+             |GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // EXT — CALENDAR GAP-FILL + EXACT LINEAR INTERPOLATION of each
+    // nation's daily order revenue: densify every (nation, day) cell
+    // of the observed span, then fill interior gaps by linear
+    // interpolation between the flanking observations — carried
+    // ENTIRELY in BIGINT cents with a single integer division
+    //   prev + ((next − prev) · (d − pd)) div (nd − pd)
+    // so both engines truncate identically (negative slopes exercise
+    // the toward-zero rule) and the fill is bit-exact; leading /
+    // trailing runs clamp to the nearest observation. The resample /
+    // impute step every time-series screen upstream of this registry
+    // assumes — and the batch twin of the streaming freshness
+    // monitor's "what SHOULD this feed have read" question. Scale
+    // shape: the calendar is |nations| × span built by explode over a
+    // broadcast 1-row span (never a range join); all four fill
+    // windows are PARTITIONED by nation over domain-bounded frames;
+    // one keyed left join places the observations.
+    EngineQuery("q308_gapfill_interpolate",
+      (s, dir) => {
+        val daily = Tables.table(s, dir, "orders")
+          .join(Tables.table(s, dir, "customer")
+              .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint))")
+            .as("cents"))
+        val span = daily.agg(min(col("day")).as("d0"),
+          max(col("day")).as("d1"))
+        val cal = broadcast(Tables.table(s, dir, "nation")
+            .select(col("n_name").as("nation")))
+          .crossJoin(broadcast(span))
+          .select(col("nation"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wp = Window.partitionBy("nation").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("nation").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        cal.join(daily, Seq("nation", "day"), "left")
+          .withColumn("prev_c", last(col("cents"), ignoreNulls = true).over(wp))
+          .withColumn("prev_d",
+            last(when(col("cents").isNotNull, col("day")),
+              ignoreNulls = true).over(wp))
+          .withColumn("next_c", first(col("cents"), ignoreNulls = true).over(wn))
+          .withColumn("next_d",
+            first(when(col("cents").isNotNull, col("day")),
+              ignoreNulls = true).over(wn))
+          .select(col("nation"),
+            datediff(col("day"), lit("1995-01-01").cast("date"))
+              .cast("long").as("day_idx"),
+            col("cents"),
+            when(col("cents").isNotNull, col("cents"))
+              .when(col("prev_c").isNull, col("next_c"))
+              .when(col("next_c").isNull, col("prev_c"))
+              .otherwise(expr("""prev_c + ((next_c - prev_c)
+                | * cast(datediff(day, prev_d) as bigint))
+                | div cast(datediff(next_d, prev_d) as bigint)"""
+                .stripMargin))
+              .as("filled_cents"),
+            when(col("cents").isNotNull, lit("obs"))
+              .when(col("prev_c").isNull, lit("lead"))
+              .when(col("next_c").isNull, lit("trail"))
+              .otherwise(lit("interp")).as("kind"))
+          .orderBy("nation", "day_idx")
+      },
+      Some("""WITH daily AS (
+             |  SELECT n.n_name AS nation,
+             |    CAST(o.o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |  GROUP BY 1, 2),
+             |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+             |cal AS (
+             |  SELECT n.n_name AS nation, CAST(u.g AS DATE) AS day
+             |  FROM nation n CROSS JOIN (
+             |    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |      AS g FROM span) u),
+             |f AS (
+             |  SELECT cal.nation, cal.day, d.cents,
+             |    last_value(d.cents IGNORE NULLS) OVER wp AS prev_c,
+             |    last_value(CASE WHEN d.cents IS NOT NULL THEN cal.day END
+             |      IGNORE NULLS) OVER wp AS prev_d,
+             |    first_value(d.cents IGNORE NULLS) OVER wn AS next_c,
+             |    first_value(CASE WHEN d.cents IS NOT NULL THEN cal.day END
+             |      IGNORE NULLS) OVER wn AS next_d
+             |  FROM cal LEFT JOIN daily d
+             |    ON d.nation = cal.nation AND d.day = cal.day
+             |  WINDOW wp AS (PARTITION BY cal.nation ORDER BY cal.day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wn AS (PARTITION BY cal.nation ORDER BY cal.day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT nation,
+             |  CAST(day - DATE '1995-01-01' AS BIGINT) AS day_idx, cents,
+             |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+             |    WHEN prev_c IS NULL THEN next_c
+             |    WHEN next_c IS NULL THEN prev_c
+             |    ELSE prev_c + ((next_c - prev_c)
+             |      * CAST(day - prev_d AS BIGINT))
+             |      // CAST(next_d - prev_d AS BIGINT) END AS BIGINT)
+             |    AS filled_cents,
+             |  CASE WHEN cents IS NOT NULL THEN 'obs'
+             |    WHEN prev_c IS NULL THEN 'lead'
+             |    WHEN next_c IS NULL THEN 'trail'
+             |    ELSE 'interp' END AS kind
+             |FROM f ORDER BY nation, day_idx""".stripMargin))
   )
 }
