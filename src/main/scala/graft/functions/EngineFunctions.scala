@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *   hash_bucket(key)               — the underlying [0,1] bucket
   *   hex_prefix_long(hex)           — native codegen'd hex prefix parse
   *   morton_code(x, y)              — 16-bit Z-order interleave (layout keys)
+  *   damerau_levenshtein(a, b)      — true DL edit distance (UTF-8 bytes)
   *
   * All are pure Catalyst expression trees (no UDF barrier): the SQL form
   * plans identically to the DataFrame form.
@@ -38,7 +39,10 @@ object EngineFunctions {
       HexPrefixToLongExpr(exprs.head, 8)),
     "morton_code" -> ((exprs: Seq[Expression]) =>
       GraftColumnBridge.expression(
-        MortonCode(col(exprs.head), col(exprs(1)), 8))))
+        MortonCode(col(exprs.head), col(exprs(1)), 8))),
+    "damerau_levenshtein" -> ((exprs: Seq[Expression]) =>
+      GraftColumnBridge.expression(
+        DamerauLevenshteinCol(col(exprs.head), col(exprs(1))))))
 
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -2584,6 +2584,148 @@ object SimilarityQueries {
               |SELECT seed, node AS vec_id,
               |  CAST(MIN(cost) AS BIGINT) AS cost_fp,
               |  round(CAST(MIN(cost) AS DOUBLE) / 1000000.0, 6) AS cost
-              |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // EXT — WEISFEILER–LEHMAN color refinement (operators/
+    // WlRefinement): 2 rounds of 1-WL over the mutual-KNN graph,
+    // seeded with degree — after round r two nodes share a label only
+    // if their radius-r neighbourhoods are structurally
+    // indistinguishable, the graph-fingerprint / WL-kernel primitive
+    // (and the structural dual of q289's LPA: WL refines positions,
+    // LPA coarsens communities). The label algebra is the oracle-
+    // portable 60-bit sha256 of `old || '|' || sorted neighbour
+    // labels`, so every round is HASH-gated: the oracle unrolls the
+    // identical two rounds with string_agg(... ORDER BY) rebuilding
+    // the identical pre-image strings. Per-node state is bounded by
+    // degree (≤ k = 5 here), so shuffles carry O(k) longs per node.
+    EngineQuery("q312_wl_refinement",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("lbl"))
+        graft.operators.WlRefinement.relabel(edges, deg, rounds = 2)
+          .join(deg.select(col("node").as("wl_node"),
+            col("lbl").as("deg")), Seq("wl_node"))
+          .select(col("wl_node").as("vec_id"), col("deg"),
+            col("wl_label"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |deg AS (
+              |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS lbl
+              |  FROM mutual GROUP BY 1),
+              |n1 AS (
+              |  SELECT m.src AS node,
+              |    string_agg(CAST(x.lbl AS VARCHAR), ','
+              |      ORDER BY x.lbl) AS s
+              |  FROM mutual m JOIN deg x ON x.node = m.dst GROUP BY 1),
+              |l1 AS (
+              |  SELECT d.node,
+              |    CAST('0x' || substr(sha256(CAST(d.lbl AS VARCHAR)
+              |      || '|' || COALESCE(n.s, '')), 1, 15) AS BIGINT)
+              |      AS lbl
+              |  FROM deg d LEFT JOIN n1 n ON n.node = d.node),
+              |n2 AS (
+              |  SELECT m.src AS node,
+              |    string_agg(CAST(x.lbl AS VARCHAR), ','
+              |      ORDER BY x.lbl) AS s
+              |  FROM mutual m JOIN l1 x ON x.node = m.dst GROUP BY 1),
+              |l2 AS (
+              |  SELECT d.node,
+              |    CAST('0x' || substr(sha256(CAST(d.lbl AS VARCHAR)
+              |      || '|' || COALESCE(n.s, '')), 1, 15) AS BIGINT)
+              |      AS lbl
+              |  FROM l1 d LEFT JOIN n2 n ON n.node = d.node)
+              |SELECT d.node AS vec_id, d.lbl AS deg, l2.lbl AS wl_label
+              |FROM deg d JOIN l2 ON l2.node = d.node
+              |ORDER BY vec_id""".stripMargin)),
+
+    // EXT — k-SOURCE BETWEENNESS (operators/Betweenness, Brandes
+    // dependency accumulation from 8 seeds, horizon 4): which vectors
+    // do shortest paths FLOW THROUGH — the brokerage signal closeness
+    // (q301) and PageRank (q104) both miss. σ (shortest-path counts)
+    // sums layer-by-layer in exact integers; δ accumulates backward
+    // as ×1e6 fixed-point BIGINTs with per-term floor division, so
+    // partial aggregates ship associatively and the ranking key is
+    // exact. The oracle rebuilds σ by ENUMERATING shortest paths (a
+    // walk CTE carrying the path string — every length-dist walk is a
+    // shortest path, branching ≤ k bounds it) and unrolls the
+    // backward sweep as one CTE per layer with the identical integer
+    // algebra — maximally different formulations, bit-equal δ.
+    EngineQuery("q313_knn_betweenness",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val seeds = preparedShared(s, dir).filter(col("vec_id") < 8)
+          .select("vec_id")
+        graft.operators.Betweenness.dependencies(edges, seeds, maxHops = 4)
+          // no round(): Spark rounds the decimal string, DuckDB the
+          // binary double, and they split on exact .5 boundaries
+          // (hit at sf0.1); the bare division of exact ints is
+          // bit-identical in both engines
+          .select(col("bt_node").as("vec_id"), col("bt_fp"),
+            (col("bt_fp").cast("double") / lit(8000000.0)).as("bt_avg"))
+          .orderBy(col("bt_fp").desc, col("vec_id"))
+          .limit(30)
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |walk AS (
+              |  SELECT vec_id AS seed, vec_id AS node, 0 AS d,
+              |    CAST(vec_id AS VARCHAR) AS path
+              |  FROM n WHERE vec_id < 8
+              |  UNION
+              |  SELECT w.seed, m.dst AS node, w.d + 1,
+              |    w.path || '>' || CAST(m.dst AS VARCHAR) AS path
+              |  FROM walk w JOIN mutual m ON m.src = w.node
+              |  WHERE w.d < 4),
+              |dist AS (SELECT seed, node, MIN(d) AS dist
+              |         FROM walk GROUP BY 1, 2),
+              |fs AS (
+              |  SELECT w.seed, w.node, t.dist,
+              |    CAST(COUNT(*) AS BIGINT) AS sigma
+              |  FROM walk w JOIN dist t ON t.seed = w.seed
+              |    AND t.node = w.node AND t.dist = w.d
+              |  GROUP BY 1, 2, 3),
+              |d3 AS (
+              |  SELECT v.seed, v.node,
+              |    CAST(SUM((v.sigma * 1000000) // g.sigma) AS BIGINT)
+              |      AS delta
+              |  FROM fs v JOIN mutual m ON m.src = v.node
+              |  JOIN fs g ON g.seed = v.seed AND g.node = m.dst
+              |    AND g.dist = 4
+              |  WHERE v.dist = 3 GROUP BY 1, 2),
+              |d2 AS (
+              |  SELECT v.seed, v.node,
+              |    CAST(SUM((v.sigma * (1000000 + COALESCE(x.delta, 0)))
+              |      // g.sigma) AS BIGINT) AS delta
+              |  FROM fs v JOIN mutual m ON m.src = v.node
+              |  JOIN fs g ON g.seed = v.seed AND g.node = m.dst
+              |    AND g.dist = 3
+              |  LEFT JOIN d3 x ON x.seed = g.seed AND x.node = g.node
+              |  WHERE v.dist = 2 GROUP BY 1, 2),
+              |d1 AS (
+              |  SELECT v.seed, v.node,
+              |    CAST(SUM((v.sigma * (1000000 + COALESCE(x.delta, 0)))
+              |      // g.sigma) AS BIGINT) AS delta
+              |  FROM fs v JOIN mutual m ON m.src = v.node
+              |  JOIN fs g ON g.seed = v.seed AND g.node = m.dst
+              |    AND g.dist = 2
+              |  LEFT JOIN d2 x ON x.seed = g.seed AND x.node = g.node
+              |  WHERE v.dist = 1 GROUP BY 1, 2)
+              |SELECT node AS vec_id, CAST(SUM(delta) AS BIGINT) AS bt_fp,
+              |  CAST(SUM(delta) AS DOUBLE) / 8000000.0 AS bt_avg
+              |FROM (SELECT * FROM d3 UNION ALL SELECT * FROM d2
+              |      UNION ALL SELECT * FROM d1) u
+              |WHERE node <> seed
+              |GROUP BY 1 ORDER BY bt_fp DESC, vec_id LIMIT 30""".stripMargin))
   )
 }

@@ -43,6 +43,15 @@ object StatsQueries {
 
   private val centsSql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
+  /** Newcomb–Benford expected leading-digit frequencies log₁₀(1+1/d),
+    * d = 1..9, as ×1e9 integers — precomputed ONCE here and
+    * interpolated into both the Spark frame and the oracle's VALUES
+    * literal (q314), so neither engine evaluates a log at query time.
+    * Declared ABOVE `val all` (the q275 init-order rule). */
+  private val benfordFp: Seq[Long] = Seq(301029996L, 176091259L,
+    124938737L, 96910013L, 79181246L, 66946790L, 57991947L,
+    51152522L, 45757491L)
+
   val all: Seq[EngineQuery] = Seq(
 
     // EXT — deterministic HyperLogLog (m=256 registers, 60-bit sha256
@@ -5233,6 +5242,135 @@ object StatsQueries {
              |  m_t - run_min > CAST(50000 AS BIGINT) * 1048576 AS alarm
              |FROM runm ORDER BY event_type, day_idx""".stripMargin)),
 
+    // EXT — BENFORD first-digit audit of order totals: observed
+    // leading-digit shares vs Newcomb–Benford expectation log₁₀(1+1/d)
+    // — the classic fabricated-numbers / unit-mixing screen. Expected
+    // frequencies enter BOTH engines as the same ×1e9 integer literals
+    // (from [[benfordFp]] — one source of truth interpolated into the
+    // oracle), observed shares quantize as obs·1e9 div n, and the
+    // deviation is an exact BIGINT — no transcendental is ever
+    // evaluated by either engine at query time. One map-side-combined
+    // 9-group aggregation over a substring of the cents value; the
+    // digit histogram is 9 rows at any scale factor.
+    EngineQuery("q314_benford_audit",
+      (s, dir) => {
+        val digits = benfordFp.zipWithIndex
+          .map { case (fp, i) => (i + 1L, fp) }
+        val exp = s.createDataFrame(digits)
+          .toDF("digit", "exp_fp")
+        val obs = t(s, dir, "orders")
+          .select(substring(expr(
+            "cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string)"),
+            1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = obs.agg(sum(col("n_obs")).as("n"))
+        broadcast(exp).join(obs, Seq("digit"), "left")
+          .select(col("digit"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            col("exp_fp"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"),
+            expr("(n_obs * 1000000000) div n").as("obs_fp"),
+            col("exp_fp"),
+            abs(expr("(n_obs * 1000000000) div n") - col("exp_fp"))
+              .as("abs_dev_fp"))
+          .orderBy("digit")
+      },
+      Some(s"""WITH exp AS (
+              |  SELECT * FROM (VALUES
+              |    ${benfordFp.zipWithIndex.map { case (fp, i) =>
+                     s"(${i + 1}, CAST($fp AS BIGINT))" }
+                   .mkString(", ")})
+              |    AS t(digit, exp_fp)),
+              |obs AS (
+              |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS
+              |      DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+              |      AS BIGINT) AS digit,
+              |    CAST(COUNT(*) AS BIGINT) AS n_obs
+              |  FROM orders GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+              |SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+              |  (COALESCE(o.n_obs, 0) * 1000000000) // t.n AS obs_fp,
+              |  e.exp_fp,
+              |  abs((COALESCE(o.n_obs, 0) * 1000000000) // t.n
+              |    - e.exp_fp) AS abs_dev_fp
+              |FROM exp e LEFT JOIN obs o ON o.digit = e.digit
+              |CROSS JOIN tot t
+              |ORDER BY e.digit""".stripMargin)),
+
+    // EXT — UNNORMALIZED HAAR WAVELET decomposition of each event
+    // type's first-16-day revenue: 4 levels of pairwise (sum, diff)
+    // over a zero-filled dyadic calendar — EXACT integer multi-
+    // resolution analysis, no √2 normalization, so every coefficient
+    // is a BIGINT both engines compute identically. Detail
+    // coefficients localize change (a level-k spike = a shift inside
+    // a 2^k-day window) — the wavelet complement of q304's
+    // Page-Hinkley and the synopsis behind wavelet-histogram
+    // selectivity estimation. Spark folds each level as ONE keyed
+    // aggregation (pair index = i div 2, sign = 1−2·(i mod 2));
+    // 4 levels = 4 map-side-combined shuffles of ≤ |types|·16 rows.
+    EngineQuery("q315_haar_wavelet",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")).cast("long").as("i"))
+          .agg(sum(cents).as("v"))
+          .filter(col("i") < 16L)
+        val types = daily.select("event_type").distinct()
+        val cal = types.select(col("event_type"),
+          explode(sequence(lit(0L), lit(15L))).as("i"))
+        var approx = cal.join(daily, Seq("event_type", "i"), "left")
+          .select(col("event_type"), col("i"),
+            coalesce(col("v"), lit(0L)).as("v"))
+        var out: DataFrame = null
+        for (level <- 1 to 4) {
+          val folded = approx
+            .groupBy(col("event_type"), expr("i div 2").as("i"))
+            .agg(sum(col("v")).as("a"),
+              sum(col("v") * (lit(1L) - lit(2L) * expr("i % 2")))
+                .as("d"))
+          val details = folded.select(col("event_type"),
+            lit(level.toLong).as("level"), col("i").as("idx"),
+            col("d").as("coef"))
+          out = if (out == null) details else out.union(details)
+          approx = folded.select(col("event_type"), col("i"),
+            col("a").as("v"))
+        }
+        out.union(approx.select(col("event_type"),
+            lit(5L).as("level"), col("i").as("idx"),
+            col("v").as("coef")))
+          .orderBy("event_type", "level", "idx")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT event_type,
+              |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+              |      AS i,
+              |    CAST(SUM($centsSql) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2 HAVING i < 16),
+              |cal AS (
+              |  SELECT t.event_type, g.i FROM
+              |    (SELECT DISTINCT event_type FROM daily) t
+              |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g),
+              |a0 AS (
+              |  SELECT c.event_type, c.i, COALESCE(d.v, 0) AS v
+              |  FROM cal c LEFT JOIN daily d
+              |    ON d.event_type = c.event_type AND d.i = c.i),
+              |${(1 to 4).map(l =>
+                 s"""a$l AS (
+                    |  SELECT event_type, i // 2 AS i,
+                    |    CAST(SUM(v) AS BIGINT) AS v,
+                    |    CAST(SUM(v * (1 - 2 * (i % 2))) AS BIGINT) AS d
+                    |  FROM a${l - 1} GROUP BY 1, 2)""".stripMargin)
+                 .mkString(",\n")}
+              |SELECT event_type, level, idx, coef FROM (
+              |  ${(1 to 4).map(l =>
+                   s"SELECT event_type, CAST($l AS BIGINT) AS level, " +
+                     s"i AS idx, d AS coef FROM a$l")
+                   .mkString("\n  UNION ALL ")}
+              |  UNION ALL SELECT event_type, CAST(5 AS BIGINT), i, v
+              |    FROM a4) u
+              |ORDER BY event_type, level, idx""".stripMargin))
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a

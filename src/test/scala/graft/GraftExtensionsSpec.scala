@@ -23,7 +23,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("injects every engine scalar function") {
     val names = injected.map(_._1.funcName).toSet
     assert(names === Set("normalize_phone", "hash_bucket",
-      "deterministic_sample", "hex_prefix_long", "morton_code"))
+      "deterministic_sample", "hex_prefix_long", "morton_code",
+      "damerau_levenshtein"))
   }
 
   test("injected builders evaluate like the DataFrame API") {
@@ -40,6 +41,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "INT args must cast like the Column API")
     assert(eval("normalize_phone", "(415) 555-0001") === "+14155550001")
     assert(eval("hex_prefix_long", "ff000000") === 0xff000000L)
+    assert(eval("damerau_levenshtein", "CA", "ABC") === 2,
+      "true DL (transpositions drift), not OSA")
     val bucket = eval("hash_bucket", "call-123")
     assert(bucket === 0.4224428577400844, // pinned reference vector
       "hash_bucket must match the sampling.js algorithm")
