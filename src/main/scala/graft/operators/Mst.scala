@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Minimum spanning FOREST over an undirected weighted edge list —
+  * round-synchronous Borůvka with pointer-jump contraction: the unique
+  * minimum-weight acyclic edge set connecting every connectable pair,
+  * under the total order (w, u, v) (the lexicographic tie-break makes
+  * the forest unique even when raw weights collide — the standard
+  * perturbation argument). On a similarity graph whose edge weight is
+  * a fixed-point dissimilarity this is the single-linkage dendrogram
+  * backbone: cutting its heaviest edges yields exactly the
+  * single-linkage clustering, and the forest is the sparsest certificate
+  * of the graph's proximity structure. Engine-original (the reference's
+  * graph surface stops at pairwise duplicate audits,
+  * `/root/reference/scripts/02_idempotency_test.js:125`).
+  *
+  * Algorithm: classic Borůvka. Each round every COMPONENT selects its
+  * minimum incident cross-edge under (w, u, v) — by the cut property
+  * every selected edge is in the forest, so rounds never retract. The
+  * selection graph (component → picked neighbour component) is a
+  * functional graph whose only cycles are mutual pairs (around any
+  * longer cycle the composite weights would have to strictly decrease
+  * forever — impossible under a total order), so rooting each mutual
+  * pair at its smaller id turns the selection into a forest, which
+  * pointer-jumping collapses to depth 1. Component count at least
+  * halves per round → ≤ ⌈log₂ V⌉ rounds.
+  *
+  * Scale design (100 TB):
+  *   - each round relabels edges with TWO keyed joins on the node id,
+  *     picks per-component minima with ONE map-side-combining min on
+  *     an 8-byte component key (the candidate is a struct, so partial
+  *     aggregates ship one struct per component per map task), and
+  *     contracts on the COMPONENT-level table — |comps| rows, at most
+  *     V/2 after round one and halving thereafter; node-level state
+  *     never exceeds |V| rows of two longs.
+  *   - pointer jumping doubles depth per step, so contraction costs
+  *     O(log chain) self-joins of the small component table — the
+  *     [[ConnectedComponents]] discipline, not a driver-side
+  *     union-find (nothing collects; the loop reads back one scalar
+  *     per round: the cross-edge count that doubles as the
+  *     termination certificate).
+  *   - weights are caller-supplied integers (fixed-point encode
+  *     doubles first — the q104 ×1e6 discipline), so min() is exact
+  *     and the forest is bit-reproducible across cluster sizes and
+  *     partitionings.
+  *   - lineage is cut EVERY round (`localCheckpoint`, or reliable
+  *     `checkpoint()` via `durableCheckpoints` where an executor loss
+  *     mid-loop must not fail the job), so the per-round plan stays
+  *     constant-size however many rounds run.
+  */
+object Mst {
+
+  /** The minimum spanning forest of `edges` under (w, u, v).
+    *
+    * @param edges undirected weighted edge list; the first three
+    *              columns are (u, v, weight) with integral weight —
+    *              endpoint order is irrelevant (canonicalized here),
+    *              duplicate rows for one edge are tolerated (the
+    *              composite order picks deterministically)
+    * @param maxRounds Borůvka round bound (≥ ⌈log₂ V⌉ for full
+    *              convergence; the loop exits early when no
+    *              cross-component edge remains)
+    * @return (mst_u, mst_v, mst_w): the forest's edges, mst_u < mst_v
+    */
+  def forest(edges: DataFrame, maxRounds: Int = 16,
+      durableCheckpoints: Boolean = false): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    def cut(df: DataFrame): DataFrame =
+      if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
+    val Array(uCol, vCol, wCol, _*) = edges.columns
+    val e = edges.select(
+        least(col(uCol), col(vCol)).cast("long").as("mst_u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("mst_v"),
+        col(wCol).cast("long").as("mst_w"))
+      .filter(col("mst_u") =!= col("mst_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var comp = cut(
+      e.select(col("mst_u").as("node"))
+        .union(e.select(col("mst_v").as("node")))
+        .distinct()
+        .select(col("node"), col("node").as("comp")))
+    var acc = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("mst_w", "mst_u", "mst_v")
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      // Edges whose endpoints live in different components, labeled
+      // with both component ids (two node-keyed joins).
+      val ce = e
+        .join(comp.select(col("node").as("mst_u"), col("comp").as("cu")),
+          "mst_u")
+        .join(comp.select(col("node").as("mst_v"), col("comp").as("cv")),
+          "mst_v")
+        .filter(col("cu") =!= col("cv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (ce.isEmpty) {
+        done = true
+        ce.unpersist(blocking = false)
+      } else {
+        // Per-component minimum cross-edge under (w, u, v): one
+        // map-side-combining min of a struct on the component key.
+        val cand = struct(col("mst_w"), col("mst_u"), col("mst_v"),
+          col("ct"))
+        val pick = ce
+          .select(col("cu").as("cf"), col("cv").as("ct"),
+            col("mst_w"), col("mst_u"), col("mst_v"))
+          .union(ce.select(col("cv").as("cf"), col("cu").as("ct"),
+            col("mst_w"), col("mst_u"), col("mst_v")))
+          .groupBy("cf").agg(min(cand).as("pick"))
+          .select(col("cf"), col("pick.mst_w").as("mst_w"),
+            col("pick.mst_u").as("mst_u"), col("pick.mst_v").as("mst_v"),
+            col("pick.ct").as("ct"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        acc = cut(acc.union(
+          pick.select("mst_w", "mst_u", "mst_v").distinct()))
+        // Contract: root mutual pairs at the smaller component id,
+        // then pointer-jump the selection forest to depth 1.
+        val sel = pick.select(col("cf").as("c"), col("ct").as("pc"))
+        var par = cut(sel.as("a")
+          .join(sel.select(col("c").as("pc"), col("pc").as("ppc")), "pc")
+          .select(col("c"),
+            when(col("ppc") === col("c") && col("c") < col("pc"),
+              col("c")).otherwise(col("pc")).as("par")))
+        var jumping = true
+        while (jumping) {
+          val next = cut(par.as("x")
+            .join(par.select(col("c").as("par"), col("par").as("gpar")),
+              "par")
+            .select(col("c"), col("gpar").as("par")))
+          jumping = next.as("n")
+            .join(par.withColumnRenamed("par", "old"), "c")
+            .filter(col("par") =!= col("old"))
+            .limit(1).count() > 0L
+          par = next
+        }
+        comp = cut(comp
+          .join(par.select(col("c").as("comp"), col("par")).distinct(),
+            Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("par"), col("comp")).as("comp")))
+        pick.unpersist(blocking = false)
+        ce.unpersist(blocking = false)
+      }
+    }
+    e.unpersist(blocking = false)
+    acc.select("mst_u", "mst_v", "mst_w")
+  }
+}

@@ -2726,6 +2726,76 @@ object SimilarityQueries {
               |FROM (SELECT * FROM d3 UNION ALL SELECT * FROM d2
               |      UNION ALL SELECT * FROM d1) u
               |WHERE node <> seed
-              |GROUP BY 1 ORDER BY bt_fp DESC, vec_id LIMIT 30""".stripMargin))
+              |GROUP BY 1 ORDER BY bt_fp DESC, vec_id LIMIT 30""".stripMargin)),
+
+    // EXT — MINIMUM SPANNING FOREST of the mutual-KNN similarity graph
+    // (operators/Mst, distributed Borůvka): the single-linkage
+    // dendrogram backbone — the unique minimum-dissimilarity acyclic
+    // edge set under the total order (w, u, v), with edge weight the
+    // q305 ×1e6 fixed-point dissimilarity. Spark runs log-round
+    // Borůvka (per-component min-edge + pointer-jump contraction, the
+    // full-scale path); the ORACLE is maximally different — a
+    // SEQUENTIAL Kruskal: edges ranked by (w, u, v), a recursive CTE
+    // carrying the full component labeling per step (the q272
+    // fold-pattern at graph scale — the per-step endpoint components
+    // hoist as window maxima over the step's state, not correlated
+    // rescans), acceptance = endpoints differ at step i−1. Distinct
+    // composite weights make the forest UNIQUE, so exact edge-set
+    // agreement between two unrelated algorithms is the strongest gate
+    // available. The sequential oracle is O(E·V), so the gated slice
+    // is the vec_id < 300 induced subgraph (the q313 bounded-seeds
+    // discipline); MstSpec checks the operator against driver-side
+    // Kruskal on unsliced random graphs.
+    EngineQuery("q316_knn_mst",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .join(knnShared(s, dir)
+              .select(col("vec_id"), col("nbr_id"), col("cos_sim")),
+            Seq("vec_id", "nbr_id"))
+          .filter(col("vec_id") < col("nbr_id") &&
+            col("vec_id") < 300 && col("nbr_id") < 300)
+          .select(col("vec_id").as("u"), col("nbr_id").as("v"),
+            (lit(1000000L) -
+              round(col("cos_sim") * 1e6).cast("long")).as("w"))
+        graft.operators.Mst.forest(edges)
+          .select(col("mst_u"), col("mst_v"), col("mst_w").as("w_fp"))
+          .orderBy("w_fp", "mst_u", "mst_v")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |me AS MATERIALIZED (
+              |  SELECT a.vec_id AS u, a.nbr_id AS v,
+              |    1000000 - CAST(round(a.cos_sim * 1000000) AS BIGINT)
+              |      AS w
+              |  FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
+              |  WHERE a.vec_id < a.nbr_id
+              |    AND a.vec_id < 300 AND a.nbr_id < 300),
+              |nn AS MATERIALIZED (SELECT DISTINCT node FROM (
+              |  SELECT u AS node FROM me
+              |  UNION ALL SELECT v FROM me) z),
+              |ed AS MATERIALIZED (SELECT u, v, w,
+              |  row_number() OVER (ORDER BY w, u, v) AS i FROM me),
+              |ne AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM ed),
+              |st AS (
+              |  SELECT 0 AS i, node, node AS comp FROM nn
+              |  UNION ALL
+              |  SELECT x.i + 1 AS i, x.node,
+              |    CASE WHEN x.comp = x.cv AND x.cu <> x.cv THEN x.cu
+              |         ELSE x.comp END AS comp
+              |  FROM (
+              |    SELECT s.i, s.node, s.comp,
+              |      MAX(CASE WHEN s.node = ed.u THEN s.comp END)
+              |        OVER () AS cu,
+              |      MAX(CASE WHEN s.node = ed.v THEN s.comp END)
+              |        OVER () AS cv
+              |    FROM st s JOIN ed ON ed.i = s.i + 1) x
+              |  WHERE x.i < (SELECT cnt FROM ne))
+              |SELECT ed.u AS mst_u, ed.v AS mst_v, ed.w AS w_fp
+              |FROM ed
+              |JOIN st a ON a.i = ed.i - 1 AND a.node = ed.u
+              |JOIN st b ON b.i = ed.i - 1 AND b.node = ed.v
+              |WHERE a.comp <> b.comp
+              |ORDER BY w_fp, mst_u, mst_v""".stripMargin))
   )
 }
