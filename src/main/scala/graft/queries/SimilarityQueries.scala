@@ -2796,6 +2796,48 @@ object SimilarityQueries {
               |JOIN st a ON a.i = ed.i - 1 AND a.node = ed.u
               |JOIN st b ON b.i = ed.i - 1 AND b.node = ed.v
               |WHERE a.comp <> b.comp
-              |ORDER BY w_fp, mst_u, mst_v""".stripMargin))
+              |ORDER BY w_fp, mst_u, mst_v""".stripMargin)),
+
+    // EXT — exact distributed GRAM MATRIX XᵀX of the embedding
+    // corpus: the single-pass sufficient statistic behind PCA,
+    // whitening, ridge regression and covariance — 64×64, reported as
+    // the 2080-entry upper triangle. Coordinates quantize ×1e4 to
+    // BIGINT (float→double widening is exact and ×1e4 can never land
+    // on a representable .5, so both engines round identically), and
+    // each row contributes its 2080 upper-triangle products via ONE
+    // flatten/explode — no dim×dim self-join of the exploded frame —
+    // so partial aggregation combines map-side to ≤ 2080 partials per
+    // task and the only shuffle carries |tasks|·2080 rows regardless
+    // of corpus size. |q|≤~2e4 ⇒ |p|≤4e8; int64 holds Σp for ~2·10¹⁰
+    // vectors. The oracle is the maximally-different formulation: a
+    // 1-based list-indexed dim×dim range join.
+    EngineQuery("q319_embedding_gram",
+      (s, dir) => {
+        val qv = Tables.table(s, dir, "embeddings")
+          .select(expr("""transform(cast(embedding as array<double>),
+            x -> cast(round(x * 10000) as bigint))""").as("q"))
+        qv.select(explode(expr(
+            """flatten(transform(sequence(0, 63), i ->
+              |  transform(sequence(i, 63), j ->
+              |    struct(i, j, q[i] * q[j] as p))))""".stripMargin))
+            .as("c"))
+          .select(col("c.i").cast("long").as("i"),
+            col("c.j").cast("long").as("j"), col("c.p").as("p"))
+          .groupBy("i", "j").agg(sum("p").as("g"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH qv AS (
+             |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 10000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |pr AS (
+             |  SELECT gi.i AS i, gj.j AS j,
+             |    q[gi.i + 1] * q[gj.j + 1] AS p
+             |  FROM qv
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) gi
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) gj
+             |  WHERE gj.j >= gi.i)
+             |SELECT i, j, CAST(SUM(p) AS BIGINT) AS g
+             |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

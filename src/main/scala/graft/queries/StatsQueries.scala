@@ -5370,7 +5370,245 @@ object StatsQueries {
                    .mkString("\n  UNION ALL ")}
               |  UNION ALL SELECT event_type, CAST(5 AS BIGINT), i, v
               |    FROM a4) u
-              |ORDER BY event_type, level, idx""".stripMargin))
+              |ORDER BY event_type, level, idx""".stripMargin)),
+
+    // EXT — AMS (Alon–Matias–Szegedy) F₂ sketch with merge proof: 32
+    // ±1-signed counters over event user_ids estimate the second
+    // frequency moment Σc², the join/self-join size and skew
+    // predictor. Signs come from the oracle-portable sha256 prefix
+    // parity (per-counter salt), so both engines build bit-identical
+    // counters; the sketch's linearity is PROVEN as data — per-type
+    // partial counters vector-SUM into a merged sketch asserted
+    // cell-exact against the direct build (the q258 CMS discipline:
+    // partial aggregates ship, raw rows don't) — and the estimate is
+    // gated against the EXACT F₂ as a ×1e9 error row (the q260
+    // pattern; mean-of-32 keeps |err| well under the 0.5 bound
+    // asserted as data). Explode is 32 structs per event row, all
+    // map-side-combined to ≤ 32·|types| partials per task; |est−F₂|
+    // ×1e9 stays in int64 while F₂ ≤ 9·10⁹ (sf well beyond 1).
+    EngineQuery("q317_ams_f2_sketch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"))
+        val signs = (0 until 32).map(j => struct(lit(j.toLong).as("j"),
+          (lit(1L) - lit(2L) * pmod(sha256PrefixLong(
+            concat(lit(s"ams$j:"), col("user_id").cast("string"))),
+            lit(2L))).as("sgn")))
+        val base = ev
+          .select(col("event_type"), explode(array(signs: _*)).as("js"))
+          .select(col("event_type"), col("js.j").as("j"),
+            col("js.sgn").as("sgn"))
+        val perType = base.groupBy("event_type", "j")
+          .agg(sum("sgn").as("c"))
+        val merged = perType.groupBy("j").agg(sum("c").as("c_merged"))
+        val direct = base.groupBy("j").agg(sum("sgn").as("c_direct"))
+        val est = merged.join(direct, Seq("j"))
+          .agg(count(lit(1)).as("n_counters"),
+            sum(when(col("c_merged") =!= col("c_direct"), 1L)
+              .otherwise(0L)).as("n_mismatched"),
+            expr("sum(c_direct * c_direct) div 32").as("f2_est"))
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * c")).as("f2_exact"))
+        est.crossJoin(broadcast(exact))
+          .select(col("n_counters"), col("n_mismatched"),
+            col("f2_est"), col("f2_exact"),
+            expr("abs(f2_est - f2_exact) * 1000000000 div f2_exact")
+              .as("abs_rel_err_fp"))
+          .withColumn("bound_ok", col("abs_rel_err_fp") <= 500000000L)
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type, r.j,
+             |    1 - 2 * (CAST('0x' || substr(sha256(
+             |      'ams' || CAST(r.j AS VARCHAR) || ':'
+             |        || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 2) AS sgn
+             |  FROM events
+             |  CROSS JOIN (SELECT unnest(range(0, 32)) AS j) r),
+             |per_type AS (
+             |  SELECT event_type, j, CAST(SUM(sgn) AS BIGINT) AS c
+             |  FROM base GROUP BY 1, 2),
+             |merged AS (
+             |  SELECT j, CAST(SUM(c) AS BIGINT) AS c_merged
+             |  FROM per_type GROUP BY 1),
+             |direct AS (
+             |  SELECT j, CAST(SUM(sgn) AS BIGINT) AS c_direct
+             |  FROM base GROUP BY 1),
+             |est AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_counters,
+             |    CAST(SUM(CASE WHEN m.c_merged <> d.c_direct
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+             |    CAST(SUM(d.c_direct * d.c_direct) AS BIGINT) // 32
+             |      AS f2_est
+             |  FROM merged m JOIN direct d ON d.j = m.j),
+             |ex AS (
+             |  SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM (
+             |    SELECT COUNT(*) AS c FROM events GROUP BY user_id) x)
+             |SELECT n_counters, n_mismatched, f2_est, f2_exact,
+             |  abs(f2_est - f2_exact) * 1000000000 // f2_exact
+             |    AS abs_rel_err_fp,
+             |  abs(f2_est - f2_exact) * 1000000000 // f2_exact
+             |    <= 500000000 AS bound_ok
+             |FROM est CROSS JOIN ex""".stripMargin)),
+
+    // EXT — hash-randomization (sign-flip permutation) test for the
+    // parity-cohort spend difference: the exact-inference complement
+    // of q153's asymptotic z-test. Per-user cents totals are signed
+    // by 64 deterministic sha256-parity assignments — b = 0 IS the
+    // observed cohort split (the q153 assignment), b = 1..63 are the
+    // re-randomizations — and the statistic |Σ s_b(u)·x_u| is an
+    // exact BIGINT per b. p = (1 + #{b≥1 : T_b ≥ T_obs}) / 64 as a
+    // ×1e9 integer. Everything is one |users|·64 explode of
+    // map-side-combinable partial sums — resampling inference with
+    // zero data movement beyond one 64-key aggregation, the
+    // distributed answer to driver-side bootstrap loops.
+    EngineQuery("q318_permutation_test",
+      (s, dir) => {
+        val ux = t(s, dir, "events").groupBy("user_id")
+          .agg(sum(cents).as("x"))
+        val flips = (0 until 64).map(b => struct(lit(b.toLong).as("b"),
+          (lit(1L) - lit(2L) * pmod(sha256PrefixLong(
+            concat(lit(s"perm$b:"), col("user_id").cast("string"))),
+            lit(2L))).as("sgn")))
+        val tb = ux
+          .select(col("x"), explode(array(flips: _*)).as("bs"))
+          .select(col("bs.b").as("b"),
+            (col("bs.sgn") * col("x")).as("sx"))
+          .groupBy("b").agg(abs(sum("sx")).as("t_b"))
+        val obs = tb.filter(col("b") === 0L)
+          .select(col("t_b").as("t_obs"))
+        val p = tb.crossJoin(broadcast(obs))
+          .agg(expr(
+            """(1 + sum(case when b >= 1 and t_b >= t_obs
+              |  then 1 else 0 end)) * 1000000000 div 64"""
+              .stripMargin).as("p_fp"))
+        tb.crossJoin(broadcast(obs)).crossJoin(broadcast(p))
+          .select(col("b"), col("t_b"),
+            (col("t_b") >= col("t_obs")).as("ge"),
+            col("t_obs"), col("p_fp"))
+          .orderBy("b")
+      },
+      Some(s"""WITH ux AS (
+              |  SELECT user_id, CAST(SUM($centsSql) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |tb AS (
+              |  SELECT r.b, CAST(abs(SUM(
+              |    (1 - 2 * (CAST('0x' || substr(sha256(
+              |      'perm' || CAST(r.b AS VARCHAR) || ':'
+              |        || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+              |      % 2)) * x)) AS BIGINT) AS t_b
+              |  FROM ux
+              |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+              |  GROUP BY 1),
+              |obs AS (SELECT t_b AS t_obs FROM tb WHERE b = 0),
+              |p AS (
+              |  SELECT (1 + CAST(SUM(CASE WHEN b >= 1 AND t_b >= t_obs
+              |      THEN 1 ELSE 0 END) AS BIGINT)) * 1000000000 // 64
+              |    AS p_fp
+              |  FROM tb CROSS JOIN obs)
+              |SELECT b, t_b, t_b >= t_obs AS ge, t_obs, p_fp
+              |FROM tb CROSS JOIN obs CROSS JOIN p
+              |ORDER BY b""".stripMargin)),
+
+    // EXT — lagged CROSS-correlogram between the click and purchase
+    // daily spend series (lags 0..7): does click volume LEAD
+    // purchases — the cross-series complement of q286's
+    // autocorrelation, the lead–lag screen behind attribution and
+    // forecasting-feature selection. Identical exact-moment algebra:
+    // mean-center as n·x − Σx in BIGINT, quantize each series by its
+    // own max|dr| div 2²⁰ + 1 factor, lags over the calendar-bounded
+    // |days| frame, numerators and denominators as exact integer
+    // sums; the only double is the final num/√(den_c·den_p) built as
+    // one identical expression chain from those exact ints.
+    EngineQuery("q320_crosscorrelation",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(when(col("event_type") === "click", cents)
+              .otherwise(0L)).as("xc"),
+            sum(when(col("event_type") === "purchase", cents)
+              .otherwise(0L)).as("xp"))
+        val st = daily.agg(count(lit(1)).as("n"),
+          sum("xc").as("sc"), sum("xp").as("sp"))
+        val d0 = daily.crossJoin(broadcast(st))
+          .select(col("day"),
+            (col("n") * col("xc") - col("sc")).as("drc"),
+            (col("n") * col("xp") - col("sp")).as("drp"))
+        val qf = d0.agg(expr("max(abs(drc)) div 1048576 + 1").as("qc"),
+          expr("max(abs(drp)) div 1048576 + 1").as("qp"))
+        val dv = d0.crossJoin(broadcast(qf))
+          .select(col("day"), expr("drc div qc").as("dc"),
+            expr("drp div qp").as("dp"))
+        val w = Window.orderBy("day")
+        val lagged = dv.select(
+          col("dc") +: (0 to 7).map(l =>
+            lag("dp", l).over(w).as(s"p$l")): _*)
+        val aggs = sum(expr("dc * dc")).as("den_c") +:
+          sum(expr("p0 * p0")).as("den_p") +:
+          (0 to 7).flatMap(l => Seq(
+            sum(col("dc") * col(s"p$l")).as(s"num$l"),
+            count(col(s"p$l")).as(s"np$l")))
+        val sums = lagged.agg(aggs.head, aggs.tail: _*)
+        sums.select(expr(s"""stack(8, ${(0 to 7).map(l =>
+              s"CAST($l AS BIGINT), num$l, np$l").mkString(", ")})
+            AS (lag_k, num, n_pairs)"""),
+            col("den_c"), col("den_p"))
+          .select(col("lag_k"), col("n_pairs"), col("num"),
+            col("den_c"), col("den_p"),
+            (col("num").cast("double") /
+              sqrt(col("den_c").cast("double") *
+                col("den_p").cast("double"))).as("ccf"))
+          .orderBy("lag_k")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(ts AS DATE) AS day,
+              |    CAST(SUM(CASE WHEN event_type = 'click'
+              |      THEN $centsSql ELSE 0 END) AS BIGINT) AS xc,
+              |    CAST(SUM(CASE WHEN event_type = 'purchase'
+              |      THEN $centsSql ELSE 0 END) AS BIGINT) AS xp
+              |  FROM events
+              |  WHERE event_type IN ('click', 'purchase')
+              |  GROUP BY 1),
+              |st AS (
+              |  SELECT COUNT(*) AS n, CAST(SUM(xc) AS BIGINT) AS sc,
+              |    CAST(SUM(xp) AS BIGINT) AS sp
+              |  FROM daily),
+              |d0 AS (
+              |  SELECT day, st.n * xc - st.sc AS drc,
+              |    st.n * xp - st.sp AS drp
+              |  FROM daily CROSS JOIN st),
+              |qf AS (
+              |  SELECT CAST(MAX(ABS(drc)) AS BIGINT) // 1048576 + 1
+              |      AS qc,
+              |    CAST(MAX(ABS(drp)) AS BIGINT) // 1048576 + 1 AS qp
+              |  FROM d0),
+              |dv AS (
+              |  SELECT day, drc // qf.qc AS dc, drp // qf.qp AS dp
+              |  FROM d0 CROSS JOIN qf),
+              |lagged AS (
+              |  SELECT dc, dp AS p0,
+              |    ${(1 to 7).map(l =>
+                     s"lag(dp, $l) OVER (ORDER BY day) AS p$l")
+                     .mkString(", ")}
+              |  FROM dv),
+              |sums AS (
+              |  SELECT CAST(SUM(dc * dc) AS BIGINT) AS den_c,
+              |    CAST(SUM(p0 * p0) AS BIGINT) AS den_p,
+              |    ${(0 to 7).map(l =>
+                     s"CAST(SUM(dc * p$l) AS BIGINT) AS num$l, " +
+                     s"CAST(COUNT(p$l) AS BIGINT) AS np$l")
+                     .mkString(", ")}
+              |  FROM lagged)
+              |SELECT u.lag_k, u.n_pairs, u.num, s.den_c, s.den_p,
+              |  CAST(u.num AS DOUBLE)
+              |    / sqrt(CAST(s.den_c AS DOUBLE)
+              |        * CAST(s.den_p AS DOUBLE)) AS ccf
+              |FROM sums s, (
+              |  ${(0 to 7).map(l =>
+                   s"SELECT CAST($l AS BIGINT) AS lag_k, " +
+                   s"num$l AS num, np$l AS n_pairs FROM sums")
+                   .mkString("\n  UNION ALL ")}) u
+              |ORDER BY u.lag_k""".stripMargin))
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a
