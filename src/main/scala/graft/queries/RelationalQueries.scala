@@ -1496,6 +1496,120 @@ object RelationalQueries {
              |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
              |FROM names a JOIN names b ON a.name < b.name
              |WHERE damerau_levenshtein(a.name, b.name) <= 3
-             |ORDER BY dl, name_a, name_b""".stripMargin))
+             |ORDER BY dl, name_a, name_b""".stripMargin)),
+
+    // EXT — supplier OPEN-LINE (fulfillment backlog) interval
+    // analytics over the real [o_orderdate, l_shipdate] spans: union
+    // COVERAGE (days with ≥ 1 line ordered-but-unshipped, the
+    // island-merge sweep — ship ≥ order makes same-order-day tie
+    // order irrelevant to the island partition) and PEAK CONCURRENCY
+    // (max simultaneous open lines, the +1/−1
+    // delta sweep with per-day pre-combine so tie order never reaches
+    // the running sum). Both sweeps are windows PARTITIONED by
+    // supplier over day-number integers — per-key linear state, no
+    // self-join, no interval explosion; the top-20 busiest suppliers
+    // bound the output (broadcast semi-filter), not the computation.
+    // The island trick: a span starts a new island iff its ship day
+    // exceeds the running max receipt of all earlier-shipped spans.
+    EngineQuery("q323_backlog_coverage",
+      (s, dir) => {
+        val iv0 = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("sd"),
+            datediff(col("l_shipdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("rd"))
+        val top = iv0.groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_intervals"))
+          .orderBy(col("n_intervals").desc, col("l_suppkey")).limit(20)
+        val iv = iv0.join(broadcast(top), "l_suppkey")
+        val wOrd = Window.partitionBy("l_suppkey").orderBy("sd", "rd")
+        val isl = iv
+          .withColumn("pmax", max("rd").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("flag",
+            when(col("pmax").isNull || col("sd") > col("pmax"), 1L)
+              .otherwise(0L))
+          .withColumn("isl", sum("flag").over(wOrd))
+          .groupBy("l_suppkey", "isl")
+          .agg((max("rd") - min("sd") + 1L).as("cov"))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_islands"),
+            sum("cov").as("covered_days"))
+        val peak = iv.select(col("l_suppkey"), col("sd").as("day"),
+            lit(1L).as("delta"))
+          .union(iv.select(col("l_suppkey"),
+            (col("rd") + 1L).as("day"), lit(-1L).as("delta")))
+          .groupBy("l_suppkey", "day").agg(sum("delta").as("d"))
+          .withColumn("conc", sum("d").over(
+            Window.partitionBy("l_suppkey").orderBy("day")))
+          .groupBy("l_suppkey").agg(max("conc").as("peak_transit"))
+        top.join(isl, "l_suppkey").join(peak, "l_suppkey")
+          .select(col("l_suppkey"), col("n_intervals"),
+            col("n_islands"), col("covered_days"), col("peak_transit"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH iv0 AS (
+             |  SELECT l_suppkey,
+             |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1992-01-01'
+             |      AS BIGINT) AS sd,
+             |    CAST(CAST(l.l_shipdate AS DATE) - DATE '1992-01-01'
+             |      AS BIGINT) AS rd
+             |  FROM lineitem l
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |top AS (
+             |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_intervals
+             |  FROM iv0 GROUP BY 1
+             |  ORDER BY n_intervals DESC, l_suppkey LIMIT 20),
+             |iv AS (
+             |  SELECT i.* FROM iv0 i JOIN top t
+             |    ON t.l_suppkey = i.l_suppkey),
+             |fl AS (
+             |  SELECT l_suppkey, sd, rd,
+             |    CASE WHEN max(rd) OVER (PARTITION BY l_suppkey
+             |        ORDER BY sd, rd
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      IS NULL OR sd > max(rd) OVER (PARTITION BY l_suppkey
+             |        ORDER BY sd, rd
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS flag
+             |  FROM iv),
+             |ii AS (
+             |  SELECT l_suppkey, sd, rd,
+             |    CAST(SUM(flag) OVER (PARTITION BY l_suppkey
+             |      ORDER BY sd, rd) AS BIGINT) AS isl
+             |  FROM fl),
+             |isla AS (
+             |  SELECT l_suppkey, isl,
+             |    CAST(MAX(rd) - MIN(sd) + 1 AS BIGINT) AS cov
+             |  FROM ii GROUP BY 1, 2),
+             |islands AS (
+             |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_islands,
+             |    CAST(SUM(cov) AS BIGINT) AS covered_days
+             |  FROM isla GROUP BY 1),
+             |sw AS (
+             |  SELECT l_suppkey, day, CAST(SUM(delta) AS BIGINT) AS d
+             |  FROM (
+             |    SELECT l_suppkey, sd AS day, 1 AS delta FROM iv
+             |    UNION ALL
+             |    SELECT l_suppkey, rd + 1 AS day, -1 AS delta FROM iv) u
+             |  GROUP BY 1, 2),
+             |pk AS (
+             |  SELECT l_suppkey, CAST(MAX(conc) AS BIGINT)
+             |      AS peak_transit
+             |  FROM (
+             |    SELECT l_suppkey, CAST(SUM(d) OVER (
+             |      PARTITION BY l_suppkey ORDER BY day) AS BIGINT)
+             |      AS conc
+             |    FROM sw) x
+             |  GROUP BY 1)
+             |SELECT t.l_suppkey, t.n_intervals, i.n_islands,
+             |  i.covered_days, p.peak_transit
+             |FROM top t
+             |JOIN islands i ON i.l_suppkey = t.l_suppkey
+             |JOIN pk p ON p.l_suppkey = t.l_suppkey
+             |ORDER BY t.l_suppkey""".stripMargin))
   )
 }

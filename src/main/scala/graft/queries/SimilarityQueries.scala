@@ -2838,6 +2838,75 @@ object SimilarityQueries {
              |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) gj
              |  WHERE gj.j >= gi.i)
              |SELECT i, j, CAST(SUM(p) AS BIGINT) AS g
-             |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // EXT — GRAPH DIAMETER lower bound by the classic 2-sweep BFS
+    // (Magnien–Latapy–Habib): BFS from a deterministic anchor (the
+    // minimum node id), re-BFS from the farthest node found — its
+    // eccentricity is the standard near-tight diameter witness at two
+    // BFS's cost instead of all-pairs. Both sweeps are the existing
+    // level-synchronous [[graft.operators.Bfs]]; the argmax CHAINS as
+    // a 1-row TakeOrdered frame feeding the second sweep's seed set —
+    // no driver collect between stages. Horizon 12 bounds work on
+    // adversarial diameters (documented: reported value is the
+    // ≤12-hop eccentricity). The oracle chains two recursive walk
+    // CTEs through the same argmax. Reach counts per sweep gate the
+    // component census as data.
+    EngineQuery("q322_graph_diameter",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val s0 = edges.agg(min("src").as("start_node"))
+        val b1 = graft.operators.Bfs.distances(edges, s0, maxHops = 12)
+        val far1 = b1
+          .orderBy(col("bfs_dist").desc, col("bfs_node")).limit(1)
+          .select(col("bfs_node").as("sweep1_far"),
+            col("bfs_dist").as("sweep1_ecc"))
+        val b2 = graft.operators.Bfs.distances(edges,
+          far1.select("sweep1_far"), maxHops = 12)
+        val far2 = b2
+          .orderBy(col("bfs_dist").desc, col("bfs_node")).limit(1)
+          .select(col("bfs_node").as("sweep2_far"),
+            col("bfs_dist").as("diameter_lb"))
+        val r1 = b1.agg(count(lit(1)).as("reach1"))
+        val r2 = b2.agg(count(lit(1)).as("reach2"))
+        broadcast(s0).crossJoin(broadcast(far1))
+          .crossJoin(broadcast(far2))
+          .crossJoin(broadcast(r1)).crossJoin(broadcast(r2))
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS MATERIALIZED (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |s0 AS MATERIALIZED (SELECT MIN(src) AS node FROM mutual),
+              |w1 AS (
+              |  SELECT node, CAST(0 AS BIGINT) AS d FROM s0
+              |  UNION
+              |  SELECT m.dst AS node, w.d + 1 AS d
+              |  FROM w1 w JOIN mutual m ON m.src = w.node
+              |  WHERE w.d < 12),
+              |d1 AS MATERIALIZED (
+              |  SELECT node, MIN(d) AS dist FROM w1 GROUP BY 1),
+              |far1 AS MATERIALIZED (
+              |  SELECT node, dist FROM d1 ORDER BY dist DESC, node
+              |  LIMIT 1),
+              |w2 AS (
+              |  SELECT node, CAST(0 AS BIGINT) AS d FROM far1
+              |  UNION
+              |  SELECT m.dst AS node, w.d + 1 AS d
+              |  FROM w2 w JOIN mutual m ON m.src = w.node
+              |  WHERE w.d < 12),
+              |d2 AS MATERIALIZED (
+              |  SELECT node, MIN(d) AS dist FROM w2 GROUP BY 1),
+              |far2 AS MATERIALIZED (
+              |  SELECT node, dist FROM d2 ORDER BY dist DESC, node
+              |  LIMIT 1)
+              |SELECT s0.node AS start_node,
+              |  f1.node AS sweep1_far, CAST(f1.dist AS BIGINT) AS sweep1_ecc,
+              |  f2.node AS sweep2_far, CAST(f2.dist AS BIGINT) AS diameter_lb,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS reach1,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS reach2
+              |FROM s0 CROSS JOIN far1 f1 CROSS JOIN far2 f2""".stripMargin))
   )
 }

@@ -5608,7 +5608,101 @@ object StatsQueries {
                    s"SELECT CAST($l AS BIGINT) AS lag_k, " +
                    s"num$l AS num, np$l AS n_pairs FROM sums")
                    .mkString("\n  UNION ALL ")}) u
-              |ORDER BY u.lag_k""".stripMargin))
+              |ORDER BY u.lag_k""".stripMargin)),
+
+    // EXT — KMV (k-minimum-values / bottom-k) distinct sketch with
+    // union merge proof: the 256 smallest 60-bit sha256 hashes of the
+    // user-id domain. Completes the deterministic sketch battery
+    // (HLL q257, CMS q258, Bloom q259, AMS q317) with the one whose
+    // merge is EXACT set algebra: bottom-k of the union of per-type
+    // bottom-k partials equals the direct global bottom-k (any global
+    // bottom hash is a fortiori in its type's bottom-k), asserted
+    // rank-by-rank as data. The estimator (k−1)/F(h_k) runs in pure
+    // integer arithmetic — r = h_k div (2⁶⁰ div 10¹²) rescales the
+    // kth hash to ~10¹² so (k−1)·10¹² div r never overflows and both
+    // engines floor identically — and is gated against the exact
+    // distinct count as a ×1e9 error row (the q260/q317 pattern).
+    // Per-type bottom-k via partitioned rank; the two global
+    // bottom-256 picks are sort-limit (TakeOrdered — per-partition
+    // top-k, k rows to one reducer, never a global sort of the data).
+    EngineQuery("q321_kmv_union",
+      (s, dir) => {
+        val hashed = t(s, dir, "events")
+          .select(col("event_type"), sha256PrefixLong15(
+            concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+        val direct = hashed.select("h").distinct()
+          .orderBy("h").limit(256)
+        val partial = hashed.distinct()
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy("h")))
+          .filter(col("rk") <= 256)
+        val merged = partial.select("h").distinct()
+          .orderBy("h").limit(256)
+        val dr = direct.select(col("h").as("h_direct"))
+          .withColumn("rk", row_number().over(Window.orderBy("h_direct")))
+        val mr = merged.select(col("h").as("h_merged"))
+          .withColumn("rk", row_number().over(Window.orderBy("h_merged")))
+        val proof = dr.join(mr, Seq("rk"), "full_outer")
+          .agg(count(lit(1)).as("k"),
+            sum(when(coalesce(col("h_direct"), lit(-1L)) =!=
+              coalesce(col("h_merged"), lit(-2L)), 1L).otherwise(0L))
+              .as("n_mismatched"),
+            max(col("h_direct")).as("kth_hash"))
+        val exact = t(s, dir, "events")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        proof.crossJoin(broadcast(exact))
+          .select(col("k"), col("n_mismatched"), col("kth_hash"),
+            expr("""(k - 1) * 1000000000000 div
+              |(kth_hash div (1152921504606846976 div 1000000000000))"""
+              .stripMargin).as("n_est"),
+            col("n_exact"))
+          .withColumn("abs_rel_err_fp",
+            expr("abs(n_est - n_exact) * 1000000000 div n_exact"))
+          .withColumn("bound_ok", col("abs_rel_err_fp") <= 200000000L)
+      },
+      Some("""WITH hashed AS (
+             |  SELECT event_type,
+             |    CAST('0x' || substr(sha256(
+             |      'kmv:' || CAST(user_id AS VARCHAR)), 1, 15)
+             |      AS BIGINT) AS h
+             |  FROM events),
+             |direct AS (
+             |  SELECT DISTINCT h FROM hashed ORDER BY h LIMIT 256),
+             |partial AS (
+             |  SELECT event_type, h FROM (
+             |    SELECT event_type, h, row_number() OVER (
+             |      PARTITION BY event_type ORDER BY h) AS rk
+             |    FROM (SELECT DISTINCT event_type, h FROM hashed) x) y
+             |  WHERE rk <= 256),
+             |merged AS (
+             |  SELECT DISTINCT h FROM partial ORDER BY h LIMIT 256),
+             |dr AS (SELECT h AS h_direct,
+             |  row_number() OVER (ORDER BY h) AS rk FROM direct),
+             |mr AS (SELECT h AS h_merged,
+             |  row_number() OVER (ORDER BY h) AS rk FROM merged),
+             |proof AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(CASE WHEN COALESCE(d.h_direct, -1)
+             |        <> COALESCE(m.h_merged, -2) THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_mismatched,
+             |    CAST(MAX(d.h_direct) AS BIGINT) AS kth_hash
+             |  FROM dr d FULL OUTER JOIN mr m ON m.rk = d.rk),
+             |ex AS (
+             |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             |    AS n_exact FROM events)
+             |SELECT k, n_mismatched, kth_hash,
+             |  (k - 1) * 1000000000000
+             |    // (kth_hash // (1152921504606846976 // 1000000000000))
+             |    AS n_est,
+             |  n_exact,
+             |  abs((k - 1) * 1000000000000
+             |    // (kth_hash // (1152921504606846976 // 1000000000000))
+             |    - n_exact) * 1000000000 // n_exact AS abs_rel_err_fp,
+             |  abs((k - 1) * 1000000000000
+             |    // (kth_hash // (1152921504606846976 // 1000000000000))
+             |    - n_exact) * 1000000000 // n_exact
+             |    <= 200000000 AS bound_ok
+             |FROM proof CROSS JOIN ex""".stripMargin))
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a

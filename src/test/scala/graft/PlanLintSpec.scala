@@ -73,7 +73,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q260_hll_intersection" -> "rank over the 2-row event-type frame; register math on 256-row frames",
     "q283_supplier_skyline" -> "Skyline.maxMax sharded prefix-max: the unpartitioned suffix-max window covers only the ≤257-row shard-max frame",
     "q296_quota_allocation" -> "largest-remainder rank over the nation×segment aggregate frame (≤ 125 rows, domain-bounded)",
-    "q320_crosscorrelation" -> "lag windows over the calendar-bounded |days| daily frame (the q201/q215/q248 precedent)")
+    "q320_crosscorrelation" -> "lag windows over the calendar-bounded |days| daily frame (the q201/q215/q248 precedent)",
+    "q321_kmv_union" -> "rank alignment over the two ≤256-row bottom-k sketch frames; per-type partials partition by event_type")
 
   private def plans(name: String) = {
     val qe = QueryRegistry.byName(name).run(spark, dir).queryExecution
