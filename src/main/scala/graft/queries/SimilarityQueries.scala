@@ -2907,6 +2907,277 @@ object SimilarityQueries {
               |  f2.node AS sweep2_far, CAST(f2.dist AS BIGINT) AS diameter_lb,
               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS reach1,
               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS reach2
-              |FROM s0 CROSS JOIN far1 f1 CROSS JOIN far2 f2""".stripMargin))
+              |FROM s0 CROSS JOIN far1 f1 CROSS JOIN far2 f2""".stripMargin)),
+
+    // EXT — greedy MAXIMAL MATCHING of the mutual-KNN graph
+    // (operators/Matching, locally-dominant-edge rounds): the
+    // vertex-disjoint best-buddy pairing under the q316 composite
+    // order — each vector pairs with at most one other, lightest
+    // dissimilarity first; the ½-approximate matching primitive
+    // behind dedup pairing and 1:1 linkage. Spark matches all locally
+    // dominant edges per round (distributed); the ORACLE is the
+    // sequential greedy scan it provably equals — the q316
+    // recursive-CTE fold with a per-node USED flag instead of a
+    // component label, acceptance = both endpoints free at step i−1.
+    // Same vec_id < 300 gated slice (O(E·V) oracle), same exact
+    // edge-set agreement between two unrelated formulations;
+    // MatchingSpec checks the operator against driver-side greedy on
+    // unsliced random graphs.
+    EngineQuery("q324_knn_matching",
+      (s, dir) => {
+        val edges = mutualShared(s, dir)
+          .join(knnShared(s, dir)
+              .select(col("vec_id"), col("nbr_id"), col("cos_sim")),
+            Seq("vec_id", "nbr_id"))
+          .filter(col("vec_id") < col("nbr_id") &&
+            col("vec_id") < 300 && col("nbr_id") < 300)
+          .select(col("vec_id").as("u"), col("nbr_id").as("v"),
+            (lit(1000000L) -
+              round(col("cos_sim") * 1e6).cast("long")).as("w"))
+        graft.operators.Matching.matching(edges)
+          .orderBy("m_w", "m_u", "m_v")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |me AS MATERIALIZED (
+              |  SELECT a.vec_id AS u, a.nbr_id AS v,
+              |    1000000 - CAST(round(a.cos_sim * 1000000) AS BIGINT)
+              |      AS w
+              |  FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
+              |  WHERE a.vec_id < a.nbr_id
+              |    AND a.vec_id < 300 AND a.nbr_id < 300),
+              |nn AS MATERIALIZED (SELECT DISTINCT node FROM (
+              |  SELECT u AS node FROM me
+              |  UNION ALL SELECT v FROM me) z),
+              |ed AS MATERIALIZED (SELECT u, v, w,
+              |  row_number() OVER (ORDER BY w, u, v) AS i FROM me),
+              |ne AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM ed),
+              |st AS (
+              |  SELECT 0 AS i, node, FALSE AS used FROM nn
+              |  UNION ALL
+              |  SELECT x.i + 1 AS i, x.node,
+              |    CASE WHEN NOT x.uu AND NOT x.uv
+              |        AND (x.node = x.eu OR x.node = x.ev)
+              |      THEN TRUE ELSE x.used END AS used
+              |  FROM (
+              |    SELECT s.i, s.node, s.used, ed.u AS eu, ed.v AS ev,
+              |      MAX(CASE WHEN s.node = ed.u THEN s.used END)
+              |        OVER () AS uu,
+              |      MAX(CASE WHEN s.node = ed.v THEN s.used END)
+              |        OVER () AS uv
+              |    FROM st s JOIN ed ON ed.i = s.i + 1) x
+              |  WHERE x.i < (SELECT cnt FROM ne))
+              |SELECT ed.u AS m_u, ed.v AS m_v, ed.w AS m_w
+              |FROM ed
+              |JOIN st a ON a.i = ed.i - 1 AND a.node = ed.u
+              |JOIN st b ON b.i = ed.i - 1 AND b.node = ed.v
+              |WHERE NOT a.used AND NOT b.used
+              |ORDER BY m_w, m_u, m_v""".stripMargin)),
+
+    // EXT — grid HOTSPOT screen (Getis-Ord-flavored) over the q290
+    // 2-D signed projection: which neighborhoods of embedding space
+    // are denser than chance — 3×3-cell neighborhood mass vs the
+    // uniform expectation over the occupied bounding grid, as the
+    // exact integer lift S·|grid|·1e9 div (9·N). The scale shape is
+    // the density-screen canon: ONE pass to cells (every vector
+    // contributes its cell), ONE 9-way offset explode of the CELL
+    // COUNTS frame (|occupied cells| rows, never the vectors) with
+    // map-side combine, top-20 by TakeOrdered. Bounds: S ≤ N,
+    // |grid| ≤ 4·10⁴ at these projections ⇒ S·|grid|·1e9 ≤ ~10¹⁷.
+    EngineQuery("q326_grid_hotspots",
+      (s, dir) => {
+        val comps = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("p"),
+            round(col("col").cast("double") * 1e6).cast("long").as("xq"))
+        val proj = comps
+          .select(col("vec_id"),
+            (col("xq") * when(
+              expr("(p * 2654435761) % 4294967296") < 2147483648L, 1L)
+              .otherwise(-1L)).as("tx"),
+            (col("xq") * when(
+              expr("(p * 2246822519) % 4294967296") < 2147483648L, 1L)
+              .otherwise(-1L)).as("ty"))
+          .groupBy("vec_id")
+          .agg(sum("tx").as("px"), sum("ty").as("py"))
+        val lo = proj.agg(min("px").as("lox"), min("py").as("loy"),
+          max("px").as("hix"), max("py").as("hiy"),
+          count(lit(1)).as("n_total"))
+        val cells = proj.crossJoin(broadcast(lo))
+          .select(expr("(px - lox) div 200000").as("cx"),
+            expr("(py - loy) div 200000").as("cy"))
+          .groupBy("cx", "cy").agg(count(lit(1)).as("n_cell"))
+        val offsets = (-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))))
+        val hood = cells
+          .select(col("cx"), col("cy"), col("n_cell"),
+            explode(array(offsets: _*)).as("o"))
+          .select((col("cx") + col("o.dx")).as("cx"),
+            (col("cy") + col("o.dy")).as("cy"), col("n_cell"))
+          .groupBy("cx", "cy").agg(sum("n_cell").as("n_hood"))
+        cells.join(hood, Seq("cx", "cy"))
+          .crossJoin(broadcast(lo))
+          .select(col("cx"), col("cy"), col("n_cell"), col("n_hood"),
+            expr("""((hix - lox) div 200000 + 1)
+              |* ((hiy - loy) div 200000 + 1)""".stripMargin)
+              .as("grid_cells"),
+            expr("""n_hood * (((hix - lox) div 200000 + 1)
+              |* ((hiy - loy) div 200000 + 1)) * 1000000000
+              |div (9 * n_total)""".stripMargin).as("score_fp"))
+          .orderBy(col("score_fp").desc, col("cx"), col("cy"))
+          .limit(20)
+      },
+      Some("""WITH sv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+             |      AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |comp AS (
+             |  SELECT vec_id, unnest(sv) AS xq,
+             |    unnest(range(1, len(sv) + 1)) AS p
+             |  FROM sv),
+             |proj AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(xq * (CASE WHEN (p * 2654435761) % 4294967296
+             |      < 2147483648 THEN 1 ELSE -1 END)) AS BIGINT) AS px,
+             |    CAST(SUM(xq * (CASE WHEN (p * 2246822519) % 4294967296
+             |      < 2147483648 THEN 1 ELSE -1 END)) AS BIGINT) AS py
+             |  FROM comp GROUP BY 1),
+             |lo AS (
+             |  SELECT MIN(px) AS lox, MIN(py) AS loy,
+             |    MAX(px) AS hix, MAX(py) AS hiy,
+             |    CAST(COUNT(*) AS BIGINT) AS n_total
+             |  FROM proj),
+             |cells AS (
+             |  SELECT (px - lo.lox) // 200000 AS cx,
+             |    (py - lo.loy) // 200000 AS cy,
+             |    CAST(COUNT(*) AS BIGINT) AS n_cell
+             |  FROM proj CROSS JOIN lo GROUP BY 1, 2),
+             |hood AS (
+             |  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+             |    CAST(SUM(c.n_cell) AS BIGINT) AS n_hood
+             |  FROM cells c
+             |  CROSS JOIN (
+             |    SELECT dx.d AS dx, dy.d AS dy
+             |    FROM (SELECT unnest([-1, 0, 1]) AS d) dx
+             |    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy) o
+             |  GROUP BY 1, 2)
+             |SELECT c.cx, c.cy, c.n_cell, h.n_hood,
+             |  ((lo.hix - lo.lox) // 200000 + 1)
+             |    * ((lo.hiy - lo.loy) // 200000 + 1) AS grid_cells,
+             |  h.n_hood * (((lo.hix - lo.lox) // 200000 + 1)
+             |    * ((lo.hiy - lo.loy) // 200000 + 1)) * 1000000000
+             |    // (9 * lo.n_total) AS score_fp
+             |FROM cells c
+             |JOIN hood h ON h.cx = c.cx AND h.cy = c.cy
+             |CROSS JOIN lo
+             |ORDER BY score_fp DESC, c.cx, c.cy LIMIT 20""".stripMargin)),
+
+    // EXT — CLUSTERING AGREEMENT (Rand + Adjusted Rand) between the
+    // two community structures the engine already computes on the
+    // mutual-KNN graph: q289's LPA communities vs q108's connected
+    // components — do the fast label-propagation communities recover
+    // the exact component partition, the standard ensemble-agreement
+    // audit before trusting a cheaper clustering at scale. Pair
+    // counting never enumerates pairs: all four sufficient statistics
+    // (Σ C(n_ij,2) over the contingency table, Σ C(a_i,2), Σ C(b_j,2),
+    // C(N,2)) come from ONE |labels_a|×|labels_b| contingency
+    // aggregate — n·(n−1) div 2 is exact (the product is even). The
+    // two reported doubles are single divisions of exact int64
+    // cross-products (2·CN2·Sij ≤ ~10¹⁷ at sf1). Oracle: the q289 LPA
+    // recursion and the q108 min-label reach in one WITH RECURSIVE.
+    EngineQuery("q327_clustering_agreement",
+      (s, dir) => {
+        val m = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val comm = graft.operators.LabelPropagation
+          .communities(m, preparedShared(s, dir).select("vec_id"),
+            maxIter = 20)
+          .select(col("vec_id"), col("community_id"))
+        val cc = mutualClustersShared(s, dir)
+          .select(col("vec_id"), col("cluster_id"))
+        val ct = comm.join(cc, "vec_id")
+          .groupBy(col("community_id").as("la"),
+            col("cluster_id").as("lb"))
+          .agg(count(lit(1)).as("nij"))
+        val sij = ct.agg(sum(expr("nij * (nij - 1) div 2")).as("s_ij"),
+          sum("nij").as("n_nodes"))
+        val sa = ct.groupBy("la").agg(sum("nij").as("ai"))
+          .agg(sum(expr("ai * (ai - 1) div 2")).as("s_a"))
+        val sb = ct.groupBy("lb").agg(sum("nij").as("bj"))
+          .agg(sum(expr("bj * (bj - 1) div 2")).as("s_b"))
+        sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+          .select(col("n_nodes"),
+            expr("n_nodes * (n_nodes - 1) div 2").as("n_pairs"),
+            col("s_ij"), col("s_a"), col("s_b"))
+          .select(col("n_nodes"), col("n_pairs"), col("s_ij"),
+            col("s_a"), col("s_b"),
+            (expr("n_pairs + 2 * s_ij - s_a - s_b").cast("double") /
+              col("n_pairs").cast("double")).as("rand_idx"),
+            (expr("2 * n_pairs * s_ij - 2 * s_a * s_b").cast("double") /
+              expr("n_pairs * (s_a + s_b) - 2 * s_a * s_b")
+                .cast("double")).as("ari"))
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |lab AS (
+              |  SELECT 0 AS i, vec_id AS id, vec_id AS label FROM n
+              |  UNION ALL
+              |  SELECT l.i + 1, l.id,
+              |    COALESCE((
+              |      SELECT l2.label
+              |      FROM mutual m JOIN lab l2 ON l2.id = m.dst
+              |      WHERE m.src = l.id
+              |      GROUP BY l2.label
+              |      ORDER BY COUNT(*) DESC, l2.label ASC
+              |      LIMIT 1), l.label)
+              |  FROM lab l WHERE l.i < 20),
+              |comm AS (
+              |  SELECT f.id AS vec_id, LEAST(f.label, p.label)
+              |    AS community_id
+              |  FROM (SELECT id, label FROM lab WHERE i = 20) f
+              |  JOIN (SELECT id, label FROM lab WHERE i = 19) p
+              |    ON p.id = f.id),
+              |reach AS (
+              |  SELECT vec_id AS id, vec_id AS label FROM n
+              |  UNION
+              |  SELECT m.dst AS id, r.label
+              |  FROM reach r JOIN mutual m ON m.src = r.id),
+              |labels AS (
+              |  SELECT id AS vec_id, MIN(label) AS cluster_id
+              |  FROM reach GROUP BY id),
+              |ct AS (
+              |  SELECT c.community_id AS la, l.cluster_id AS lb,
+              |    CAST(COUNT(*) AS BIGINT) AS nij
+              |  FROM comm c JOIN labels l ON l.vec_id = c.vec_id
+              |  GROUP BY 1, 2),
+              |sij AS (
+              |  SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_ij,
+              |    CAST(SUM(nij) AS BIGINT) AS n_nodes
+              |  FROM ct),
+              |sa AS (
+              |  SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS s_a
+              |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai
+              |        FROM ct GROUP BY la) x),
+              |sb AS (
+              |  SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS s_b
+              |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj
+              |        FROM ct GROUP BY lb) x)
+              |SELECT n_nodes,
+              |  n_nodes * (n_nodes - 1) // 2 AS n_pairs,
+              |  s_ij, s_a, s_b,
+              |  CAST(n_nodes * (n_nodes - 1) // 2 + 2 * s_ij
+              |      - s_a - s_b AS DOUBLE)
+              |    / CAST(n_nodes * (n_nodes - 1) // 2 AS DOUBLE)
+              |    AS rand_idx,
+              |  CAST(2 * (n_nodes * (n_nodes - 1) // 2) * s_ij
+              |      - 2 * s_a * s_b AS DOUBLE)
+              |    / CAST((n_nodes * (n_nodes - 1) // 2) * (s_a + s_b)
+              |      - 2 * s_a * s_b AS DOUBLE) AS ari
+              |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin))
   )
 }

@@ -5702,7 +5702,75 @@ object StatsQueries {
              |    // (kth_hash // (1152921504606846976 // 1000000000000))
              |    - n_exact) * 1000000000 // n_exact
              |    <= 200000000 AS bound_ok
-             |FROM proof CROSS JOIN ex""".stripMargin))
+             |FROM proof CROSS JOIN ex""".stripMargin)),
+
+    // EXT — STATIONARY DISTRIBUTION of the empirical event-type
+    // Markov chain: 8 power-iteration steps on q151's per-user
+    // transition counts — where user behavior settles if the observed
+    // dynamics keep running, the long-run-share complement of the
+    // one-step matrix. The flow algebra is PageRank's single-floor
+    // discipline (operators/PageRank): each step moves
+    // π(a)·cnt(a,b) div rowtotal(a) — ONE integer division per edge
+    // per step, so partial aggregates ship associatively and both
+    // engines floor identically; the oracle unrolls the identical 8
+    // steps (pagerankIterSql's pattern, undamped and row-stochastic).
+    // The iterated frames are |types|² = 25 rows — the heavy part is
+    // the ONE pass building transition counts (lead window partitioned
+    // by user). π·c stays in int64 while total transitions ≤ 9·10⁹.
+    EngineQuery("q325_markov_steady",
+      (s, dir) => {
+        val pairs = t(s, dir, "events")
+          .withColumn("nxt", lead("event_type", 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")))
+          .filter(col("nxt").isNotNull)
+        val cnt = pairs
+          .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val rowt = cnt.groupBy("a").agg(sum("c").as("ra"))
+        val trans = cnt.join(rowt, "a")
+        val types = cnt.select(col("a").as("event_type")).distinct()
+        val nT = types.agg(count(lit(1)).as("ntypes"))
+        var pi = types.crossJoin(broadcast(nT))
+          .select(col("event_type"),
+            expr("1000000000 div ntypes").as("fp"))
+        for (_ <- 1 to 8) {
+          pi = trans
+            .join(pi.withColumnRenamed("event_type", "a"), "a")
+            .select(col("b"), expr("fp * c div ra").as("m"))
+            .groupBy(col("b").as("event_type"))
+            .agg(sum("m").as("fp"))
+        }
+        pi.select(col("event_type"), col("fp").as("pi_fp"),
+            round(col("fp").cast("double") / 1e9, 6).as("pi"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH pairs AS (
+              |  SELECT event_type AS a,
+              |    lead(event_type, 1) OVER (PARTITION BY user_id
+              |      ORDER BY ts, event_id) AS b
+              |  FROM events),
+              |cnt AS (
+              |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM pairs WHERE b IS NOT NULL GROUP BY 1, 2),
+              |rowt AS (
+              |  SELECT a, CAST(SUM(c) AS BIGINT) AS ra
+              |  FROM cnt GROUP BY 1),
+              |ty AS (SELECT DISTINCT a AS t FROM cnt),
+              |p0 AS (
+              |  SELECT t, CAST(1000000000
+              |    // (SELECT COUNT(*) FROM ty) AS BIGINT) AS fp
+              |  FROM ty),
+              |${(1 to 8).map(i =>
+                 s"""p$i AS (
+                    |  SELECT c.b AS t,
+                    |    CAST(SUM(p.fp * c.c // r.ra) AS BIGINT) AS fp
+                    |  FROM cnt c
+                    |  JOIN p${i - 1} p ON p.t = c.a
+                    |  JOIN rowt r ON r.a = c.a
+                    |  GROUP BY 1)""".stripMargin).mkString(",\n")}
+              |SELECT t AS event_type, fp AS pi_fp,
+              |  round(CAST(fp AS DOUBLE) / 1000000000.0, 6) AS pi
+              |FROM p8 ORDER BY event_type""".stripMargin))
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a

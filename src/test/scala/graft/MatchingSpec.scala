@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Matching
+
+/** Matching: locally-dominant-edge rounds against a driver-side
+  * sequential greedy scan under the identical (w, u, v) total order —
+  * exact pair-set equality — plus shape cases: path chains (one match
+  * per round worst case), stars, ties, maximality. */
+class MatchingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    Matching.matching(edges.toDF("u", "v", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  private def brute(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val canon = edges.map { case (a, b, w) =>
+      (math.min(a, b), math.max(a, b), w) }
+      .filter(e => e._1 != e._2).distinct
+    val used = scala.collection.mutable.Set.empty[Long]
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for ((u, v, w) <- canon.sortBy { case (u, v, w) => (w, u, v) })
+      if (!used(u) && !used(v)) { used += u; used += v; out += ((u, v, w)) }
+    out.toSet
+  }
+
+  test("ascending path matches greedily from the light end") {
+    val es = (0L until 6L).map(i => (i, i + 1, 10L + i))
+    val got = run(es)
+    assert(got == brute(es))
+    assert(got == Set((0L, 1L, 10L), (2L, 3L, 12L), (4L, 5L, 14L)))
+  }
+
+  test("star matches exactly one spoke (the lightest)") {
+    val es = (1L to 5L).map(i => (0L, i, 100L - i))
+    assert(run(es) == Set((0L, 5L, 95L)))
+  }
+
+  test("tied weights resolve by (u, v)") {
+    val es = Seq((0L, 1L, 7L), (1L, 2L, 7L), (2L, 3L, 7L), (3L, 0L, 7L))
+    val got = run(es)
+    assert(got == brute(es))
+    assert(got == Set((0L, 1L, 7L), (2L, 3L, 7L)))
+  }
+
+  test("result is maximal: no alive edge has two free endpoints") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val es = (1 to n * 3).map(_ => (rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong, (rnd.nextInt(30) + 1).toLong))
+      .filter(e => e._1 != e._2)
+    val got = run(es)
+    val used = got.flatMap(e => Seq(e._1, e._2))
+    val canon = es.map { case (a, b, w) =>
+      (math.min(a, b), math.max(a, b), w) }.distinct
+    assert(canon.forall { case (u, v, _) =>
+      used(u) || used(v) }, "an uncovered edge remains")
+  }
+
+  test("random graphs match the sequential greedy exactly") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 4) {
+      val n = 25 + trial * 10
+      val es = (1 to n * 2).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, (rnd.nextInt(40) + 1).toLong))
+        .filter(e => e._1 != e._2)
+      assert(run(es) == brute(es), s"trial $trial")
+    }
+  }
+}
