@@ -130,7 +130,17 @@ object Bench {
     // name order — the order-independence check: shared-frame build costs
     // land on whichever consumer runs first, so comparing the two
     // orderings' steady totals pins attribution vs real regressions.
+    // SPARK_GRAFT_BENCH_FILTER=q309,q316 limits the passes to entries
+    // whose name contains any of the comma-separated substrings — the
+    // A/B lever for tuning one query without a 328-entry run. Totals
+    // from filtered runs are NOT comparable to full runs (shared-frame
+    // builds land on fewer consumers); per-query steady minima are.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        nameFilter.forall(_.exists(name.contains)) }
     val ordered =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
         ordered0.reverse

@@ -5770,7 +5770,147 @@ object StatsQueries {
                     |  GROUP BY 1)""".stripMargin).mkString(",\n")}
               |SELECT t AS event_type, fp AS pi_fp,
               |  round(CAST(fp AS DOUBLE) / 1000000000.0, 6) AS pi
-              |FROM p8 ORDER BY event_type""".stripMargin))
+              |FROM p8 ORDER BY event_type""".stripMargin)),
+
+    // EXT — RENDEZVOUS (highest-random-weight) sharding elasticity
+    // audit: assign every user to 16 shards by argmax of per-shard
+    // sha256 weights, re-assign with a 17th shard added, and report
+    // per-shard balance and movement — the partitioner-design
+    // certificate that HRW moves ONLY ≈ 1/17 of each shard's keys
+    // (all movers land on the new shard; consistent-hashing's selling
+    // point, asserted as data). The argmax tie-break is the struct
+    // order (weight, shard) in BOTH engines (Spark max(struct), the
+    // oracle's row_number DESC/DESC), so assignment is deterministic
+    // bit-for-bit. One |users|×17 explode, map-side-combined argmax
+    // per user — linear, no state.
+    EngineQuery("q328_rendezvous_shards",
+      (s, dir) => {
+        val users = t(s, dir, "events").select("user_id").distinct()
+        def assign(n: Int, outCol: String) = {
+          val ws = (0 until n).map(j => struct(
+            sha256PrefixLong15(concat(lit(s"rdv$j:"),
+              col("user_id").cast("string"))).as("h"),
+            lit(j.toLong).as("j")))
+          users.select(col("user_id"),
+              explode(array(ws: _*)).as("w"))
+            .groupBy("user_id").agg(max("w").as("m"))
+            .select(col("user_id"), col("m.j").as(outCol))
+        }
+        assign(16, "shard").join(assign(17, "shard17"), "user_id")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("shard17") =!= col("shard"), 1L)
+              .otherwise(0L)).as("n_moved"),
+            sum(when(col("shard17") === 16L, 1L).otherwise(0L))
+              .as("n_to_new"))
+          .withColumn("moved_fp",
+            expr("n_moved * 1000000000 div n_users"))
+          .withColumn("movers_land_on_new",
+            col("n_moved") === col("n_to_new"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH users AS (
+              |  SELECT DISTINCT user_id FROM events),
+              |${Seq(16, 17).map(n =>
+                 s"""a$n AS (
+                    |  SELECT user_id, j AS s$n FROM (
+                    |    SELECT user_id, j, row_number() OVER (
+                    |      PARTITION BY user_id
+                    |      ORDER BY h DESC, j DESC) AS rn
+                    |    FROM (
+                    |      SELECT u.user_id, r.j,
+                    |        CAST('0x' || substr(sha256(
+                    |          'rdv' || CAST(r.j AS VARCHAR) || ':' ||
+                    |          CAST(u.user_id AS VARCHAR)), 1, 15)
+                    |          AS BIGINT) AS h
+                    |      FROM users u
+                    |      CROSS JOIN (SELECT unnest(range(0, $n)) AS j)
+                    |        r) x) y
+                    |  WHERE rn = 1)""".stripMargin).mkString(",\n")}
+              |SELECT a16.s16 AS shard,
+              |  CAST(COUNT(*) AS BIGINT) AS n_users,
+              |  CAST(SUM(CASE WHEN a17.s17 <> a16.s16
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+              |  CAST(SUM(CASE WHEN a17.s17 = 16
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_to_new,
+              |  CAST(SUM(CASE WHEN a17.s17 <> a16.s16
+              |      THEN 1 ELSE 0 END) AS BIGINT) * 1000000000
+              |    // CAST(COUNT(*) AS BIGINT) AS moved_fp,
+              |  CAST(SUM(CASE WHEN a17.s17 <> a16.s16
+              |      THEN 1 ELSE 0 END) AS BIGINT)
+              |    = CAST(SUM(CASE WHEN a17.s17 = 16
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS movers_land_on_new
+              |FROM a16 JOIN a17 ON a17.user_id = a16.user_id
+              |GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // EXT — exact MEDIAN + MAD (median absolute deviation) per event
+    // type: the robust location/scale pair completing the robust
+    // battery (winsorized/trimmed means q294, Theil–Sen q202). Both
+    // medians are the exact lower median (rank ⌈n/2⌉) picked from
+    // grouped VALUE-COUNT frames — the q223 discipline: windows run
+    // over |distinct cents values| per type, never raw rows, and the
+    // second pass reuses the same shape on the |distinct deviations|
+    // frame. All integers; no interpolation, no type-7 quantile
+    // drama.
+    EngineQuery("q329_mad_by_type",
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .select(col("event_type"), cents.as("v"))
+        def lowerMedian(df: DataFrame, valCol: String) = {
+          val counts = df.groupBy(col("event_type"),
+              col(valCol).as("v")).agg(count(lit(1)).as("c"))
+          val cum = counts.withColumn("cum", sum("c").over(
+              Window.partitionBy("event_type").orderBy("v")))
+            .withColumn("n", sum("c").over(
+              Window.partitionBy("event_type")))
+          cum.filter(expr("cum >= (n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(min("v").as("med"), max("n").as("n"))
+        }
+        val m1 = lowerMedian(x, "v")
+        val dev = x.join(m1.select("event_type", "med"), "event_type")
+          .select(col("event_type"), abs(col("v") - col("med")).as("d"))
+        val m2 = lowerMedian(dev, "d")
+          .select(col("event_type"), col("med").as("mad_cents"))
+        m1.select(col("event_type"), col("n"),
+            col("med").as("median_cents"))
+          .join(m2, "event_type")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH x AS (
+              |  SELECT event_type, $centsSql AS v FROM events),
+              |c1 AS (
+              |  SELECT event_type, v, COUNT(*) AS c
+              |  FROM x GROUP BY 1, 2),
+              |cum1 AS (
+              |  SELECT event_type, v,
+              |    SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+              |      AS cum,
+              |    SUM(c) OVER (PARTITION BY event_type) AS n
+              |  FROM c1),
+              |m1 AS (
+              |  SELECT event_type, CAST(MIN(v) AS BIGINT) AS med,
+              |    CAST(MAX(n) AS BIGINT) AS n
+              |  FROM cum1 WHERE cum >= (n + 1) // 2 GROUP BY 1),
+              |dev AS (
+              |  SELECT x.event_type, abs(x.v - m1.med) AS d
+              |  FROM x JOIN m1 ON m1.event_type = x.event_type),
+              |c2 AS (
+              |  SELECT event_type, d, COUNT(*) AS c
+              |  FROM dev GROUP BY 1, 2),
+              |cum2 AS (
+              |  SELECT event_type, d,
+              |    SUM(c) OVER (PARTITION BY event_type ORDER BY d)
+              |      AS cum,
+              |    SUM(c) OVER (PARTITION BY event_type) AS n
+              |  FROM c2),
+              |m2 AS (
+              |  SELECT event_type, CAST(MIN(d) AS BIGINT) AS mad_cents
+              |  FROM cum2 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+              |SELECT m1.event_type, m1.n, m1.med AS median_cents,
+              |  m2.mad_cents
+              |FROM m1 JOIN m2 ON m2.event_type = m1.event_type
+              |ORDER BY m1.event_type""".stripMargin))
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a
