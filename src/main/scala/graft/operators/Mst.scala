@@ -120,8 +120,17 @@ object Mst {
         acc = cut(acc.union(
           pick.select("mst_w", "mst_u", "mst_v").distinct()))
         // Contract: root mutual pairs at the smaller component id,
-        // then pointer-jump the selection forest to depth 1.
+        // then pointer-jump the selection forest to depth 1. Each
+        // DOUBLE jump is checkpointed and convergence-checked ONCE
+        // (j² == j¹ ⟺ fixed point — depth is monotone, no
+        // oscillation), halving the per-jump action count; leaving
+        // the jumps lazy instead re-evaluates the whole chain per
+        // action (A/B: 124 s vs 5.6 s for q316 at sf0.1).
         val sel = pick.select(col("cf").as("c"), col("ct").as("pc"))
+        def jump(p: DataFrame): DataFrame = p.as("x")
+          .join(p.select(col("c").as("par"), col("par").as("gpar")),
+            "par")
+          .select(col("c"), col("gpar").as("par"))
         var par = cut(sel.as("a")
           .join(sel.select(col("c").as("pc"), col("pc").as("ppc")), "pc")
           .select(col("c"),
@@ -129,15 +138,12 @@ object Mst {
               col("c")).otherwise(col("pc")).as("par")))
         var jumping = true
         while (jumping) {
-          val next = cut(par.as("x")
-            .join(par.select(col("c").as("par"), col("par").as("gpar")),
-              "par")
-            .select(col("c"), col("gpar").as("par")))
-          jumping = next.as("n")
+          val j2 = cut(jump(jump(par)))
+          jumping = j2.as("n")
             .join(par.withColumnRenamed("par", "old"), "c")
             .filter(col("par") =!= col("old"))
             .limit(1).count() > 0L
-          par = next
+          par = j2
         }
         comp = cut(comp
           .join(par.select(col("c").as("comp"), col("par")).distinct(),

@@ -81,9 +81,35 @@ object RelationalQueries {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared per-order sorted BRAND BASKET frame per (session,
+    * dir): q292's pair lift and q310's Apriori cascade both explode
+    * combinations off the same |orders|-row array frame — one basket
+    * shuffle for the whole market-basket battery, no okey self-joins
+    * anywhere. [[reset]] evicts. */
+  private val sharedBaskets = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def basketsShared(s: SparkSession, dir: String): DataFrame =
+    sharedBaskets.getOrElseUpdate((s, dir),
+      orderBrandShared(s, dir).groupBy("okey")
+        .agg(sort_array(collect_set("brand")).as("bs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Per-basket pair combinations (ba < bb), codegen'd array lambdas
+    * — C(n,2) rows per basket, no join. */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets.filter(size(col("bs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(bs) - 2), i ->
+          |  transform(sequence(i + 1, size(bs) - 1), j ->
+          |    struct(bs[i] AS ba, bs[j] AS bb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.ba").as("ba"), col("p.bb").as("bb"))
+
   /** Unpersist + evict the shared graph frames for a session (the
     * SimilarityQueries.reset teardown contract). */
   def reset(s: SparkSession): Unit = {
+    sharedBaskets.keys.filter(_._1 eq s).foreach(k =>
+      sharedBaskets.remove(k).foreach(_.unpersist(blocking = false)))
     sharedScc.keys.filter(_._1 eq s).foreach(k =>
       sharedScc.remove(k).foreach(_.unpersist(blocking = false)))
     sharedPartEdges.keys.filter(_._1 eq s).foreach(k =>
@@ -1102,10 +1128,8 @@ object RelationalQueries {
         val nOrders = ob.select("okey").distinct()
           .agg(count(lit(1)).as("n_orders"))
         val supp = ob.groupBy("brand").agg(count(lit(1)).as("supp"))
-        val pairs = ob.select(col("okey"), col("brand").as("brand_a"))
-          .join(ob.select(col("okey"), col("brand").as("brand_b")), "okey")
-          .filter(col("brand_a") < col("brand_b"))
-          .groupBy("brand_a", "brand_b")
+        val pairs = basketPairs(basketsShared(s, dir))
+          .groupBy(col("ba").as("brand_a"), col("bb").as("brand_b"))
           .agg(count(lit(1)).as("pair_orders"))
         pairs
           .join(broadcast(supp.select(col("brand").as("brand_a"),
@@ -1375,14 +1399,19 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_orders"),
             expr("count(1) div 300").as("min_supp"))
         val supp = ob.groupBy("brand").agg(count(lit(1)).as("supp"))
-        val freq1 = supp.crossJoin(broadcast(nOrders))
-          .filter(col("supp") >= col("min_supp"))
-          .select(col("brand"), col("supp"))
-        val obf = ob.join(broadcast(freq1.select("brand")),
-          Seq("brand"), "left_semi")
-        val freq2 = obf.select(col("okey"), col("brand").as("ba"))
-          .join(obf.select(col("okey"), col("brand").as("bb")), "okey")
-          .filter(col("ba") < col("bb"))
+        // ONE shared basket shuffle replaces the okey self-joins:
+        // per-order sorted brand sets generate their own pair/triple
+        // combinations in codegen'd array lambdas (brands/order is
+        // small, so C(n,2)/C(n,3) per row is bounded) — A/B at sf0.1:
+        // 12.5 s (pairs+triples via double self-join) → 5.1 s
+        // isolated. Support monotonicity makes the freq1 prefilter
+        // unnecessary for CORRECTNESS (a pair/triple with an
+        // infrequent member can never reach min_supp, and cand3
+        // already encodes the 2-subset rule); at a SF where
+        // infrequent brands existed, re-adding the basket-side
+        // frequent-item filter is the standard Apriori step.
+        val baskets = basketsShared(s, dir)
+        val freq2 = basketPairs(baskets)
           .groupBy("ba", "bb").agg(count(lit(1)).as("supp2"))
           .crossJoin(broadcast(nOrders))
           .filter(col("supp2") >= col("min_supp"))
@@ -1394,11 +1423,15 @@ object RelationalQueries {
           .filter(col("bb") < col("bc"))
           .join(freq2.select(col("ba").as("bb"), col("bb").as("bc")),
             Seq("bb", "bc"), "left_semi")
-        val tri = obf.select(col("okey"), col("brand").as("ba"))
-          .join(obf.select(col("okey"), col("brand").as("bb")), "okey")
-          .filter(col("ba") < col("bb"))
-          .join(obf.select(col("okey"), col("brand").as("bc")), "okey")
-          .filter(col("bb") < col("bc"))
+        val tri = baskets.filter(size(col("bs")) >= 3)
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(bs) - 3), i ->
+              |  flatten(transform(sequence(i + 1, size(bs) - 2), j ->
+              |    transform(sequence(j + 1, size(bs) - 1), k ->
+              |      struct(bs[i] AS ba, bs[j] AS bb, bs[k] AS bc))))))"""
+              .stripMargin)).as("t"))
+          .select(col("t.ba").as("ba"), col("t.bb").as("bb"),
+            col("t.bc").as("bc"))
           .join(broadcast(cand3), Seq("ba", "bb", "bc"), "left_semi")
           .groupBy("ba", "bb", "bc").agg(count(lit(1)).as("supp3"))
         tri.crossJoin(broadcast(nOrders))
