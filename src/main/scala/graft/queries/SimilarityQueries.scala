@@ -3189,6 +3189,101 @@ object SimilarityQueries {
               |      - 2 * s_a * s_b AS DOUBLE)
               |    / CAST((n_nodes * (n_nodes - 1) // 2) * (s_a + s_b)
               |      - 2 * s_a * s_b AS DOUBLE) AS ari
-              |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin))
+              |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin)),
+
+    // EXT — exact SILHOUETTE per cluster on the vec_id < 300 slice:
+    // the geometric quality score for q108's components that q327's
+    // label-agreement audit cannot see (ARI compares PARTITIONS;
+    // silhouette asks whether the geometry actually separates). Per
+    // node: a = mean ×1e6 cosine dissimilarity to its own cluster's
+    // other slice members, b = min over other clusters of the mean
+    // dissimilarity, s = (b−a)·1e9 div max(a,b) — every mean is an
+    // exact floor division, ties in the min are value-ties, and the
+    // degenerate max(a,b)=0 case is an explicit CASE (DuckDB raises
+    // on //0 where Spark div yields null — never rely on it).
+    // Singleton-in-slice clusters have no a-side and drop (inner
+    // join), documented. The all-pairs frame is the BOUNDED slice
+    // (≤300², broadcast nested loop) — silhouette is quadratic by
+    // definition; the scale path samples per cluster first.
+    EngineQuery("q331_cluster_silhouette",
+      (s, dir) => {
+        val pts = preparedShared(s, dir).filter(col("vec_id") < 300)
+          .join(mutualClustersShared(s, dir)
+            .select(col("vec_id"), col("cluster_id")), "vec_id")
+        val a = pts.select(col("vec_id").as("ia"), col("v").as("va"),
+          col("nrm").as("na"), col("cluster_id").as("ca"))
+        val b = pts.select(col("vec_id").as("ib"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cluster_id").as("cb"))
+        val pairs = a.join(broadcast(b), col("ia") =!= col("ib"))
+          .select(col("ia"), col("ca"), col("cb"),
+            (lit(1000000L) - round(graft.operators.Similarity
+                .dot(col("va"), col("vb")) / (col("na") * col("nb"))
+              * 1e6).cast("long")).as("d_fp"))
+        val means = pairs.groupBy("ia", "ca", "cb")
+          .agg(expr("sum(d_fp) div count(1)").as("mean_fp"))
+        val own = means.filter(col("ca") === col("cb"))
+          .select(col("ia"), col("ca"), col("mean_fp").as("a_fp"))
+        val other = means.filter(col("ca") =!= col("cb"))
+          .groupBy("ia").agg(min("mean_fp").as("b_fp"))
+        own.join(other, "ia")
+          .select(col("ia"), col("ca"), col("a_fp"), col("b_fp"),
+            expr("""CASE WHEN greatest(a_fp, b_fp) = 0
+              |THEN CAST(0 AS BIGINT)
+              |ELSE (b_fp - a_fp) * 1000000000
+              |  div greatest(a_fp, b_fp) END""".stripMargin)
+              .as("sil_fp"))
+          .groupBy(col("ca").as("cluster_id"))
+          .agg(count(lit(1)).as("n_scored"),
+            expr("sum(sil_fp) div count(1)").as("mean_sil_fp"),
+            min("sil_fp").as("min_sil_fp"),
+            max("sil_fp").as("max_sil_fp"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |reach AS (
+              |  SELECT vec_id AS id, vec_id AS label FROM n
+              |  UNION
+              |  SELECT m.dst AS id, r.label
+              |  FROM reach r JOIN mutual m ON m.src = r.id),
+              |labels AS (
+              |  SELECT id AS vec_id, MIN(label) AS cluster_id
+              |  FROM reach GROUP BY id),
+              |pts AS (
+              |  SELECT n.vec_id, n.v, n.nrm, l.cluster_id
+              |  FROM n JOIN labels l ON l.vec_id = n.vec_id
+              |  WHERE n.vec_id < 300),
+              |pairs AS (
+              |  SELECT a.vec_id AS ia, a.cluster_id AS ca,
+              |    b.cluster_id AS cb,
+              |    1000000 - CAST(round(list_dot_product(a.v, b.v)
+              |      / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS d_fp
+              |  FROM pts a JOIN pts b ON b.vec_id <> a.vec_id),
+              |means AS (
+              |  SELECT ia, ca, cb,
+              |    CAST(SUM(d_fp) AS BIGINT) // COUNT(*) AS mean_fp
+              |  FROM pairs GROUP BY 1, 2, 3),
+              |own AS (
+              |  SELECT ia, ca, mean_fp AS a_fp FROM means
+              |  WHERE ca = cb),
+              |oth AS (
+              |  SELECT ia, CAST(MIN(mean_fp) AS BIGINT) AS b_fp
+              |  FROM means WHERE ca <> cb GROUP BY 1),
+              |sil AS (
+              |  SELECT o.ia, o.ca, o.a_fp, t.b_fp,
+              |    CASE WHEN greatest(o.a_fp, t.b_fp) = 0
+              |      THEN CAST(0 AS BIGINT)
+              |      ELSE (t.b_fp - o.a_fp) * 1000000000
+              |        // greatest(o.a_fp, t.b_fp) END AS sil_fp
+              |  FROM own o JOIN oth t ON t.ia = o.ia)
+              |SELECT ca AS cluster_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_scored,
+              |  CAST(SUM(sil_fp) AS BIGINT) // COUNT(*) AS mean_sil_fp,
+              |  CAST(MIN(sil_fp) AS BIGINT) AS min_sil_fp,
+              |  CAST(MAX(sil_fp) AS BIGINT) AS max_sil_fp
+              |FROM sil GROUP BY 1 ORDER BY cluster_id""".stripMargin))
   )
 }

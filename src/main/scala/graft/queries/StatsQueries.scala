@@ -5910,7 +5910,83 @@ object StatsQueries {
               |SELECT m1.event_type, m1.n, m1.med AS median_cents,
               |  m2.mad_cents
               |FROM m1 JOIN m2 ON m2.event_type = m1.event_type
-              |ORDER BY m1.event_type""".stripMargin))
+              |ORDER BY m1.event_type""".stripMargin)),
+
+    // EXT — LONGEST (strictly) INCREASING SUBSEQUENCE of each type's
+    // daily-spend series — the classic monotone-trend length, a
+    // stronger signal than q201's runs test (runs count local
+    // direction flips; LIS measures the longest globally consistent
+    // climb). Patience algorithm as the q272 fold pattern's third
+    // showcase: the per-type state is the sorted TAILS list, and one
+    // unified list expression handles replace and append —
+    // prefix(<x) ++ [x] ++ suffix-after-first-≥x (an out-of-range
+    // slice is empty, so the append case needs no branch). Sequential
+    // by nature, so it runs per key inside one aggregate() lambda
+    // over the calendar-bounded sorted series (keys parallel, per-key
+    // cost |days|·|tails|); the oracle steps the identical list
+    // recurrence in a recursive CTE. LIS length = |tails| at the end
+    // (tails itself is NOT the subsequence — its length is what is
+    // exact), gated along with the tails checksum columns.
+    EngineQuery("q330_lis_trend",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(sum(cents).as("v"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("v"))))
+            .as("series"))
+          .select(col("event_type"),
+            size(col("series")).cast("long").as("n_days"),
+            expr("""aggregate(series,
+                CAST(array() AS array<bigint>),
+                (acc, e) -> concat(
+                  filter(acc, t -> t < e.v),
+                  array(e.v),
+                  slice(acc, size(filter(acc, t -> t < e.v)) + 2,
+                    greatest(size(acc)
+                      - size(filter(acc, t -> t < e.v)) - 1, 0))))""")
+              .as("tails"))
+          .select(col("event_type"), col("n_days"),
+            size(col("tails")).cast("long").as("lis_len"),
+            element_at(col("tails"), 1).as("tails_first"),
+            element_at(col("tails"), -1).as("tails_last"),
+            expr("aggregate(tails, CAST(0 AS BIGINT), (a, t) -> a + t)")
+              .as("tails_sum"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+              |  SELECT event_type, CAST(ts AS DATE) AS day,
+              |    CAST(SUM($centsSql) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2),
+              |d AS (
+              |  SELECT event_type, v,
+              |    row_number() OVER (PARTITION BY event_type
+              |      ORDER BY day) AS rnk
+              |  FROM daily),
+              |nd AS (
+              |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+              |  FROM d GROUP BY 1),
+              |f AS (
+              |  SELECT event_type, 0 AS rnk,
+              |    CAST([] AS BIGINT[]) AS tails
+              |  FROM nd
+              |  UNION ALL
+              |  SELECT d.event_type, d.rnk,
+              |    list_concat(list_concat(
+              |      list_filter(f.tails, t -> t < d.v), [d.v]),
+              |      f.tails[len(list_filter(f.tails, t -> t < d.v))
+              |        + 2 :]) AS tails
+              |  FROM f JOIN d ON d.event_type = f.event_type
+              |    AND d.rnk = f.rnk + 1)
+              |SELECT f.event_type, nd.n_days,
+              |  CAST(len(f.tails) AS BIGINT) AS lis_len,
+              |  f.tails[1] AS tails_first,
+              |  f.tails[-1] AS tails_last,
+              |  CAST(list_sum(f.tails) AS BIGINT) AS tails_sum
+              |FROM f
+              |JOIN nd ON nd.event_type = f.event_type
+              |  AND f.rnk = nd.n_days
+              |ORDER BY f.event_type""".stripMargin))
   )
 
   /** One k-anonymity quasi-identifier audit (q275). `final` without a
