@@ -3284,6 +3284,103 @@ object SimilarityQueries {
               |  CAST(SUM(sil_fp) AS BIGINT) // COUNT(*) AS mean_sil_fp,
               |  CAST(MIN(sil_fp) AS BIGINT) AS min_sil_fp,
               |  CAST(MAX(sil_fp) AS BIGINT) AS max_sil_fp
-              |FROM sil GROUP BY 1 ORDER BY cluster_id""".stripMargin))
+              |FROM sil GROUP BY 1 ORDER BY cluster_id""".stripMargin)),
+
+    // EXT — STABLE MATCHING (operators/StableMatching, round-parallel
+    // deferred acceptance) on a two-sided similarity market: even
+    // vec_ids < 60 propose, odd vec_ids < 60 accept, both sides
+    // ranking by ×1e6 fixed-point cosine with id tie-breaks. The
+    // proposer-optimal stable matching is UNIQUE and proposal-order-
+    // independent (McVitie–Wilson), so the oracle re-derives it with
+    // the classical SEQUENTIAL Gale–Shapley — one proposal per step
+    // in a recursive-CTE fold (the q316/q324 pattern: the step's
+    // chosen proposer, its pointer, the proposal target and the
+    // incumbent's rank all hoist as window extrema / one-row pref
+    // joins over the working table) — two genuinely different
+    // algorithms agreeing exactly on a provably unique object.
+    // StableMatchingSpec additionally pins the operator to driver
+    // GS + the no-blocking-pair property on random markets.
+    EngineQuery("q332_stable_pairing",
+      (s, dir) => {
+        val pe = preparedShared(s, dir).filter(col("vec_id") < 60)
+        val props = pe.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("p"), col("v").as("vp"),
+            col("nrm").as("np"))
+        val accs = pe.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("a"), col("v").as("va"),
+            col("nrm").as("na"))
+        val cells = props.crossJoin(broadcast(accs))
+          .select(col("p"), col("a"),
+            round(graft.operators.Similarity.dot(col("vp"), col("va"))
+              / (col("np") * col("na")) * 1e6).cast("long").as("s_fp"))
+        val prefs = cells.select(col("p"), col("a"),
+          row_number().over(Window.partitionBy("p")
+            .orderBy(col("s_fp").desc, col("a"))).cast("long").as("rp"),
+          row_number().over(Window.partitionBy("a")
+            .orderBy(col("s_fp").desc, col("p"))).cast("long").as("ra"))
+        graft.operators.StableMatching.matching(prefs)
+          .orderBy("proposer")
+      },
+      Some(s"""WITH RECURSIVE $prepSql,
+              |cells AS MATERIALIZED (
+              |  SELECT p.vec_id AS p, a.vec_id AS a,
+              |    CAST(round(list_dot_product(p.v, a.v)
+              |      / (p.nrm * a.nrm) * 1000000) AS BIGINT) AS s_fp
+              |  FROM n p, n a
+              |  WHERE p.vec_id < 60 AND p.vec_id % 2 = 0
+              |    AND a.vec_id < 60 AND a.vec_id % 2 = 1),
+              |prefs AS MATERIALIZED (
+              |  SELECT p, a,
+              |    CAST(row_number() OVER (PARTITION BY p
+              |      ORDER BY s_fp DESC, a) AS BIGINT) AS rp,
+              |    CAST(row_number() OVER (PARTITION BY a
+              |      ORDER BY s_fp DESC, p) AS BIGINT) AS ra
+              |  FROM cells),
+              |plen AS MATERIALIZED (
+              |  SELECT p, CAST(COUNT(*) AS BIGINT) AS len
+              |  FROM prefs GROUP BY 1),
+              |st AS (
+              |  SELECT 0 AS i, p, CAST(1 AS BIGINT) AS ptr,
+              |    CAST(NULL AS BIGINT) AS ma
+              |  FROM plen
+              |  UNION ALL
+              |  SELECT y.i + 1 AS i, y.p,
+              |    CASE WHEN y.p = y.c THEN y.ptr + 1 ELSE y.ptr END
+              |      AS ptr,
+              |    CASE
+              |      WHEN y.p = y.c AND y.ra_c
+              |        < COALESCE(y.ra_i, 9223372036854775807)
+              |        THEN y.t
+              |      WHEN y.ma = y.t AND y.ra_c
+              |        < COALESCE(y.ra_i, 9223372036854775807)
+              |        THEN CAST(NULL AS BIGINT)
+              |      ELSE y.ma END AS ma
+              |  FROM (
+              |    SELECT l3.*,
+              |      MAX(CASE WHEN l3.ma = l3.t THEN po.ra END)
+              |        OVER () AS ra_i
+              |    FROM (
+              |      SELECT l2.i, l2.p, l2.ptr, l2.ma, l2.c,
+              |        pr.a AS t, pr.ra AS ra_c
+              |      FROM (
+              |        SELECT l1.*,
+              |          MAX(CASE WHEN l1.p = l1.c THEN l1.ptr END)
+              |            OVER () AS ptrc
+              |        FROM (
+              |          SELECT s.i, s.p, s.ptr, s.ma,
+              |            MIN(CASE WHEN s.ma IS NULL
+              |              AND s.ptr <= pl.len THEN s.p END)
+              |              OVER () AS c
+              |          FROM st s JOIN plen pl ON pl.p = s.p) l1) l2
+              |      JOIN prefs pr ON pr.p = l2.c AND pr.rp = l2.ptrc)
+              |      l3
+              |    JOIN prefs po ON po.p = l3.p AND po.a = l3.t) y)
+              |SELECT f.p AS proposer, f.ma AS acceptor,
+              |  pr.rp AS rank_p, pr.ra AS rank_a
+              |FROM st f
+              |JOIN (SELECT MAX(i) AS li FROM st) m ON f.i = m.li
+              |JOIN prefs pr ON pr.p = f.p AND pr.a = f.ma
+              |WHERE f.ma IS NOT NULL
+              |ORDER BY proposer""".stripMargin))
   )
 }
