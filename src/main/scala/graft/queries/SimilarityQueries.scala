@@ -3381,6 +3381,95 @@ object SimilarityQueries {
               |JOIN (SELECT MAX(i) AS li FROM st) m ON f.i = m.li
               |JOIN prefs pr ON pr.p = f.p AND pr.a = f.ma
               |WHERE f.ma IS NOT NULL
-              |ORDER BY proposer""".stripMargin))
+              |ORDER BY proposer""".stripMargin)),
+
+    // EXT — TRIANGLE-COUNT ESTIMATE by deterministic wedge sampling,
+    // gated against the exact count: the graph-approximation axis of
+    // the estimate-vs-exact battery (HLL q260, AMS q317, KMV q321 are
+    // its set/moment/cardinality axes). Wedges (center, lo-nbr,
+    // hi-nbr) sample at 1/8 by sha256-prefix parity — the
+    // deterministic replacement for coin flips everywhere in this
+    // engine — and the ratio estimator Ĉ = C_s·W div W_s rescales
+    // closed sampled wedges by the exact wedge total (W is a free
+    // by-product of degree counts; only CLOSURE checking costs a
+    // join, which is the point of sampling). exact = C div 3, every
+    // triangle closing 3 wedges. All counts exact BIGINTs; the ×1e9
+    // error row asserts the bound as data.
+    EngineQuery("q333_triangle_estimate",
+      (s, dir) => {
+        val m = mutualShared(s, dir)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val und = m.filter(col("src") < col("dst"))
+          .select(col("src").as("wa"), col("dst").as("wb"))
+        val wedges = m.select(col("src").as("u"), col("dst").as("wa"))
+          .join(m.select(col("src").as("u"), col("dst").as("wb")), "u")
+          .filter(col("wa") < col("wb"))
+          .withColumn("samp", pmod(graft.functions.CoreFunctions.sha256PrefixLong(
+            concat(lit("wg:"), col("u").cast("string"), lit(":"),
+              col("wa").cast("string"), lit(":"),
+              col("wb").cast("string"))), lit(8L)) === 0L)
+        val tot = wedges.agg(count(lit(1)).as("n_wedges"),
+          sum(when(col("samp"), 1L).otherwise(0L)).as("n_sampled"))
+        val cls = wedges.join(und, Seq("wa", "wb"), "left_semi")
+          .agg(count(lit(1)).as("n_closed"),
+            sum(when(col("samp"), 1L).otherwise(0L))
+              .as("n_closed_sampled"))
+        tot.crossJoin(broadcast(cls))
+          .select(col("n_wedges"), col("n_sampled"), col("n_closed"),
+            col("n_closed_sampled"),
+            expr("n_closed div 3").as("exact_tri"),
+            expr("(n_closed_sampled * n_wedges div n_sampled) div 3")
+              .as("est_tri"))
+          .withColumn("abs_rel_err_fp", expr(
+            """CASE WHEN exact_tri = 0 THEN CAST(0 AS BIGINT)
+              |ELSE abs(est_tri - exact_tri) * 1000000000
+              |  div exact_tri END""".stripMargin))
+          .withColumn("bound_ok", col("abs_rel_err_fp") <= 250000000L)
+      },
+      Some(s"""WITH $prepSql,
+              |$knnCteSql,
+              |mutual AS (
+              |  SELECT a.vec_id AS src, a.nbr_id AS dst FROM knn a
+              |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id),
+              |und AS (
+              |  SELECT src AS wa, dst AS wb FROM mutual
+              |  WHERE src < dst),
+              |wedges AS (
+              |  SELECT m1.src AS u, m1.dst AS wa, m2.dst AS wb,
+              |    CAST('0x' || substr(sha256(
+              |      'wg:' || CAST(m1.src AS VARCHAR) || ':' ||
+              |      CAST(m1.dst AS VARCHAR) || ':' ||
+              |      CAST(m2.dst AS VARCHAR)), 1, 8) AS BIGINT) % 8 = 0
+              |      AS samp
+              |  FROM mutual m1 JOIN mutual m2 ON m2.src = m1.src
+              |    AND m1.dst < m2.dst),
+              |tot AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+              |    CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_sampled
+              |  FROM wedges),
+              |cls AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_closed,
+              |    CAST(SUM(CASE WHEN w.samp THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_closed_sampled
+              |  FROM wedges w
+              |  WHERE EXISTS (SELECT 1 FROM und e
+              |                WHERE e.wa = w.wa AND e.wb = w.wb))
+              |SELECT t.n_wedges, t.n_sampled, c.n_closed,
+              |  c.n_closed_sampled,
+              |  c.n_closed // 3 AS exact_tri,
+              |  (c.n_closed_sampled * t.n_wedges // t.n_sampled) // 3
+              |    AS est_tri,
+              |  CASE WHEN c.n_closed // 3 = 0 THEN CAST(0 AS BIGINT)
+              |    ELSE abs((c.n_closed_sampled * t.n_wedges
+              |        // t.n_sampled) // 3 - c.n_closed // 3)
+              |      * 1000000000 // (c.n_closed // 3) END
+              |    AS abs_rel_err_fp,
+              |  CASE WHEN c.n_closed // 3 = 0 THEN CAST(0 AS BIGINT)
+              |    ELSE abs((c.n_closed_sampled * t.n_wedges
+              |        // t.n_sampled) // 3 - c.n_closed // 3)
+              |      * 1000000000 // (c.n_closed // 3) END
+              |    <= 250000000 AS bound_ok
+              |FROM tot t CROSS JOIN cls c""".stripMargin))
   )
 }
