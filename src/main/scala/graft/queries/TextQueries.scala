@@ -1801,7 +1801,96 @@ object TextQueries {
               |JOIN len la ON la.doc_id = p.doc_a
               |JOIN len lb ON lb.doc_id = p.doc_b
               |WHERE p.n_inter * 5 >= 3 * (la.l + lb.l - p.n_inter)
-              |ORDER BY doc_a, doc_b""".stripMargin))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // EXT — LSH CANDIDATE RECALL/PRECISION against the exact
+    // Jaccard-≥3/5 truth set: the dedup-QA report that ties the
+    // engine's two near-dup paths together — q26's MinHash bands are
+    // PROBABILISTIC recall, q309's prefix filter is GUARANTEED
+    // complete, so joining the two measures exactly what the banded
+    // sketch misses (and what fraction of its candidates are real),
+    // overall and at the calibrated ≥6-band cluster floor (the q82
+    // calibration, asserted here as recall data instead of averages).
+    // The report is the production go/no-go for trusting banded LSH
+    // at a given τ on a given corpus — recall too low means more
+    // bands or a lower floor, precision too low means wasted verify
+    // compute. All ratios are exact ×1e9 integer divisions of counts
+    // both engines compute from their own independent formulations.
+    EngineQuery("q334_lsh_recall",
+      (s, dir) => {
+        import graft.operators.TextDedup
+        val grams = gramsDf(s, dir)
+        val exact = TextDedup.jaccard(grams,
+            TextDedup.prefixFilterCandidates(grams, tauNum = 3L,
+              tauDen = 5L))
+          .filter(col("n_inter") * 5L >=
+            lit(3L) * (col("na") + col("nb") - col("n_inter")))
+          .select("doc_a", "doc_b")
+        val cand = TextDedup.candidatePairs(minhashSigs(s, dir))
+          .select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+        val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("n_shared_bands").isNotNull, 1L)
+              .otherwise(0L)).as("n_hit_any"),
+            sum(when(col("n_shared_bands") >= ClusterMinBands, 1L)
+              .otherwise(0L)).as("n_hit_floor"))
+        hits.crossJoin(broadcast(
+            cand.agg(count(lit(1)).as("n_candidates"))))
+          .select(col("n_exact"), col("n_candidates"),
+            col("n_hit_any"), col("n_hit_floor"),
+            expr("n_hit_any * 1000000000 div n_exact")
+              .as("recall_any_fp"),
+            expr("n_hit_floor * 1000000000 div n_exact")
+              .as("recall_floor_fp"),
+            expr("n_hit_any * 1000000000 div n_candidates")
+              .as("precision_any_fp"))
+      },
+      Some(s"""WITH grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |g AS (SELECT DISTINCT doc_id, gram FROM grams),
+              |len AS (
+              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l
+              |  FROM g GROUP BY 1),
+              |pair AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(COUNT(*) AS BIGINT) AS n_inter
+              |  FROM g a JOIN g b
+              |    ON b.gram = a.gram AND b.doc_id > a.doc_id
+              |  GROUP BY 1, 2),
+              |ex AS (
+              |  SELECT p.doc_a, p.doc_b
+              |  FROM pair p
+              |  JOIN len la ON la.doc_id = p.doc_a
+              |  JOIN len lb ON lb.doc_id = p.doc_b
+              |  WHERE p.n_inter * 5 >= 3 * (la.l + lb.l - p.n_inter)),
+              |cand AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    COUNT(DISTINCT a.band) AS n_shared_bands
+              |  FROM sigs_capped a JOIN sigs_capped b
+              |    ON a.band = b.band AND a.minhash = b.minhash
+              |    AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |hits AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+              |    CAST(SUM(CASE WHEN c.n_shared_bands IS NOT NULL
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_any,
+              |    CAST(SUM(CASE WHEN c.n_shared_bands
+              |        >= $ClusterMinBands
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_floor
+              |  FROM ex e
+              |  LEFT JOIN cand c ON c.doc_a = e.doc_a
+              |    AND c.doc_b = e.doc_b),
+              |nc AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+              |  FROM cand)
+              |SELECT h.n_exact, nc.n_candidates, h.n_hit_any,
+              |  h.n_hit_floor,
+              |  h.n_hit_any * 1000000000 // h.n_exact AS recall_any_fp,
+              |  h.n_hit_floor * 1000000000 // h.n_exact
+              |    AS recall_floor_fp,
+              |  h.n_hit_any * 1000000000 // nc.n_candidates
+              |    AS precision_any_fp
+              |FROM hits h CROSS JOIN nc""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
