@@ -123,9 +123,30 @@ object TextQueries {
       TextDedup.simhashFingerprints(tokens(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared EXACT Jaccard-≥3/5 pair frame per (session, dir): the
+    * AllPairs truth set (prefix-filter candidates + codegen'd verify)
+    * feeds both the exact self-join report (q309) and the LSH-recall
+    * QA (q334) — the verify pass over the candidate join is the
+    * heaviest text subplan after the signature builds, and a real
+    * curation run computes the truth set ONCE. [[reset]] evicts. */
+  private val sharedExactPairs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def exactPairsShared(s: SparkSession, dir: String): DataFrame =
+    sharedExactPairs.getOrElseUpdate((s, dir), {
+      val grams = gramsDf(s, dir)
+      TextDedup.jaccard(grams,
+          TextDedup.prefixFilterCandidates(grams, tauNum = 3L,
+            tauDen = 5L))
+        .filter(col("n_inter") * 5L >=
+          lit(3L) * (col("na") + col("nb") - col("n_inter")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Unpersist + evict the shared signature frames for a session, as
     * OperatorQueries.reset does for the ingest pipeline frame. */
   def reset(s: SparkSession): Unit = {
+    sharedExactPairs.keys.filter(_._1 eq s).foreach(k =>
+      sharedExactPairs.remove(k).foreach(_.unpersist(blocking = false)))
     sharedSigs.keys.filter(_._1 eq s).foreach(k =>
       sharedSigs.remove(k).foreach(_.unpersist(blocking = false)))
     sharedLabels.keys.filter(_._1 eq s).foreach(k =>
@@ -1770,18 +1791,10 @@ object TextQueries {
     // thresholded — so the gate proves the filter theorem's
     // completeness on real data, not just the happy path.
     EngineQuery("q309_prefix_filter_join",
-      (s, dir) => {
-        import graft.operators.TextDedup
-        val grams = gramsDf(s, dir)
-        val cand = TextDedup.prefixFilterCandidates(grams,
-          tauNum = 3L, tauDen = 5L)
-        TextDedup.jaccard(grams, cand)
-          .filter(col("n_inter") * 5L >=
-            lit(3L) * (col("na") + col("nb") - col("n_inter")))
-          .select(col("doc_a"), col("doc_b"), col("n_inter"),
-            col("na"), col("nb"), col("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => exactPairsShared(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          col("na"), col("nb"), col("jaccard"))
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH grams AS ($gramsSql),
               |g AS (SELECT DISTINCT doc_id, gram FROM grams),
               |len AS (
@@ -1819,13 +1832,7 @@ object TextQueries {
     EngineQuery("q334_lsh_recall",
       (s, dir) => {
         import graft.operators.TextDedup
-        val grams = gramsDf(s, dir)
-        val exact = TextDedup.jaccard(grams,
-            TextDedup.prefixFilterCandidates(grams, tauNum = 3L,
-              tauDen = 5L))
-          .filter(col("n_inter") * 5L >=
-            lit(3L) * (col("na") + col("nb") - col("n_inter")))
-          .select("doc_a", "doc_b")
+        val exact = exactPairsShared(s, dir).select("doc_a", "doc_b")
         val cand = TextDedup.candidatePairs(minhashSigs(s, dir))
           .select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
         val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left")
