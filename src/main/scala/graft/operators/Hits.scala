@@ -73,7 +73,12 @@ object Hits {
         .join(aRaw, Seq("ht_id"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("ht_id"),
-          expr(s"coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale div ht_tot")
+          // ht_tot NULL (edge-free graph) or 0 (Scale div n underflow
+          // at |V| > Scale) makes the div NULL — those are exactly the
+          // zero-mass iterations, so the normalized score is 0, keeping
+          // the "isolated nodes survive with both scores 0" contract.
+          expr(s"coalesce(coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale" +
+              " div ht_tot, CAST(0 AS BIGINT))")
             .as("ht_a"))
       val hRaw = e
         .join(auth.withColumnRenamed("ht_id", "ht_dst"), "ht_dst")
@@ -84,7 +89,8 @@ object Hits {
         .join(hRaw, Seq("ht_id"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("ht_id"),
-          expr(s"coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale div ht_tot")
+          expr(s"coalesce(coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale" +
+              " div ht_tot, CAST(0 AS BIGINT))")
             .as("ht_h"))
     }
     hub.join(auth, "ht_id")

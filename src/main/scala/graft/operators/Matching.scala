@@ -92,6 +92,14 @@ object Matching {
         .select("m_u", "m_v", "m_w"))
       done = alive.isEmpty
     }
+    // Cap exhausted with edges still alive: every alive edge has two
+    // free endpoints, so the matching below is not MAXIMAL — refuse
+    // rather than silently returning a partial matching.
+    if (!done) throw new IllegalStateException(
+      s"Matching.matching: maxRounds=$maxRounds exhausted with unmatched " +
+        "edges still alive — the result would not be a maximal matching; " +
+        "raise maxRounds (an ascending-weight path matches one edge per " +
+        "round, so the longest such chain bounds the rounds needed)")
     acc
   }
 }

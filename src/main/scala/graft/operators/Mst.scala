@@ -154,6 +154,27 @@ object Mst {
         ce.unpersist(blocking = false)
       }
     }
+    if (!done) {
+      // Cap exhausted: if any cross-component edge remains, the edge
+      // set below is not a spanning forest — refuse (the
+      // [[ConnectedComponents]] discipline) rather than silently
+      // returning a partial forest.
+      val remaining = e
+        .join(comp.select(col("node").as("mst_u"), col("comp").as("cu")),
+          "mst_u")
+        .join(comp.select(col("node").as("mst_v"), col("comp").as("cv")),
+          "mst_v")
+        .filter(col("cu") =!= col("cv"))
+        .limit(1).count() > 0L
+      if (remaining) {
+        e.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"Mst.forest: maxRounds=$maxRounds exhausted with " +
+            "cross-component edges remaining — the result would not be a " +
+            "minimum spanning forest; raise maxRounds (component count at " +
+            "least halves per round, so ceil(log2 V) rounds always suffice)")
+      }
+    }
     e.unpersist(blocking = false)
     acc.select("mst_u", "mst_v", "mst_w")
   }

@@ -86,7 +86,12 @@ object Similarity {
         s"lshNearNeighbours for the scale path")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    q.join(e, col("vec_id") =!= col("q_id"))
+    // broadcast the GUARDED query side explicitly: left to stats, the
+    // planner has picked the CORPUS as the BNLJ build side (both sides
+    // derive from the same cache), which at 100 TB broadcasts the whole
+    // table. The limit is a no-op under the maxQueries guard above but
+    // makes the build side structurally bounded (PlanLintSpec).
+    broadcast(q.limit(maxQueries)).join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
           .as("cos_sim"))
@@ -212,6 +217,11 @@ object Similarity {
     * the table itself (deterministic; [[kmeansCentroids]] refines). */
   def seedCentroids(prep: DataFrame, nCentroids: Int): DataFrame =
     prep.filter(col("vec_id") < nCentroids)
+      // the id slice already holds <= nCentroids rows (ids are unique);
+      // the limit is a no-op that makes the bound STRUCTURAL, so every
+      // downstream broadcast of the centroid frame carries its own
+      // boundedness proof (PlanLintSpec's BNLJ build-side lint)
+      .limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
 

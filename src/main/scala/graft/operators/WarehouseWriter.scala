@@ -66,8 +66,15 @@ object WarehouseWriter {
     // updates outrank existing rows at equal (ts) — the replay contract
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
+    // Final tie-break: a content hash over the data columns, so two
+    // rows in the SAME frame sharing (key, ts) pick the same winner on
+    // every run — without it row_number breaks that tie arbitrarily and
+    // replay-is-a-no-op fails. (Bit-identical duplicate rows hash equal
+    // and are interchangeable, so the choice among them is immaterial.)
+    val contentHash = xxhash64(
+      existing.columns.map(c => col(c).cast("string")): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol).desc, col("__src").desc)
+      .orderBy(col(tsCol).desc, col("__src").desc, contentHash.desc)
     tagged
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
@@ -150,7 +157,9 @@ object WarehouseWriter {
     * the rewritten dates; other partitions are untouched — the same
     * directory-level granularity as `expirePartitions`), writes to the
     * same layout, and swaps directories atomically-per-partition
-    * (write temp → delete old → rename). The cluster-sort inside the
+    * (write temp → rename old to backup → rename temp into place →
+    * delete backup, so every crash point leaves the data recoverable —
+    * at worst one rename from the backup). The cluster-sort inside the
     * rewrite re-tightens parquet row-group min/max stats on
     * (tenant_id, event_type) — compaction restores BOTH the file-count
     * and the data-skipping properties of a fresh [[write]].
@@ -173,8 +182,20 @@ object WarehouseWriter {
         .repartition(target)
         .sortWithinPartitions("tenant_id", "event_type")
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(src, true)
-      fs.rename(tmp, src)
+      // Swap via backup so no crash point loses the partition: the old
+      // delete-then-rename left the data only in a reader-invisible tmp
+      // dir if the process died between the two. Here the exposure is
+      // the instant between the two renames, and recovery is mechanical
+      // (bak present + src missing -> rename bak back).
+      val bak = new Path(path, s".${part}_compact_bak")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      fs.rename(src, bak)
+      if (!fs.rename(tmp, src)) {
+        fs.rename(bak, src) // restore the original on a failed swap
+        throw new IllegalStateException(
+          s"compactPartitions: swap failed for $part; original restored")
+      }
+      fs.delete(bak, true)
       val nAfter = fs.listStatus(src).count(f => f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
       (part, nBefore, nAfter)

@@ -32,6 +32,15 @@ object SimilarityQueries {
     * embeddings table, and rebuilding it per query re-runs Catalyst over
     * the identical subplan four times — the `sharedSigs` pattern from
     * TextQueries. |vectors| rows, persisted; [[reset]] evicts. */
+  /** sf1-probe knob (r10 VERDICT ask #3): multiplies the graph/market
+    * id gates of the fold queries (q316/q324/q332) so the 10x-amplified
+    * probe tables - whose copies shift vec_id by 1e8 - can land INSIDE
+    * the gates. Spark body and DuckDB twin interpolate the SAME value,
+    * so the oracle gate stays exact at any scale; default 1 leaves
+    * bench/driver behavior untouched. */
+  private val gateScale: Long =
+    sys.env.getOrElse("SPARK_GRAFT_GATE_SCALE", "1").toLong
+
   private val sharedPrepared = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def preparedShared(s: SparkSession, dir: String): DataFrame =
@@ -2164,7 +2173,9 @@ object SimilarityQueries {
             col("nrm").as("qnrm"), col("label").as("q_label"))
         val cos = round(Similarity.dot(col("qv"), col("v")) /
           (col("qnrm") * col("nrm")), 6)
-        val perProbe = broadcast(probes).join(base,
+        // limit = no-op under the <50 unique-id slice, but it makes the
+        // broadcast build side structurally bounded (PlanLintSpec BNLJ)
+        val perProbe = broadcast(probes.limit(50)).join(base,
             col("vec_id") =!= col("q_id"))
           .groupBy("q_id", "q_label")
           .agg(max(when(col("label") === col("q_label"), cos))
@@ -2769,7 +2780,8 @@ object SimilarityQueries {
               .select(col("vec_id"), col("nbr_id"), col("cos_sim")),
             Seq("vec_id", "nbr_id"))
           .filter(col("vec_id") < col("nbr_id") &&
-            col("vec_id") < 300 && col("nbr_id") < 300)
+            col("vec_id") < lit(300L * gateScale) &&
+            col("nbr_id") < lit(300L * gateScale))
           .select(col("vec_id").as("u"), col("nbr_id").as("v"),
             (lit(1000000L) -
               round(col("cos_sim") * 1e6).cast("long")).as("w"))
@@ -2786,7 +2798,8 @@ object SimilarityQueries {
               |  FROM knn a
               |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
               |  WHERE a.vec_id < a.nbr_id
-              |    AND a.vec_id < 300 AND a.nbr_id < 300),
+              |    AND a.vec_id < ${300L * gateScale}
+              |    AND a.nbr_id < ${300L * gateScale}),
               |nn AS MATERIALIZED (SELECT DISTINCT node FROM (
               |  SELECT u AS node FROM me
               |  UNION ALL SELECT v FROM me) z),
@@ -2946,7 +2959,8 @@ object SimilarityQueries {
               .select(col("vec_id"), col("nbr_id"), col("cos_sim")),
             Seq("vec_id", "nbr_id"))
           .filter(col("vec_id") < col("nbr_id") &&
-            col("vec_id") < 300 && col("nbr_id") < 300)
+            col("vec_id") < lit(300L * gateScale) &&
+            col("nbr_id") < lit(300L * gateScale))
           .select(col("vec_id").as("u"), col("nbr_id").as("v"),
             (lit(1000000L) -
               round(col("cos_sim") * 1e6).cast("long")).as("w"))
@@ -2962,7 +2976,8 @@ object SimilarityQueries {
               |  FROM knn a
               |  JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
               |  WHERE a.vec_id < a.nbr_id
-              |    AND a.vec_id < 300 AND a.nbr_id < 300),
+              |    AND a.vec_id < ${300L * gateScale}
+              |    AND a.nbr_id < ${300L * gateScale}),
               |nn AS MATERIALIZED (SELECT DISTINCT node FROM (
               |  SELECT u AS node FROM me
               |  UNION ALL SELECT v FROM me) z),
@@ -3214,7 +3229,10 @@ object SimilarityQueries {
           col("nrm").as("na"), col("cluster_id").as("ca"))
         val b = pts.select(col("vec_id").as("ib"), col("v").as("vb"),
           col("nrm").as("nb"), col("cluster_id").as("cb"))
-        val pairs = a.join(broadcast(b), col("ia") =!= col("ib"))
+        // limit = no-op under the <300 unique-id slice (structural
+        // bound for the BNLJ build side, the q216 pattern)
+        val pairs = a.join(broadcast(b.limit(300)),
+          col("ia") =!= col("ib"))
           .select(col("ia"), col("ca"), col("cb"),
             (lit(1000000L) - round(graft.operators.Similarity
                 .dot(col("va"), col("vb")) / (col("na") * col("nb"))
@@ -3302,7 +3320,8 @@ object SimilarityQueries {
     // GS + the no-blocking-pair property on random markets.
     EngineQuery("q332_stable_pairing",
       (s, dir) => {
-        val pe = preparedShared(s, dir).filter(col("vec_id") < 60)
+        val pe = preparedShared(s, dir)
+          .filter(col("vec_id") < lit(60L * gateScale))
         val props = pe.filter(col("vec_id") % 2 === 0)
           .select(col("vec_id").as("p"), col("v").as("vp"),
             col("nrm").as("np"))
@@ -3327,8 +3346,8 @@ object SimilarityQueries {
               |    CAST(round(list_dot_product(p.v, a.v)
               |      / (p.nrm * a.nrm) * 1000000) AS BIGINT) AS s_fp
               |  FROM n p, n a
-              |  WHERE p.vec_id < 60 AND p.vec_id % 2 = 0
-              |    AND a.vec_id < 60 AND a.vec_id % 2 = 1),
+              |  WHERE p.vec_id < ${60L * gateScale} AND p.vec_id % 2 = 0
+              |    AND a.vec_id < ${60L * gateScale} AND a.vec_id % 2 = 1),
               |prefs AS MATERIALIZED (
               |  SELECT p, a,
               |    CAST(row_number() OVER (PARTITION BY p

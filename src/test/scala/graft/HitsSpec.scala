@@ -68,4 +68,16 @@ class HitsSpec extends AnyFunSuite {
     assert(authSum <= Hits.Scale && authSum > Hits.Scale - nodes.size)
     assert(got == refHits(nodes, edges, 4))
   }
+
+  test("edge-free graph: every node survives with hub=auth=0, never NULL") {
+    val rows = Hits.scoresFp(
+        Seq.empty[(Long, Long)].toDF("src", "dst"),
+        Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id"), 2)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"NULL score in $r")
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+    }
+  }
 }

@@ -70,4 +70,16 @@ class MatchingSpec extends AnyFunSuite {
       assert(run(es) == brute(es), s"trial $trial")
     }
   }
+
+  test("maxRounds exhausted with alive edges remaining throws") {
+    // Ascending path: exactly one dominant edge per round -> needs 2.
+    val es = Seq((0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 4L))
+    val ex = intercept[IllegalStateException] {
+      Matching.matching(es.toDF("u", "v", "w"), maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxRounds=1 exhausted"))
+    val got = Matching.matching(es.toDF("u", "v", "w"), maxRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 1L), (2L, 3L, 3L)))
+  }
 }

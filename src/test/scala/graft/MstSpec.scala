@@ -82,4 +82,24 @@ class MstSpec extends AnyFunSuite {
     val es = (0L until 60L).map(i => (i, i + 1, 1000L - i))
     assert(run(es) == es.toSet)
   }
+
+  test("maxRounds exhausted with cross-component edges remaining throws") {
+    // {0,1} and {2,3} merge in round 1; the (1,2) bridge needs round 2.
+    val es = Seq((0L, 1L, 1L), (2L, 3L, 1L), (1L, 2L, 10L))
+    val ex = intercept[IllegalStateException] {
+      Mst.forest(es.toDF("u", "v", "w"), maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxRounds=1 exhausted"))
+    // Two rounds suffice — same graph, cap 2, full forest.
+    assert(run(es) == Set((0L, 1L, 1L), (1L, 2L, 10L), (2L, 3L, 1L)))
+  }
+
+  test("a cap met exactly at convergence does not throw") {
+    // The descending chain contracts fully in ONE round; with
+    // maxRounds=1 the loop exits done=false but no cross edge remains.
+    val es = (0L until 10L).map(i => (i, i + 1, 1000L - i))
+    val got = Mst.forest(es.toDF("u", "v", "w"), maxRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == es.toSet)
+  }
 }

@@ -142,6 +142,10 @@ class OperatorsSpec extends AnyFunSuite {
     val afterRows = WarehouseWriter.read(spark, out)
       .collect().map(_.toString).sorted
     assert(afterRows.toSeq === beforeRows.toSeq)
+    // the backup swap leaves no tmp/backup directories behind
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("."))
+    assert(leftovers.isEmpty, s"compaction leftovers: ${leftovers.toSeq}")
   }
 
   test("random projection: exact integer output, JL norm concentration") {
@@ -192,5 +196,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rest.filter(col("code_0") < 0 || col("code_0") >= 16 ||
       col("code_3") < 0 || col("code_3") >= 16).count() === 0)
     assert(rest.filter(col("qerr_fp") < 0).count() === 0)
+  }
+
+  test("upsert picks a deterministic winner among same-frame (key, ts) ties") {
+    // Two rows in the SAME updates frame share (key, ts) but differ in
+    // value — the content-hash tie-break must pick the same winner on
+    // every run, whatever the input order or partitioning.
+    val existing = Seq(("k1", "old", 10L)).toDF("key", "value", "ts")
+    val dupA = Seq(("k1", "alpha", 100L), ("k1", "beta", 100L))
+    def winner(rows: Seq[(String, String, Long)], parts: Int): String =
+      WarehouseWriter.upsert(existing,
+          rows.toDF("key", "value", "ts").repartition(parts), "key", "ts")
+        .collect().map(r => r.getString(1)).head
+    val first = winner(dupA, 1)
+    assert(winner(dupA.reverse, 1) === first, "input order changed the winner")
+    assert(winner(dupA, 7) === first, "partitioning changed the winner")
+    assert(winner(dupA.reverse, 3) === first)
+    // replay of the merged state stays a no-op
+    val merged = WarehouseWriter.upsert(existing,
+      dupA.toDF("key", "value", "ts"), "key", "ts")
+    val replay = WarehouseWriter.upsert(merged,
+      dupA.toDF("key", "value", "ts"), "key", "ts")
+    assert(replay.collect().map(_.toString).sorted.toSeq ===
+      merged.collect().map(_.toString).sorted.toSeq)
   }
 }

@@ -1,7 +1,11 @@
 package graft
 
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.QueryRegistry
 
@@ -107,6 +111,67 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unjustified global-sort windows in: ${offenders.sorted.mkString(", ")}")
+  }
+
+  /** Queries allowed a BroadcastNestedLoopJoin whose build side is not
+    * STRUCTURALLY provably bounded (no Aggregate/GlobalLimit/
+    * TakeOrdered/LocalTableScan in the build subtree) — each with the
+    * reason the broadcast frame is bounded anyway. Typical cause: the
+    * bounded frame was localCheckpointed (an opaque RDD scan) or is
+    * bounded by a selective literal filter the lint can't size. */
+  private val bnljBuildAllowlist: Map[String, String] = Map.empty
+
+  /** The build subtree proves its own boundedness when it aggregates
+    * (output ≤ |groups|, and every engine cross-join rides a ≤k-row or
+    * 1-row aggregate/top-k frame by convention), hard-limits, or is a
+    * literal local table. InMemoryTableScan is a LEAF whose cached
+    * plan holds the actual subtree (the centroid caches aggregate
+    * INSIDE the cache) — descend into it. */
+  private def provablyBounded(build: SparkPlan): Boolean = {
+    val hit = build.collectFirst {
+      case _: HashAggregateExec => ()
+      case _: ObjectHashAggregateExec => ()
+      case _: SortAggregateExec => ()
+      case _: GlobalLimitExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case _: LocalTableScanExec => ()
+    }.isDefined
+    hit || build.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+      // a cached plan is itself wrapped in an AdaptiveSparkPlanExec
+      // LEAF — descend into its input plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+    }.exists(provablyBounded)
+  }
+
+  private def unboundedBnlj(phys: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+    phys.collect {
+      case b: BroadcastNestedLoopJoinExec if !provablyBounded(
+        if (b.buildSide == BuildLeft) b.left else b.right) => b
+    }
+
+  test("every BroadcastNestedLoopJoin build side is provably bounded") {
+    val offenders = QueryRegistry.all.flatMap { q =>
+      val (_, phys) = plans(q.name)
+      if (unboundedBnlj(phys).nonEmpty &&
+          !bnljBuildAllowlist.contains(q.name)) Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"BNLJ with unproven build-side bound in: ${offenders.sorted.mkString(", ")}")
+  }
+
+  test("the BNLJ allowlist carries no stale entries") {
+    val stale = bnljBuildAllowlist.keys.filter { name =>
+      assert(QueryRegistry.byName.contains(name),
+        s"BNLJ allowlist names unknown query $name")
+      val (_, phys) = plans(name)
+      unboundedBnlj(phys).isEmpty
+    }
+    assert(stale.isEmpty,
+      s"BNLJ-allowlisted but clean: ${stale.toSeq.sorted.mkString(", ")}")
   }
 
   test("the allowlist carries no stale entries") {

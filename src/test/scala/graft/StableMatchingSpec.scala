@@ -120,4 +120,29 @@ class StableMatchingSpec extends AnyFunSuite {
       assert(stable(prefs, got), s"trial $trial instability")
     }
   }
+
+  test("maxRounds exhausted with free proposers holding untried acceptors throws") {
+    // Both proposers want acceptor 100 first; the round-1 loser still
+    // holds an untried acceptor (101), so a 1-round cap must refuse.
+    val prefs = Seq(
+      (0L, 100L, 1L, 1L), (0L, 101L, 2L, 1L),
+      (1L, 100L, 1L, 2L), (1L, 101L, 2L, 2L))
+    val ex = intercept[IllegalStateException] {
+      StableMatching.matching(prefs.toDF("p", "a", "rp", "ra"),
+        maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxRounds=1 exhausted"))
+    assert(run(prefs) == Set((0L, 100L), (1L, 101L)))
+  }
+
+  test("a cap met exactly at the empty-proposal fixpoint does not throw") {
+    // Balanced 3x3 with identical lists resolves all proposals in 3
+    // rounds; with maxRounds=3 the loop exits before OBSERVING the
+    // empty round, but no free proposer holds an untried acceptor.
+    val prefs = market(3, 3, (p, a) => (a - 100) * 10 + p)
+    val got = StableMatching.matching(
+        prefs.toDF("p", "a", "rp", "ra"), maxRounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute(prefs))
+  }
 }
