@@ -154,18 +154,43 @@ object Bench {
     // shared-frame consumers (q135…) pay the sig build in pass 1, and
     // the per-pass cost left is the 3.18M-pair band join, deliberately
     // uncached (it IS the engine cost under measurement).
+    // per-pass SPILL + storage-pressure accounting (round-11 drift
+    // attribution): task-level spill bytes accumulate per pass, and the
+    // block-manager high-water (max used storage memory seen at any
+    // pass boundary) rides the same line — if mins drift between rounds
+    // with zero spill and no evictions, the drift is session/context
+    // pressure (scheduler, GC, codegen cache), not plan regressions.
+    val spillListener = new org.apache.spark.scheduler.SparkListener {
+      @volatile var memSpill = 0L
+      @volatile var diskSpill = 0L
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { memSpill += m.memoryBytesSpilled
+          diskSpill += m.diskBytesSpilled }
+      }
+      def reset(): Unit = { memSpill = 0L; diskSpill = 0L }
+    }
+    spark.sparkContext.addSparkListener(spillListener)
+    def storageUsedMB(): Double =
+      try spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (total, remaining) => total - remaining }.sum / 1e6
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     def logPersistSet(tag: String): Unit =
       try {
         val store = spark.sparkContext.getRDDStorageInfo
         val partial = store.filter(r => r.numCachedPartitions < r.numPartitions)
         System.err.println(f"[bench] persist set $tag: ${store.length} RDDs, " +
           f"${store.map(_.memSize).sum / 1e6}%.1f MB mem + " +
-          f"${store.map(_.diskSize).sum / 1e6}%.1f MB disk" +
+          f"${store.map(_.diskSize).sum / 1e6}%.1f MB disk, " +
+          f"storageUsed=${storageUsedMB()}%.1f MB, " +
+          f"spill=${(spillListener.memSpill + spillListener.diskSpill) / 1e6}%.1f MB" +
           (if (partial.nonEmpty)
             partial.map(r => s" EVICTED[id=${r.id} ${r.numCachedPartitions}/${r.numPartitions}]").mkString
           else ", no evictions"))
       } catch { case scala.util.control.NonFatal(_) => }
     val samples = (1 to runs).map { pass =>
+      spillListener.reset()
       val m = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
       logPersistSet(s"after pass $pass")
       m
