@@ -52,6 +52,10 @@ object Bfs {
     val Array(srcCol, dstCol, _*) = edges.columns
     val e = edges.select(col(srcCol).as("bfs_node"), col(dstCol).as("bfs_next"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop-sized shuffles + AQE off for the hop loop (LoopTuning); the
+    // count also materializes the edge cache before the first hop
+    val edgeRows = e.count()
+    LoopTuning.withLoopConf(edges.sparkSession, edgeRows) {
     var visited = cut(seeds
       .select(col(seeds.columns.head).as("bfs_seed")).distinct()
       .select(col("bfs_seed"), col("bfs_seed").as("bfs_node"),
@@ -76,5 +80,6 @@ object Bfs {
     }
     e.unpersist(blocking = false)
     visited
+    }
   }
 }

@@ -64,10 +64,13 @@ object Matching {
       .distinct())
     val spark = edges.sparkSession
     import spark.implicits._
+    // loop-sized shuffles + AQE off for the dominance rounds (LoopTuning)
+    val edgeRows = alive.count()
+    LoopTuning.withLoopConf(spark, edgeRows) {
     var acc = spark.emptyDataset[(Long, Long, Long)]
       .toDF("m_u", "m_v", "m_w")
     var round = 0
-    var done = alive.isEmpty
+    var done = edgeRows == 0L
     while (!done && round < maxRounds) {
       round += 1
       val cand = struct(col("m_w"), col("m_u"), col("m_v"))
@@ -101,5 +104,6 @@ object Matching {
         "raise maxRounds (an ascending-weight path matches one edge per " +
         "round, so the longest such chain bounds the rounds needed)")
     acc
+    }
   }
 }

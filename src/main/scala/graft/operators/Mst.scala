@@ -79,6 +79,11 @@ object Mst {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
+    // loop-sized shuffles + AQE off (LoopTuning): the Boruvka rounds
+    // and pointer jumps are scheduler-latency-bound on gated slices;
+    // the count also materializes the edge cache before the loop
+    val edgeRows = e.count()
+    LoopTuning.withLoopConf(spark, edgeRows) {
     var comp = cut(
       e.select(col("mst_u").as("node"))
         .union(e.select(col("mst_v").as("node")))
@@ -177,5 +182,6 @@ object Mst {
     }
     e.unpersist(blocking = false)
     acc.select("mst_u", "mst_v", "mst_w")
+    }
   }
 }

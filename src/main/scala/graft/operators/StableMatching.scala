@@ -96,13 +96,7 @@ object StableMatching {
     // operator. One count on the already-persisted prefs (one job,
     // once) picks the width; session values are restored on exit.
     val prefRows = pf.count()
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val loopShuffle = math.min(sessionShuffle.toLong,
-      math.max(1L, prefRows / 50000L + 1L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", loopShuffle)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    LoopTuning.withLoopConf(spark, prefRows) {
       // held: current (acceptor, proposer) holds with both ranks.
       var held = spark.emptyDataset[(Long, Long, Long, Long)]
         .toDF("sm_p", "sm_a", "sm_rp", "sm_ra")
@@ -192,9 +186,6 @@ object StableMatching {
       pf.unpersist(blocking = false)
       held.select(col("sm_p").as("proposer"), col("sm_a").as("acceptor"),
         col("sm_rp").as("rank_p"), col("sm_ra").as("rank_a"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
   }
 }
