@@ -1897,7 +1897,51 @@ object TextQueries {
               |    AS recall_floor_fp,
               |  h.n_hit_any * 1000000000 // nc.n_candidates
               |    AS precision_any_fp
-              |FROM hits h CROSS JOIN nc""".stripMargin))
+              |FROM hits h CROSS JOIN nc""".stripMargin)),
+
+    // EXT — INCREMENTAL connected components gated as data: fold the
+    // candidate-pair edges through the star-collapse incremental form
+    // (the StreamingClusters operator's maintenance step — state
+    // components re-enter the next phase as node→label star edges)
+    // in two batches split by a pair hash, and emit the resulting
+    // labeling. The oracle computes plain one-shot CC over ALL edges
+    // (q75's recursive CTE) — the hash gate IS the proof that the
+    // incremental fold equals the full recompute (label = component
+    // min in both), i.e. the streaming dedup-clustering monitor
+    // maintains exactly the batch view. Cross-algorithm on top: Spark
+    // runs two pointer-jump folds, DuckDB one recursive closure.
+    EngineQuery("q335_incremental_cc",
+      (s, dir) => {
+        val edges = TextDedup.candidatePairs(minhashSigs(s, dir))
+          .filter(col("n_shared_bands") >= ClusterMinBands)
+          .select("doc_a", "doc_b")
+        val h = xxhash64(col("doc_a"), col("doc_b")) % 2 === 0
+        val batch0 = edges.filter(h)
+        val batch1 = edges.filter(!h)
+        val nodes0 = batch0.select(col("doc_a").as("id"))
+          .union(batch0.select(col("doc_b").as("id"))).distinct()
+        val state1 = graft.operators.ConnectedComponents
+          .labels(batch0, nodes0)
+        val stars = state1.select(col("id").as("doc_a"),
+          col("cluster_id").as("doc_b"))
+        val state2 = graft.operators.ConnectedComponents.labels(
+          stars.union(batch1),
+          docs(s, dir).select(col("doc_id").as("id")))
+        val sizes = state2.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        state2.join(sizes, "cluster_id")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE grams AS ($gramsSql),
+              |$minhashSigsSql,
+              |$ccLabelsSql
+              |SELECT l.doc_id, l.cluster_id, sz.cluster_size
+              |FROM cc_labels l
+              |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+              |      FROM cc_labels GROUP BY 1) sz USING (cluster_id)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   /** Stopword lists for the language-ID heuristic. */
