@@ -61,6 +61,10 @@ object Betweenness {
     val e = edges.select(col(srcCol).as("bt_node"),
         col(dstCol).as("bt_next"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop-sized shuffles + AQE off for both sweeps (LoopTuning); the
+    // count also materializes the edge cache before the first hop
+    val edgeRows = e.count()
+    LoopTuning.withLoopConf(edges.sparkSession, edgeRows) {
 
     // ---- forward sweep: layers of (bt_seed, bt_node, sigma) ----
     val layer0 = cut(seeds
@@ -121,5 +125,11 @@ object Betweenness {
         .select(lit(0L).as("bt_node"), lit(0L).as("bt_fp")).limit(0)
     else acc.groupBy("bt_node")
       .agg(sum("delta_fp").as("bt_fp"))
+      // the accumulated union ends here — materialize the |V|-row
+      // result INSIDE the loop conf so the deep two-sweep lineage
+      // (checkpointed leaves + unions) collapses before downstream
+      // consumers re-plan it under session conf
+      .localCheckpoint()
+    }
   }
 }

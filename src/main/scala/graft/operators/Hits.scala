@@ -93,6 +93,13 @@ object Hits {
               " div ht_tot, CAST(0 AS BIGINT))")
             .as("ht_h"))
     }
+    // STAYS LAZY deliberately — round-11 A/B: materializing here (an
+    // eager localCheckpoint, with or without AQE) measured 7.6 → 14.8 s
+    // steady on q284, because the consumer's action lets Catalyst PRUNE
+    // through this projection (a count never computes the score
+    // columns' normalizations), and a checkpoint boundary forces every
+    // column to materialize. The r10 variant table in the scaladoc
+    // stands: lazy + universe joins is the optimum.
     hub.join(auth, "ht_id")
       .select(col("ht_id").as(idCol), col("ht_h").as("hub_fp"),
         col("ht_a").as("auth_fp"))

@@ -50,8 +50,12 @@ object Isotonic {
       col(yCol).cast("long").as("iso_y"))
     val w = Window.partitionBy("iso_k").orderBy("iso_start")
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var blocks = pts.select(col("iso_k"), col("iso_x").as("iso_start"),
+    var blocks0 = pts.select(col("iso_k"), col("iso_x").as("iso_start"),
       col("iso_y").as("iso_s"), lit(1L).as("iso_c")).localCheckpoint()
+    // loop-sized shuffles + AQE off for the merge rounds (LoopTuning);
+    // the block table only shrinks from |points|
+    LoopTuning.withLoopConf(df.sparkSession, blocks0.count()) {
+    var blocks = blocks0
     var round = 0
     var done = false
     while (!done) {
@@ -113,5 +117,6 @@ object Isotonic {
         col("iso_c").as("fit_den"),
         (col("iso_s").cast("double") / col("iso_c").cast("double"))
           .as("fit"))
+    }
   }
 }

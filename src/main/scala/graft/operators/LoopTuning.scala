@@ -29,6 +29,15 @@ private[graft] object LoopTuning {
     math.min(session, math.max(1L, rows / 50000L + 1L)).toString
   }
 
+  // NOTE (round-11 A/B): an `evalWithoutAqe` variant for LAZY unrolled
+  // plans (Hits/PageRank) — materialize the final frame once with AQE
+  // off — was tried and REJECTED: a bare-conf probe suggested 9.0 →
+  // 5.5 s on q284, but the real bench runs the consumer's action over
+  // the LAZY plan, where Catalyst prunes the score-normalization
+  // columns a count never needs; an eager checkpoint forces every
+  // column and measured 7.6 → 14.8 s. Lazy operators must stay lazy —
+  // this helper is only for loops that ALREADY run per-round actions.
+
   /** Run `body` with loop-sized shuffles and AQE off; restore after.
     * `SPARK_GRAFT_LOOP_TUNING=off` bypasses (the A/B kill-switch). */
   def withLoopConf[T](spark: SparkSession, rows: Long)(body: => T): T = {
