@@ -60,6 +60,11 @@ object Mmr {
     val pairs = pairSims.select("q_id", "a", "b", "sim_fp")
       .repartition(col("q_id"))
       .localCheckpoint()
+    // loop-sized width + AQE off for the k per-round checkpoints
+    // (LoopTuning): the q_id layouts above were built OUTSIDE the
+    // loop conf, but ClusteredDistribution on q_id is satisfied at any
+    // width, so the rounds stay exchange-free either way
+    LoopTuning.withLoopConf(candidates.sparkSession, cand.count()) {
     var selected = cand.limit(0)
       .select(col("q_id"), col("vec_id"), lit(0L).as("step"),
         lit(0L).as("score_fp"))
@@ -87,5 +92,6 @@ object Mmr {
       selected = selected.union(pick).localCheckpoint()
     }
     selected
+    }
   }
 }
