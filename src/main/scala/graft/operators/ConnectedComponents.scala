@@ -87,6 +87,13 @@ object ConnectedComponents {
       .union(edges.select(col(dstCol).as("cc_id"), col(srcCol).as("cc_nbr")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // loop-sized shuffles + AQE off for the propagation rounds
+    // (LoopTuning): the count materializes the symmetrized edge cache
+    // UNDER SESSION CONF first (candidate generation above it can be
+    // the heaviest subplan in the engine and keeps AQE), then the
+    // rounds run at a width matched to |E| instead of the session's
+    val edgeRows = sym.count()
+    LoopTuning.withLoopConf(edges.sparkSession, edgeRows) {
     var labeled = nodes.select(col(idCol).as("cc_id")).distinct()
       .withColumn("cc_label", col("cc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -137,6 +144,7 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter — raise it)")
     labeled.select(col("cc_id").as(idCol), col("cc_label").as("cluster_id"))
+    }
   }
 
   /** Duplicate clusters over a candidate-pair frame: every document
