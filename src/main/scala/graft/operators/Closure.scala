@@ -57,6 +57,10 @@ object Closure {
       .filter(col("tc_src") =!= col("tc_dst"))
       .distinct())
     var n = reach.count()
+    // loop-sized shuffles + AQE off for the doubling rounds (LoopTuning;
+    // sized from the CLOSURE's starting edge count — it can only grow to
+    // |V|^2 of the reachable DAG, which maxIter already bounds)
+    LoopTuning.withLoopConf(edges.sparkSession, n) {
     var iter = 0
     var closed = false
     while (!closed) {
@@ -77,6 +81,7 @@ object Closure {
       reach = doubled
     }
     reach
+    }
   }
 
   /** Strongly-connected component ids over the nodes incident to
@@ -124,6 +129,9 @@ object Closure {
       .filter(col("lay_src") =!= col("lay_node"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop-sized shuffles + AQE off for the layer rounds (LoopTuning)
+    val edgeRows = e.count()
+    LoopTuning.withLoopConf(edges.sparkSession, edgeRows) {
     var layer = cut(nodes
       .select(col(nodes.columns.head).as("lay_node")).distinct()
       .select(col("lay_node"), lit(0L).as("lay_layer")))
@@ -152,5 +160,6 @@ object Closure {
     }
     e.unpersist(blocking = false)
     layer
+    }
   }
 }

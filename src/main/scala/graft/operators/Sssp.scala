@@ -72,6 +72,10 @@ object Sssp {
     val e = edges.select(col(srcCol).as("sp_node"),
         col(dstCol).as("sp_next"), col(wCol).cast("long").as("sp_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop-sized shuffles + AQE off for the relaxation rounds
+    // (LoopTuning); the count also materializes the edge cache
+    val edgeRows = e.count()
+    LoopTuning.withLoopConf(edges.sparkSession, edgeRows) {
     var dist = cut(seeds
       .select(col(seeds.columns.head).as("sp_seed")).distinct()
       .select(col("sp_seed"), col("sp_seed").as("sp_node"),
@@ -104,5 +108,6 @@ object Sssp {
     }
     e.unpersist(blocking = false)
     dist
+    }
   }
 }
