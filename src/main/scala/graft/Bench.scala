@@ -39,6 +39,47 @@ object Bench {
     // wall-clock sample, so the min is the stable engine-cost estimate.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
 
+    // CONTENTION SENTINEL (round-11 VERDICT ask #2): a fixed calibration
+    // query timed at the start of every measurement window — identical
+    // code over identical synthetic data every time, so any sample >2×
+    // the run's own median is HOST/session contention, not engine cost.
+    // The r11 ambiguity this resolves mechanically: one full run landed
+    // at 299 s and ingest swung 2,363→610 env/s on identical code (box
+    // load), and the driver-run artifact recorded 102,761 env/s vs the
+    // builder's 296,433 — with the sentinel, any reader can reject or
+    // trust a pass from the artifact alone. Samples print per-window on
+    // stderr, and the summary ships in both JSON lines.
+    // The calibration workload is a PURE-JVM allocation-free hash loop
+    // on the driver thread, deliberately NOT a Spark query: a Spark
+    // probe measures session context too — the same 64M-row range scan
+    // ran 0.12 s in the pre-persist-set windows and 0.58 s inside the
+    // built-up session on a CLEAN box (measured while building this),
+    // false-flagging every late pass. The JVM loop has no allocation
+    // (no GC), no scheduler, no cache dependence — its wall time moves
+    // only when the OS gives the thread less CPU, which IS host
+    // contention. 300M mul-xor-rotate steps ≈ 0.4 s warm.
+    val sentinelSamples =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sentinelSink = 0L // observable sink so JIT cannot drop the loop
+    def sentinelWork(): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 300000000L) {
+        h = java.lang.Long.rotateLeft(h * 0x9E3779B97F4A7C15L ^ i, 31)
+        i += 1L
+      }
+      h
+    }
+    def sentinel(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      sentinelSink ^= sentinelWork()
+      val sec = (System.nanoTime() - t0) / 1e9
+      sentinelSamples += tag -> sec
+      System.err.println(f"[bench] sentinel $tag: $sec%.3f s")
+    }
+    // one untimed warm-up so every timed sample runs fully JIT-compiled
+    sentinelSink ^= sentinelWork()
+
     // Flagship ingest throughput pass: a fresh (unpersisted) end-to-end
     // run of the full decode→validate→sample→normalize→dedup chain over
     // 200k synthetic envelopes — comparable to the reference's msgs/min
@@ -68,6 +109,7 @@ object Bench {
     // The step-load profile between sample 1 and samples 2..n keeps two
     // separated time windows, so a load spike during either window still
     // can't poison every sample.
+    sentinel("ingest_early")
     val earlyIngest = ingestPassSec()
 
     // Step-load ingest profile (reference scripts/04_step_load_test.js:
@@ -106,6 +148,7 @@ object Bench {
     }
     // per-step isolation: one failed step reports itself and the other
     // steps' measurements survive
+    sentinel("step_load")
     val steps = Seq(50, 100, 500, 1000, 100).flatMap(runStep)
     val stepJson = steps.map { s =>
       val rateSec = if (s.sec > 0) s.n / s.sec else -1.0
@@ -124,6 +167,7 @@ object Bench {
     // wall-clock swings ~2× with box state (measured across back-to-back
     // bench runs), so a 3-sample min is still noisy — extra samples cost
     // ~2 s each and stabilize the best-of estimate
+    sentinel("ingest_late")
     val lateIngest = (2 to math.max(runs, 5)).flatMap(_ => ingestPassSec())
 
     // SPARK_GRAFT_BENCH_ORDER=reverse runs the query passes in reverse
@@ -191,6 +235,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => }
     val samples = (1 to runs).map { pass =>
       spillListener.reset()
+      sentinel(s"pass_$pass")
       val m = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
       logPersistSet(s"after pass $pass")
       m
@@ -227,8 +272,29 @@ object Bench {
     val ingestSecs = earlyIngest.toSeq ++ lateIngest
     val envThroughput =
       if (ingestSecs.nonEmpty) envCount / ingestSecs.min else -1.0
+    // sentinel summary: median of the per-window calibration samples;
+    // a window >1.5× the median marks its measurements as taken under
+    // host contention (reject that window's numbers, trust the rest).
+    // 1.5× because the JVM-loop probe is tight: measured CLEAN spread
+    // ≤1.11× across all windows of a full filtered run, while 64
+    // background hog processes pushed a loaded window to 1.84× — the
+    // threshold sits well clear of both sides.
+    val sentinelMedian = {
+      val s = sentinelSamples.map(_._2).sorted
+      if (s.isEmpty) -1.0 else s(s.length / 2)
+    }
+    val sentinelFlagged = sentinelSamples
+      .filter(_._2 > 1.5 * sentinelMedian).map(_._1)
+    System.err.println(f"[bench] sentinel median=$sentinelMedian%.3f s, " +
+      s"flagged=${sentinelFlagged.mkString("[", ",", "]")}" +
+      s" sink=${sentinelSink == 42L}")
+    val sentinelJson =
+      s"""{"median":$sentinelMedian,"samples":${
+        sentinelSamples.map { case (t, v) => "\"" + t + "\":" + v }
+          .mkString("{", ",", "}")},"flagged":${
+        sentinelFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round},"ingest_step_profile":$stepJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round},"sentinel":$sentinelJson,"ingest_step_profile":$stepJson}"""
     // Full-precision record goes to disk (path overridable via
     // SPARK_GRAFT_BENCH_OUT) — the driver's stdout capture keeps only the
     // last ~2000 chars, so the detailed line (119+ timings at full float
@@ -242,7 +308,8 @@ object Bench {
     // Stdout gets a compact twin built to FIT the tail capture — see
     // compactJson below. The detail pointer names the on-disk record.
     println(compactJson(results, total, totalFirst, runs,
-      new java.io.File(sfDir).getName, envThroughput.round, outPath))
+      new java.io.File(sfDir).getName, envThroughput.round, outPath,
+      sentinelFlagged.length))
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
     graft.queries.SimilarityQueries.reset(spark)
@@ -263,7 +330,8 @@ object Bench {
     */
   private[graft] def compactJson(
       results: Seq[(String, Double)], total: Double, totalFirst: Double,
-      runs: Int, sfName: String, ingestPerSec: Long, outPath: String): String = {
+      runs: Int, sfName: String, ingestPerSec: Long, outPath: String,
+      sentinelFlagged: Int = 0): String = {
     def fmt(v: Double, dec: Int): String =
       ("%." + dec + "f").formatLocal(java.util.Locale.ROOT, v)
     def candidate(dec: Int, topN: Int): String = {
@@ -274,7 +342,7 @@ object Bench {
       val omitted = shortKeys.size - kept.size
       val qj = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qj,"sf":"$sfName","runs":$runs,"total_first_run":${fmt(totalFirst, 3)},"ingest_envelopes_per_sec":$ingestPerSec""" +
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qj,"sf":"$sfName","runs":$runs,"total_first_run":${fmt(totalFirst, 3)},"ingest_envelopes_per_sec":$ingestPerSec,"sentinel_flagged":$sentinelFlagged""" +
         (if (omitted > 0) s""","queries_omitted":$omitted""" else "") +
         s""","detail":"$outPath"}"""
     }

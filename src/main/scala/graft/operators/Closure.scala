@@ -57,9 +57,13 @@ object Closure {
       .filter(col("tc_src") =!= col("tc_dst"))
       .distinct())
     var n = reach.count()
-    // loop-sized shuffles + AQE off for the doubling rounds (LoopTuning;
-    // sized from the CLOSURE's starting edge count — it can only grow to
-    // |V|^2 of the reachable DAG, which maxIter already bounds)
+    // loop-sized shuffles + AQE off for the doubling rounds (LoopTuning).
+    // The width is RE-DERIVED from the reach count every round below:
+    // the reach frame can grow toward |V|² of the reachable DAG across
+    // doublings, so a width fixed from the SEED edge count would run
+    // quadratic-growth shuffles at seed-sized parallelism on dense
+    // graphs — the count the loop already takes per round is the
+    // growth-aware signal, for free.
     LoopTuning.withLoopConf(edges.sparkSession, n) {
     var iter = 0
     var closed = false
@@ -79,6 +83,10 @@ object Closure {
       closed = n2 == n
       n = n2
       reach = doubled
+      // growth-aware re-split: next round's self-join shuffles n² /
+      // current-reach rows in the worst case — resize from the count
+      // this round already paid for
+      LoopTuning.updateWidth(edges.sparkSession, n)
     }
     reach
     }

@@ -20,13 +20,57 @@ import org.apache.spark.sql.SparkSession
   * empty-relation propagation that erases CollectMetrics nodes at a
   * loop's termination round, and per-round re-planning of plans that
   * never change shape (DETERMINISM.md / PLANS.md round-11 notes).
+  *
+  * CONCURRENCY CONTRACT (hard precondition): a SparkSession's runtime
+  * conf is session-global, so while a tuned loop runs, ANY query
+  * planned on the same session plans under the narrowed width with AQE
+  * off. Callers must keep each SparkSession single-threaded across a
+  * tuned loop — the engine's own surfaces (Verify, Bench, the specs)
+  * all do. NESTED tuned loops on one session are handled: each level
+  * restores its parent's width on exit and the session's original
+  * width + AQE setting restore only at the outermost exit, so two
+  * stacked loops can never leave the session mis-configured.
+  * INTERLEAVED loops from different threads are NOT handled —
+  * serialize them, or give each its own `spark.newSession()` (shares
+  * catalog and cache, isolates runtime conf).
   */
 private[graft] object LoopTuning {
 
+  /** Per-session loop-nesting state: the stack of pre-entry shuffle
+    * widths (head = innermost parent) and the original AQE flag saved
+    * at the outermost entry. Mutations synchronize on [[active]]. */
+  private final class Nesting(var widths: List[String], val aqe: String)
+  private val active = scala.collection.mutable.Map.empty[SparkSession, Nesting]
+
+  /** The session's TRUE shuffle width — the saved pre-loop value when a
+    * tuned loop is running, else the live conf value. Keeps width
+    * derivations capped at the user's setting even when read from
+    * inside a loop that already narrowed the conf. */
+  private def trueSessionWidth(spark: SparkSession): Long =
+    active.synchronized {
+      active.get(spark).flatMap(_.widths.lastOption).map(_.toLong)
+        .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toLong)
+    }
+
   /** Shuffle width for a loop iterating over `rows` rows. */
-  def widthFor(spark: SparkSession, rows: Long): String = {
-    val session = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    math.min(session, math.max(1L, rows / 50000L + 1L)).toString
+  def widthFor(spark: SparkSession, rows: Long): String =
+    math.min(trueSessionWidth(spark),
+      math.max(1L, rows / 50000L + 1L)).toString
+
+  private def tuningOff: Boolean =
+    sys.env.get("SPARK_GRAFT_LOOP_TUNING").contains("off")
+
+  /** Re-derive the loop's shuffle width mid-loop from the CURRENT row
+    * count — for loops whose working set can GROW across rounds
+    * (transitive closure's reach frame tends toward |V|², far past the
+    * seed edge count the loop entered with). Still capped at the true
+    * session width; no-op when tuning is off or when no tuned loop is
+    * active for the session (so a stray call can't narrow a session). */
+  def updateWidth(spark: SparkSession, rows: Long): Unit = {
+    if (tuningOff) return
+    val inLoop = active.synchronized(active.contains(spark))
+    if (inLoop)
+      spark.conf.set("spark.sql.shuffle.partitions", widthFor(spark, rows))
   }
 
   // NOTE (round-11 A/B): an `evalWithoutAqe` variant for LAZY unrolled
@@ -41,15 +85,24 @@ private[graft] object LoopTuning {
   /** Run `body` with loop-sized shuffles and AQE off; restore after.
     * `SPARK_GRAFT_LOOP_TUNING=off` bypasses (the A/B kill-switch). */
   def withLoopConf[T](spark: SparkSession, rows: Long)(body: => T): T = {
-    if (sys.env.get("SPARK_GRAFT_LOOP_TUNING").contains("off")) return body
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if (tuningOff) return body
+    active.synchronized {
+      val n = active.getOrElseUpdate(spark,
+        new Nesting(Nil, spark.conf.get("spark.sql.adaptive.enabled")))
+      n.widths ::= spark.conf.get("spark.sql.shuffle.partitions")
+    }
     spark.conf.set("spark.sql.shuffle.partitions", widthFor(spark, rows))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try body
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+    finally active.synchronized {
+      val n = active(spark)
+      val parentWidth = n.widths.head
+      n.widths = n.widths.tail
+      spark.conf.set("spark.sql.shuffle.partitions", parentWidth)
+      if (n.widths.isEmpty) {
+        spark.conf.set("spark.sql.adaptive.enabled", n.aqe)
+        active.remove(spark)
+      }
     }
   }
 }

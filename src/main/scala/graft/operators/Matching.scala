@@ -47,12 +47,20 @@ object Matching {
     *              (u, v, weight), weight integral; endpoint order
     *              irrelevant, duplicate rows tolerated
     * @param maxRounds dominance-round bound; the loop exits early
-    *              when no edge survives
+    *              when no edge survives. 0 (the default) DERIVES the
+    *              bound from the data as ⌈V/2⌉ + 4: every round
+    *              matches at least the globally minimum alive edge
+    *              (it is locally dominant by definition), saturating
+    *              two vertices, so the derived cap can never
+    *              spuriously throw — even on the adversarial
+    *              ascending-weight path that matches one edge per
+    *              round — while still bounding a runaway loop. Costs
+    *              one distinct-count job over the (cut) edge frame.
     * @return (m_u, m_v, m_w): the matched pairs, m_u < m_v
     */
-  def matching(edges: DataFrame, maxRounds: Int = 48,
+  def matching(edges: DataFrame, maxRounds: Int = 0,
       durableCheckpoints: Boolean = false): DataFrame = {
-    require(maxRounds >= 1, "maxRounds must be at least 1")
+    require(maxRounds >= 0, "maxRounds must be >= 0 (0 = derive from data)")
     def cut(df: DataFrame): DataFrame =
       if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
     val Array(uCol, vCol, wCol, _*) = edges.columns
@@ -66,12 +74,23 @@ object Matching {
     import spark.implicits._
     // loop-sized shuffles + AQE off for the dominance rounds (LoopTuning)
     val edgeRows = alive.count()
+    // derived cap: each round saturates ≥ 2 vertices (the global
+    // (w,u,v)-minimum alive edge is dominant at both endpoints), so
+    // ⌈V/2⌉ + slack bounds the rounds — one cheap distinct count over
+    // the already-checkpointed edge frame, only paid when deriving
+    val cap =
+      if (maxRounds > 0) maxRounds
+      else {
+        val v = alive.select(col("m_u").as("n"))
+          .union(alive.select(col("m_v").as("n"))).distinct().count()
+        math.min(v / 2L + 4L, Int.MaxValue.toLong).toInt
+      }
     LoopTuning.withLoopConf(spark, edgeRows) {
     var acc = spark.emptyDataset[(Long, Long, Long)]
       .toDF("m_u", "m_v", "m_w")
     var round = 0
     var done = edgeRows == 0L
-    while (!done && round < maxRounds) {
+    while (!done && round < cap) {
       round += 1
       val cand = struct(col("m_w"), col("m_u"), col("m_v"))
       // Per-endpoint minimum incident edge under (w, u, v).
@@ -99,7 +118,7 @@ object Matching {
     // free endpoints, so the matching below is not MAXIMAL — refuse
     // rather than silently returning a partial matching.
     if (!done) throw new IllegalStateException(
-      s"Matching.matching: maxRounds=$maxRounds exhausted with unmatched " +
+      s"Matching.matching: maxRounds=$cap exhausted with unmatched " +
         "edges still alive — the result would not be a maximal matching; " +
         "raise maxRounds (an ascending-weight path matches one edge per " +
         "round, so the longest such chain bounds the rounds needed)")

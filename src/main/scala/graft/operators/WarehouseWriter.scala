@@ -189,7 +189,13 @@ object WarehouseWriter {
       // (bak present + src missing -> rename bak back).
       val bak = new Path(path, s".${part}_compact_bak")
       if (fs.exists(bak)) fs.delete(bak, true)
-      fs.rename(src, bak)
+      // the move-aside must be CHECKED like the move-into-place: if it
+      // returns false, src still exists and renaming tmp onto it is
+      // filesystem-dependent (HDFS semantics would move tmp INTO src as
+      // a child — a silent no-op compaction that leaks the tmp dir)
+      if (!fs.rename(src, bak)) throw new IllegalStateException(
+        s"compactPartitions: could not move $part aside for swap; " +
+          s"original untouched, compacted rewrite left in $tmp")
       if (!fs.rename(tmp, src)) {
         fs.rename(bak, src) // restore the original on a failed swap
         throw new IllegalStateException(

@@ -73,6 +73,26 @@ object TextQueries {
       TextDedup.minhashSignatures(gramsDf(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One shared cluster-edge frame per (session, table dir): the
+    * band-floored candidate pairs that seed BOTH transitive-clustering
+    * formulations — the one-shot labeling ([[dupClusterLabels]], q75's
+    * family) and the incremental star-collapse gate (q335, which folds
+    * the SAME edges in two batches). The upstream minhash-signature
+    * band join is the heaviest text subplan; a real curation run scans
+    * it once and fans the edge table out, so recomputing it per
+    * consumer would double-charge the bench for evidence q335 already
+    * pays for deliberately (its double CC fold IS the incremental ≡
+    * full proof — the redundant part was only this upstream scan).
+    * |edges| rows of two longs, persisted; [[reset]] evicts. */
+  private val sharedClusterEdges = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private[graft] def clusterEdges(s: SparkSession, dir: String): DataFrame =
+    sharedClusterEdges.getOrElseUpdate((s, dir),
+      TextDedup.candidatePairs(minhashSigs(s, dir))
+        .filter(col("n_shared_bands") >= ClusterMinBands)
+        .select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** One shared duplicate-cluster labeling per (session, table dir),
     * like [[minhashSigs]]: the propagation loop is a multi-job iteration
     * whose per-round overhead dwarfs its data at test SF, and a real
@@ -84,9 +104,7 @@ object TextQueries {
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame =
     sharedLabels.getOrElseUpdate((s, dir),
       ConnectedComponents.labels(
-          TextDedup.candidatePairs(minhashSigs(s, dir))
-            .filter(col("n_shared_bands") >= ClusterMinBands)
-            .select("doc_a", "doc_b"),
+          clusterEdges(s, dir),
           docs(s, dir).select("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -145,6 +163,8 @@ object TextQueries {
   /** Unpersist + evict the shared signature frames for a session, as
     * OperatorQueries.reset does for the ingest pipeline frame. */
   def reset(s: SparkSession): Unit = {
+    sharedClusterEdges.keys.filter(_._1 eq s).foreach(k =>
+      sharedClusterEdges.remove(k).foreach(_.unpersist(blocking = false)))
     sharedExactPairs.keys.filter(_._1 eq s).foreach(k =>
       sharedExactPairs.remove(k).foreach(_.unpersist(blocking = false)))
     sharedSigs.keys.filter(_._1 eq s).foreach(k =>
@@ -1912,9 +1932,10 @@ object TextQueries {
     // runs two pointer-jump folds, DuckDB one recursive closure.
     EngineQuery("q335_incremental_cc",
       (s, dir) => {
-        val edges = TextDedup.candidatePairs(minhashSigs(s, dir))
-          .filter(col("n_shared_bands") >= ClusterMinBands)
-          .select("doc_a", "doc_b")
+        // the SHARED cluster-edge frame (one upstream band-join scan
+        // for the whole q26/q75/q335 family); the deliberate double CC
+        // fold below is untouched — it is the incremental ≡ full proof
+        val edges = clusterEdges(s, dir)
         val h = xxhash64(col("doc_a"), col("doc_b")) % 2 === 0
         val batch0 = edges.filter(h)
         val batch1 = edges.filter(!h)

@@ -1,9 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.ConnectedComponents
+import graft.operators.{ConnectedComponents, Frames}
 
 /** Streaming incremental CONNECTED COMPONENTS — the continuous form of
   * the dedup pipeline's transitive-clustering stage: candidate pairs
@@ -23,6 +24,25 @@ import graft.operators.ConnectedComponents
   * after batch k equals batch CC over ALL edges seen through batch k —
   * the exact-parity gate StreamingClustersSpec pins.
   *
+  * DELIVERY CONTRACT — two modes, stated precisely:
+  *   - `stateDir = None` (default): IN-RUN idempotence only. State
+  *     lives in executor storage for this driver's lifetime; a replayed
+  *     batch re-derives the same table (min-label is idempotent over
+  *     duplicate edges), but a QUERY RESTART starts from an empty table
+  *     while the stream checkpoint skips committed batches — prior
+  *     assignments would be lost. Use for tests and bounded runs.
+  *   - `stateDir = Some(dir)`: exactly-once EFFECT across restarts.
+  *     Every committed batch swap-writes the state table (write temp →
+  *     move current to backup → move temp into place — the
+  *     WarehouseWriter crash-safety discipline) plus a batch-id marker
+  *     AFTER the swap; a restarted instance rebuilds state from the
+  *     table and skips batches at or below the marker. Every crash
+  *     point is safe: a batch that died before its swap replays and
+  *     re-derives the same table; one that died between swap and
+  *     marker replays onto its own output, which min-label folds to
+  *     the identical table (idempotent); one that died after the
+  *     marker is skipped with its output already durable.
+  *
   * Scale design (100 TB):
   *   - per batch: CC over |state nodes| + |batch| edges, where the
   *     star graph's diameter is ≤ 2 hops to each old component's
@@ -31,40 +51,117 @@ import graft.operators.ConnectedComponents
   *     never deepens the graph.
   *   - state is |nodes| rows of two longs, cut each batch (the
   *     ConnectedComponents checkpoint discipline); nothing collects.
-  *   - exactly-once: attach via [[writer]] (foreachBatch) with a
-  *     checkpointLocation; a replayed batch re-derives the same
-  *     assignments (min-label is idempotent over duplicate edges).
+  *   - storage is CONSTANT over the stream's lifetime: each batch
+  *     frees the previous state's checkpoint blocks and the CC loop's
+  *     internal cache ([[Frames.freeCheckpoint]] +
+  *     `labelsWithHandle`) the moment the new state is materialized —
+  *     a long-running monitor must not lease memory to driver-GC
+  *     timing (the round-12 DebugCacheLeak finding).
   */
-final class StreamingClusters(spark: SparkSession) {
+final class StreamingClusters(spark: SparkSession,
+    stateDir: Option[String] = None) {
   import spark.implicits._
 
-  @volatile private var state: DataFrame =
-    spark.emptyDataset[(Long, Long)].toDF("node", "comp")
+  private def fsFor(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // restart restore: rebuild the assignment table and the committed
+  // batch-id horizon from the durable state table, if one exists
+  @volatile private var state: DataFrame = {
+    val restored = stateDir.flatMap { d =>
+      val cur = new Path(d, "state")
+      if (fsFor(cur).exists(cur))
+        Some(spark.read.parquet(cur.toString)
+          .select(col("node").cast("long").as("node"),
+            col("comp").cast("long").as("comp"))
+          .localCheckpoint())
+      else None
+    }
+    restored.getOrElse(spark.emptyDataset[(Long, Long)].toDF("node", "comp"))
+  }
+
+  @volatile private var lastBatch: Long = stateDir.flatMap { d =>
+    val marker = new Path(d, "_committed_batch")
+    val fs = fsFor(marker)
+    if (fs.exists(marker)) {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(marker), "UTF-8"))
+      try Option(in.readLine()).map(_.trim.toLong) finally in.close()
+    } else None
+  }.getOrElse(-1L)
 
   /** Current (node, comp) assignments — comp is the min node id of the
     * component over every edge processed so far. */
   def assignments: DataFrame = state
 
+  /** Highest committed batch id (durable mode), -1 before any commit. */
+  def committedBatch: Long = lastBatch
+
   /** Fold one micro-batch of undirected edges (first two columns =
-    * endpoint ids) into the assignment table; returns the new table. */
-  def processBatch(edges: DataFrame): DataFrame = synchronized {
-    val Array(uCol, vCol, _*) = edges.columns
-    val fresh = edges.select(col(uCol).cast("long").as("u"),
-      col(vCol).cast("long").as("v"))
-    val stars = state.select(col("node").as("u"), col("comp").as("v"))
-    val work = stars.union(fresh)
-    val nodes = work.select(col("u").as("id"))
-      .union(work.select(col("v").as("id"))).distinct()
-    state = ConnectedComponents.labels(work, nodes)
-      .select(col("id").as("node"), col("cluster_id").as("comp"))
-      .localCheckpoint()
-    state
+    * endpoint ids) into the assignment table; returns the new table.
+    * With a `batchId` ≥ 0 in durable mode, batches at or below the
+    * committed horizon are skipped (their effect is already in the
+    * restored table). */
+  def processBatch(edges: DataFrame, batchId: Long = -1L): DataFrame =
+    synchronized {
+      if (batchId >= 0 && batchId <= lastBatch) return state
+      val Array(uCol, vCol, _*) = edges.columns
+      val fresh = edges.select(col(uCol).cast("long").as("u"),
+        col(vCol).cast("long").as("v"))
+      val stars = state.select(col("node").as("u"), col("comp").as("v"))
+      val work = stars.union(fresh)
+      val nodes = work.select(col("u").as("id"))
+        .union(work.select(col("v").as("id"))).distinct()
+      val (lbl, release) =
+        ConnectedComponents.labelsWithHandle(work, nodes)
+      val next = lbl
+        .select(col("id").as("node"), col("cluster_id").as("comp"))
+        .localCheckpoint()
+      // next is materialized (localCheckpoint is eager): release the CC
+      // loop's residual storage and the previous state's blocks — the
+      // monitor's storage footprint stays ONE state table, not one per
+      // batch since the stream started
+      release()
+      Frames.freeCheckpoint(state)
+      state = next
+      stateDir.foreach(d => commit(d, batchId))
+      state
+    }
+
+  /** Swap-write the state table + batch marker (crash-safe; see the
+    * delivery contract above). */
+  private def commit(dir: String, batchId: Long): Unit = {
+    val base = new Path(dir)
+    val fs = fsFor(base)
+    val tmp = new Path(base, ".state_tmp")
+    val cur = new Path(base, "state")
+    val bak = new Path(base, ".state_bak")
+    state.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(cur) && !fs.rename(cur, bak))
+      throw new IllegalStateException(
+        s"StreamingClusters: could not move $cur aside; state table " +
+          s"untouched, new state left in $tmp")
+    if (!fs.rename(tmp, cur)) {
+      if (fs.exists(bak)) fs.rename(bak, cur)
+      throw new IllegalStateException(
+        s"StreamingClusters: swap failed for $cur; previous state restored")
+    }
+    fs.delete(bak, true)
+    if (batchId >= 0) {
+      lastBatch = math.max(lastBatch, batchId)
+      // marker AFTER the swap: dying in between replays the batch onto
+      // its own durable output, which min-label folds to the same table
+      val marker = new Path(base, "_committed_batch")
+      val out = fs.create(marker, true)
+      try out.write(s"$lastBatch\n".getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** foreachBatch writer over a streaming (u, v) edge Dataset. */
   def writer(edges: Dataset[(Long, Long)]): DataStreamWriter[(Long, Long)] =
     edges.writeStream.outputMode("update")
-      .foreachBatch { (batch: Dataset[(Long, Long)], _: Long) =>
-        processBatch(batch.toDF("u", "v")); ()
+      .foreachBatch { (batch: Dataset[(Long, Long)], id: Long) =>
+        processBatch(batch.toDF("u", "v"), id); ()
       }
 }

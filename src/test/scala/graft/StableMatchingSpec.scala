@@ -135,6 +135,31 @@ class StableMatchingSpec extends AnyFunSuite {
     assert(run(prefs) == Set((0L, 100L), (1L, 101L)))
   }
 
+  test("live-prefs compaction path matches sequential GS (every round, threshold 0)") {
+    // force the compaction branch on unit-sized markets: cadence 1,
+    // threshold 0 — every round rewrites the live frame minus the
+    // derived rejections. Rejections are monotone, so the fixpoint
+    // (and the exhaustion check) must be untouched; displacement-heavy
+    // random markets exercise mid-run compactions specifically.
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 5 + trial * 3
+      val prefs = market(n, n, (_, _) => rnd.nextInt(50).toLong)
+      val got = StableMatching.matching(prefs.toDF("p", "a", "rp", "ra"),
+          compactEvery = 1, compactMinRows = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(prefs), s"trial $trial")
+      assert(stable(prefs, got), s"trial $trial instability")
+    }
+    // unbalanced + compacted: unmatched tail proposers still exhaust
+    // their lists without tripping the exhaustion throw
+    val prefs = market(6, 3, (p, a) => ((p * 5 + a * 3) % 13))
+    val got = StableMatching.matching(prefs.toDF("p", "a", "rp", "ra"),
+        compactEvery = 2, compactMinRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute(prefs))
+  }
+
   test("a cap met exactly at the empty-proposal fixpoint does not throw") {
     // Balanced 3x3 with identical lists resolves all proposals in 3
     // rounds; with maxRounds=3 the loop exits before OBSERVING the

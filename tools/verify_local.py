@@ -2,13 +2,19 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python3 tools/verify_local.py [sf_dir] [out_dir] [--skip-spark]
+           [--timeout=N]
 
 1. runs `sbt runMain graft.Verify <sf_dir> <out_dir>` (unless --skip-spark)
 2. for each query output dir: loads the Spark parquet via DuckDB, runs the
    oracle SQL (from out_dir/oracle_sql.json) over views named after the
    source tables, sorts columns by name + rows by all columns, compares.
+
+--timeout=N interrupts any single ORACLE query after N seconds and
+records it as a LOUD per-query SKIP plus a summary count (for big-SF
+sweeps where a handful of O(n^2) DuckDB twins would run for hours —
+no silent caps: every skipped entry is named in the output).
 """
-import json, math, subprocess, sys
+import json, math, subprocess, sys, threading
 from pathlib import Path
 
 import duckdb
@@ -38,8 +44,37 @@ def cmp_cell(a, b):
     return a == b if type(a) == type(b) else str(a) == str(b)
 
 
+def fetch(con, sql, timeout_s):
+    """Run sql to completion; interrupt after timeout_s seconds (0 = no
+    timeout). Raises duckdb.InterruptException on timeout."""
+    timer, fired = None, [False]
+    if timeout_s:
+        def _interrupt():
+            fired[0] = True
+            con.interrupt()
+        timer = threading.Timer(timeout_s, _interrupt)
+        timer.start()
+    try:
+        r = con.sql(sql)
+        return r.fetchall(), [c for c in r.columns]
+    finally:
+        if timer:
+            timer.cancel()
+            if fired[0]:
+                # the interrupt may have landed after completion: consume
+                # any pending flag so it cannot abort the NEXT query
+                try:
+                    con.sql("SELECT 1").fetchall()
+                except duckdb.InterruptException:
+                    pass
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    timeout_s = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout="):
+            timeout_s = int(a.split("=", 1)[1])
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     if "--skip-spark" not in sys.argv:
@@ -55,16 +90,21 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     oracles = json.loads((out_dir / "oracle_sql.json").read_text())
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
+    skipped = []
     for name in sorted(oracles):
         qdir = out_dir / name
         if not qdir.exists():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            sr = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-            s_rows, s_cols = canon(sr.fetchall(), [c for c in sr.columns])
-            orr = con.sql(oracles[name])
-            o_rows, o_cols = canon(orr.fetchall(), [c for c in orr.columns])
+            s_raw, s_c = fetch(con, f"SELECT * FROM '{qdir}/*.parquet'", 0)
+            s_rows, s_cols = canon(s_raw, s_c)
+            o_raw, o_c = fetch(con, oracles[name], timeout_s)
+            o_rows, o_cols = canon(o_raw, o_c)
+        except duckdb.InterruptException:
+            print(f"SKIP {name}: oracle exceeded --timeout={timeout_s}s "
+                  f"(DuckDB-side cost, not a parity verdict)")
+            n_skip += 1; skipped.append(name); continue
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:300]}"); n_fail += 1; continue
         if s_cols != o_cols:
@@ -95,7 +135,10 @@ def main():
             except Exception as e:
                 print(f"FAIL {qdir.name}: rows-only read error {str(e)[:200]}")
                 n_fail += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    if n_skip:
+        print(f"== skipped (oracle timeout {timeout_s}s): "
+              f"{', '.join(skipped)} ==")
+    print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skip ==")
     return 1 if n_fail else 0
 
 
