@@ -249,4 +249,21 @@ object CoreFunctions {
 
   /** Exact decimal sum of a money column, surfaced as double. */
   def moneySum(c: Column): Column = sum(money(c)).cast("double")
+
+  /** Deterministic DECIMAL→DOUBLE for exact sums whose scaled integer
+    * may exceed 2^53: Spark's decimal→double cast rounds correctly, but
+    * DuckDB's hugeint-backed conversion does not (the q09 sf1-sweep
+    * 1-ulp class), so past 2^53 the two engines disagree. Route the
+    * exact integer c = sum·10^s through a 2^30 hi/lo split of BIGINTs —
+    * hi ≤ 2^63 and hi·2^30 are exactly representable, lo < 2^30 is
+    * exact, and the single rounding point (the final add) is the same
+    * hardware op in both engines. Valid for nonneg sums up to 2^93;
+    * [[graft.queries.RelationalQueries]] carries the SQL twin macro.
+    */
+  def decimalSumFp(sumDec: Column, scale: Long): Column = {
+    val c = sumDec * lit(scale) // integral-valued decimal
+    val hi = call_function("div", c, lit(1073741824L)) // IntegralDivide → long
+    ((hi.cast("double") * lit(1073741824.0) +
+      (c % lit(1073741824L)).cast("double")) / lit(scale.toDouble))
+  }
 }

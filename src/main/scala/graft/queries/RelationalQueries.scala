@@ -149,32 +149,51 @@ object RelationalQueries {
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** SQL twin of [[graft.functions.CoreFunctions.decimalSumFp]]: the
+    * deterministic DECIMAL→DOUBLE via an exact 2^30 hi/lo BIGINT split
+    * (DuckDB's hugeint→double cast rounds sloppily past 2^53 — the q09
+    * sf1-sweep class — while int64→double is hardware-exact). */
+  private def fpSql(inner: String, scale: Long): String =
+    s"(CAST(CAST(($inner) * $scale AS HUGEINT) // 1073741824 AS DOUBLE)" +
+      s" * 1073741824.0 + CAST(CAST(($inner) * $scale AS HUGEINT)" +
+      s" % 1073741824 AS DOUBLE)) / $scale.0"
+
   val all: Seq[EngineQuery] = Seq(
 
     // Q9 — pricing summary, TPC-H Q1 shape: multi-agg over filtered scan.
+    // Every money aggregate goes through decimalSumFp — SUM(DECIMAL) is
+    // exact in both engines, but once the sum's scaled integer crosses
+    // 2^53 (the sf1 grand totals) DuckDB's hugeint-backed
+    // DECIMAL→DOUBLE conversion rounds differently from Spark's
+    // correctly-rounded cast. (Caught by the round-12 sf1 sweep:
+    // sum_charge diverged by 1 ulp.)
     EngineQuery("q09_pricing_summary",
-      (s, dir) => t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
-          moneySum(col("l_extendedprice")).as("sum_base_price"),
-          sum(revenue).cast("double").as("sum_disc_price"),
-          sum(revenue * (lit(1) + money(col("l_tax")))).cast("double")
-            .as("sum_charge"),
-          (sum(money(col("l_quantity"))).cast("double") /
-            count(lit(1)).cast("double")).as("avg_qty"),
-          (sum(money(col("l_discount"))).cast("double") /
-            count(lit(1)).cast("double")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+      (s, dir) => {
+        def fp(c: Column, scale: Long): Column =
+          decimalSumFp(sum(c), scale)
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp_ntz"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            fp(money(col("l_quantity")), 100L).as("sum_qty"),
+            fp(money(col("l_extendedprice")), 100L).as("sum_base_price"),
+            fp(revenue, 10000L).as("sum_disc_price"),
+            fp(revenue * (lit(1) + money(col("l_tax"))), 1000000L)
+              .as("sum_charge"),
+            (fp(money(col("l_quantity")), 100L) /
+              count(lit(1)).cast("double")).as("avg_qty"),
+            (fp(money(col("l_discount")), 100L) /
+              count(lit(1)).cast("double")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-              |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
-              |  CAST(SUM($revenueSql * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-              |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+              |  ${fpSql("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 100L)} AS sum_qty,
+              |  ${fpSql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))", 100L)} AS sum_base_price,
+              |  ${fpSql(s"SUM($revenueSql)", 10000L)} AS sum_disc_price,
+              |  ${fpSql(s"SUM($revenueSql * (1 + CAST(l_tax AS DECIMAL(18,2))))", 1000000L)} AS sum_charge,
+              |  ${fpSql("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 100L)} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+              |  ${fpSql("SUM(CAST(l_discount AS DECIMAL(18,2)))", 100L)} / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
               |  COUNT(*) AS count_order
               |FROM lineitem
               |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -557,9 +576,12 @@ object RelationalQueries {
             sum(col("x") * col("x")).as("sxx"),
             sum(col("cnt")).as("sy_cnt"),
             sum(col("x") * col("cnt")).as("sxy_cnt"),
-            sum(col("rev")).cast("double").as("sy_rev"),
-            sum(col("x").cast("decimal(10,0)") * col("rev"))
-              .cast("double").as("sxy_rev"))
+            // decimalSumFp: past 2^53 cents DuckDB's hugeint-backed
+            // DECIMAL→DOUBLE cast rounds differently from Spark's
+            // (the q09 sf1-sweep class)
+            decimalSumFp(sum(col("rev")), 100L).as("sy_rev"),
+            decimalSumFp(sum(col("x").cast("decimal(10,0)") * col("rev")),
+              100L).as("sxy_rev"))
         val (nd, sxd, sxxd) = (col("n").cast("double"),
           col("sx").cast("double"), col("sxx").cast("double"))
         val den = nd * sxxd - sxd * sxd
@@ -572,7 +594,7 @@ object RelationalQueries {
             ((col("sy_rev") - slopeRev * sxd) / nd).as("intercept_revenue"))
           .orderBy("o_orderpriority")
       },
-      Some("""WITH daily AS (
+      Some(s"""WITH daily AS (
              |  SELECT o_orderpriority,
              |    CAST(date_diff('day', DATE '1990-01-01',
              |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
@@ -587,8 +609,8 @@ object RelationalQueries {
              |    CAST(SUM(x * x) AS BIGINT) AS sxx,
              |    CAST(SUM(cnt) AS BIGINT) AS sy_cnt,
              |    CAST(SUM(x * cnt) AS BIGINT) AS sxy_cnt,
-             |    CAST(SUM(rev) AS DOUBLE) AS sy_rev,
-             |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * rev) AS DOUBLE)
+             |    ${fpSql("SUM(rev)", 100L)} AS sy_rev,
+             |    ${fpSql("SUM(CAST(x AS DECIMAL(10,0)) * rev)", 100L)}
              |      AS sxy_rev
              |  FROM daily GROUP BY 1)
              |SELECT o_orderpriority, n AS n_days,
@@ -702,19 +724,22 @@ object RelationalQueries {
           money(col("l_extendedprice")).as("p"),
           money(col("l_discount")).as("d"),
           money(col("l_tax")).as("x"))
+        // decimalSumFp on every decimal sum: Σp² scaled hits ~6e21 at
+        // sf1 — past both 2^53 (DuckDB's sloppy hugeint→double cast,
+        // the q09 sweep class) and int64 (the simple cents chain)
         val stats = li.groupBy("l_returnflag").agg(
           count(lit(1)).as("n"),
           sum(col("q")).as("sq"),
           sum(col("q") * col("q")).as("sqq"),
-          sum(col("p")).cast("double").as("sp"),
-          sum(col("p") * col("p")).cast("double").as("spp"),
-          sum(col("q").cast("decimal(10,0)") * col("p")).cast("double")
-            .as("sqp"),
-          sum(col("d")).cast("double").as("sd"),
-          sum(col("d") * col("d")).cast("double").as("sdd"),
-          sum(col("x")).cast("double").as("sx"),
-          sum(col("x") * col("x")).cast("double").as("sxx"),
-          sum(col("d") * col("x")).cast("double").as("sdx"))
+          decimalSumFp(sum(col("p")), 100L).as("sp"),
+          decimalSumFp(sum(col("p") * col("p")), 10000L).as("spp"),
+          decimalSumFp(sum(col("q").cast("decimal(10,0)") * col("p")),
+            100L).as("sqp"),
+          decimalSumFp(sum(col("d")), 100L).as("sd"),
+          decimalSumFp(sum(col("d") * col("d")), 10000L).as("sdd"),
+          decimalSumFp(sum(col("x")), 100L).as("sx"),
+          decimalSumFp(sum(col("x") * col("x")), 10000L).as("sxx"),
+          decimalSumFp(sum(col("d") * col("x")), 10000L).as("sdx"))
         val nd = col("n").cast("double")
         def corr2(sxy: Column, sa: Column, sb: Column,
             saa: Column, sbb: Column): Column =
@@ -727,7 +752,7 @@ object RelationalQueries {
               .as("corr_disc_tax"))
           .orderBy("l_returnflag")
       },
-      Some("""WITH li AS (
+      Some(s"""WITH li AS (
              |  SELECT l_returnflag,
              |    CAST(round(l_quantity) AS BIGINT) AS q,
              |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
@@ -738,14 +763,14 @@ object RelationalQueries {
              |  SELECT l_returnflag, COUNT(*) AS n,
              |    CAST(SUM(q) AS BIGINT) AS sq,
              |    CAST(SUM(q * q) AS BIGINT) AS sqq,
-             |    CAST(SUM(p) AS DOUBLE) AS sp,
-             |    CAST(SUM(p * p) AS DOUBLE) AS spp,
-             |    CAST(SUM(CAST(q AS DECIMAL(10,0)) * p) AS DOUBLE) AS sqp,
-             |    CAST(SUM(d) AS DOUBLE) AS sd,
-             |    CAST(SUM(d * d) AS DOUBLE) AS sdd,
-             |    CAST(SUM(x) AS DOUBLE) AS sx,
-             |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
-             |    CAST(SUM(d * x) AS DOUBLE) AS sdx
+             |    ${fpSql("SUM(p)", 100L)} AS sp,
+             |    ${fpSql("SUM(p * p)", 10000L)} AS spp,
+             |    ${fpSql("SUM(CAST(q AS DECIMAL(10,0)) * p)", 100L)} AS sqp,
+             |    ${fpSql("SUM(d)", 100L)} AS sd,
+             |    ${fpSql("SUM(d * d)", 10000L)} AS sdd,
+             |    ${fpSql("SUM(x)", 100L)} AS sx,
+             |    ${fpSql("SUM(x * x)", 10000L)} AS sxx,
+             |    ${fpSql("SUM(d * x)", 10000L)} AS sdx
              |  FROM li GROUP BY 1)
              |SELECT l_returnflag, n,
              |  (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)

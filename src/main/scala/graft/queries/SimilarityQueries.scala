@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -2494,25 +2494,32 @@ object SimilarityQueries {
             .as("same_label_edges"))
         val ssq = le.groupBy("la").agg(count(lit(1)).as("cnt"))
           .agg(sum(col("cnt") * col("cnt")).as("label_ssq"))
+        // NULL-guarded divisions (DuckDB's x/0.0 -> NULL; Spark's ANSI
+        // double divide THROWS): a degenerate graph — zero degree
+        // variance (regular, e.g. exact-clone corpora) or single-label
+        // edges — makes the coefficient undefined, and both engines
+        // must answer NULL, not error. Caught by the sf1 sweep: the
+        // 10x-amplified clone corpus yields an exactly regular mutual
+        // graph.
+        def safeDiv(num: Column, den: Column): Column =
+          when(den =!= lit(0.0), num / den)
+        val degNum = col("m_dir_edges").cast("double") *
+          col("sum_jk").cast("double") -
+          col("sum_j").cast("double") * col("sum_j").cast("double")
+        val degDen = col("m_dir_edges").cast("double") *
+          col("sum_jj").cast("double") -
+          col("sum_j").cast("double") * col("sum_j").cast("double")
+        val mSq = col("m_dir_edges").cast("double") *
+          col("m_dir_edges").cast("double")
+        val lblNum = safeDiv(col("same_label_edges").cast("double"),
+          col("m_dir_edges").cast("double")) -
+          safeDiv(col("label_ssq").cast("double"), mSq)
+        val lblDen = lit(1.0) - safeDiv(col("label_ssq").cast("double"), mSq)
         degStats.crossJoin(broadcast(same)).crossJoin(broadcast(ssq))
           .select(col("m_dir_edges"), col("sum_jk"), col("sum_j"),
             col("sum_jj"), col("same_label_edges"), col("label_ssq"),
-            ((col("m_dir_edges").cast("double") *
-              col("sum_jk").cast("double") -
-              col("sum_j").cast("double") * col("sum_j").cast("double")) /
-              (col("m_dir_edges").cast("double") *
-                col("sum_jj").cast("double") -
-                col("sum_j").cast("double") * col("sum_j").cast("double")))
-              .as("deg_assortativity"),
-            ((col("same_label_edges").cast("double") /
-              col("m_dir_edges").cast("double") -
-              col("label_ssq").cast("double") /
-                (col("m_dir_edges").cast("double") *
-                  col("m_dir_edges").cast("double"))) /
-              (lit(1.0) - col("label_ssq").cast("double") /
-                (col("m_dir_edges").cast("double") *
-                  col("m_dir_edges").cast("double"))))
-              .as("label_assortativity"))
+            safeDiv(degNum, degDen).as("deg_assortativity"),
+            safeDiv(lblNum, lblDen).as("label_assortativity"))
           .orderBy("m_dir_edges")
       },
       Some(s"""WITH $prepSql,

@@ -1855,7 +1855,14 @@ object TextQueries {
         val exact = exactPairsShared(s, dir).select("doc_a", "doc_b")
         val cand = TextDedup.candidatePairs(minhashSigs(s, dir))
           .select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
-        val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left")
+        // merge-join hint: both sides are corpus-sized pair frames, but
+        // Catalyst's static size estimate after candidatePairs' two
+        // aggregations reads tiny, so the planner picks a broadcast of
+        // the candidate side — which BUILT 9.7 GiB at the sf1 probe
+        // before erroring (caught by the round-12 sf1 sweep). A sort-
+        // merge join on the pair key is the plan that survives 100 TB.
+        val hits = exact.join(cand.hint("merge"),
+            Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_exact"),
             sum(when(col("n_shared_bands").isNotNull, 1L)
               .otherwise(0L)).as("n_hit_any"),

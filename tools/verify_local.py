@@ -72,9 +72,21 @@ def fetch(con, sql, timeout_s):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     timeout_s = 0
+    shard_i, shard_n = 0, 1
+    threads = 0
+    memlimit = ""
+    resume_logs = []
     for a in sys.argv[1:]:
         if a.startswith("--timeout="):
             timeout_s = int(a.split("=", 1)[1])
+        if a.startswith("--shard="):
+            shard_i, shard_n = map(int, a.split("=", 1)[1].split("/"))
+        if a.startswith("--threads="):
+            threads = int(a.split("=", 1)[1])
+        if a.startswith("--memlimit="):
+            memlimit = a.split("=", 1)[1]
+        if a.startswith("--resume="):
+            resume_logs.extend(a.split("=", 1)[1].split(","))
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     if "--skip-spark" not in sys.argv:
@@ -87,12 +99,37 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; Spark-written probe tables
+        # (GenScaleProbe) are directories of part files
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    if threads:
+        con.sql(f"SET threads={threads}")
+    if memlimit:
+        con.sql(f"SET memory_limit='{memlimit}'")
+        # cap spill too: an uncapped big-SF oracle can transiently fill
+        # the disk and break CONCURRENT Spark shuffle writes (observed
+        # twice in the round-12 sf1 sweep)
+        con.sql("SET temp_directory='/tmp/duckdb_spill'")
+        con.sql("SET max_temp_directory_size='30GB'")
+
+    # --resume=<log,...>: skip entries already adjudicated (PASS/FAIL/
+    # SKIP) in earlier sweep logs — lets a crashed big-SF sweep continue
+    # where it stopped without repeating hours of oracle work
+    done = set()
+    for lg in resume_logs:
+        for line in Path(lg).read_text().splitlines():
+            if line.startswith(("PASS ", "FAIL ", "SKIP ")):
+                done.add(line.split()[1].rstrip(":"))
 
     oracles = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = n_skip = 0
     skipped = []
-    for name in sorted(oracles):
+    names = [n for i, n in enumerate(sorted(oracles))
+             if i % shard_n == shard_i and n not in done]
+    for name in names:
         qdir = out_dir / name
         if not qdir.exists():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -126,8 +163,8 @@ def main():
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
-    # queries with no oracle: rows-only
-    for qdir in sorted(out_dir.iterdir()):
+    # queries with no oracle: rows-only (shard 0 reports them once)
+    for qdir in sorted(out_dir.iterdir()) if shard_i == 0 else []:
         if qdir.is_dir() and qdir.name not in oracles:
             try:
                 n = con.sql(f"SELECT count(*) FROM '{qdir}/*.parquet'").fetchone()[0]
