@@ -70,12 +70,27 @@ object Bench {
       }
       h
     }
+    // The JVM loop catches single-core CPU steal but is blind to
+    // MULTI-CORE occupancy: round 12 recorded a board-wide 256→178 s
+    // shift between sessions with the single-thread sentinel STABLE —
+    // competing multi-threaded work (a DuckDB sweep, a second Spark
+    // JVM) slows 32-way stages while a lone thread still gets a full
+    // core. So each sample also records the OS 1-min load average;
+    // loadavg >> 32 with an unflagged sentinel reads as exactly that
+    // regime.
+    val sentinelLoad =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def osLoad(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     def sentinel(tag: String): Unit = {
       val t0 = System.nanoTime()
       sentinelSink ^= sentinelWork()
       val sec = (System.nanoTime() - t0) / 1e9
       sentinelSamples += tag -> sec
-      System.err.println(f"[bench] sentinel $tag: $sec%.3f s")
+      sentinelLoad += tag -> osLoad()
+      System.err.println(
+        f"[bench] sentinel $tag: $sec%.3f s, loadavg ${osLoad()}%.1f")
     }
     // one untimed warm-up so every timed sample runs fully JIT-compiled
     sentinelSink ^= sentinelWork()
@@ -292,7 +307,9 @@ object Bench {
       s"""{"median":$sentinelMedian,"samples":${
         sentinelSamples.map { case (t, v) => "\"" + t + "\":" + v }
           .mkString("{", ",", "}")},"flagged":${
-        sentinelFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+        sentinelFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"loadavg":${
+        sentinelLoad.map { case (t, v) => "\"" + t + "\":" + v }
+          .mkString("{", ",", "}")}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round},"sentinel":$sentinelJson,"ingest_step_profile":$stepJson}"""
     // Full-precision record goes to disk (path overridable via
