@@ -1045,7 +1045,15 @@ object RelationalQueries {
           .crossJoin(broadcast(grand))
           .withColumn("expected", exp)
           .withColumn("chi2_term", term)
-          .withColumn("chi2_running", sum(col("chi2_term")).over(wRun))
+          // the running sum is quantized to exact 1e-6 fixed point:
+          // DuckDB's windowed double SUM uses a segment tree and
+          // reassociates, so past sf0.1 magnitudes the two engines'
+          // running doubles drift an ulp apart (round-12 sf1 sweep);
+          // floor of an identical double is bit-identical, and the
+          // BIGINT window sum is association-free
+          .withColumn("chi2_running",
+            sum(floor(col("chi2_term") * lit(1000000.0)).cast("long"))
+              .over(wRun).cast("double") / lit(1000000.0))
           .select(col("yr"), col("prio"), col("n_obs"), col("expected"),
             col("chi2_term"), col("chi2_running"))
           .orderBy("yr", "prio")
@@ -1082,9 +1090,10 @@ object RelationalQueries {
              |  JOIN ct ON ct.prio = c.prio
              |  CROSS JOIN g)
              |SELECT yr, prio, n_obs, expected, chi2_term,
-             |  SUM(chi2_term) OVER (ORDER BY yr, prio
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |    AS chi2_running
+             |  CAST(SUM(CAST(floor(chi2_term * 1000000.0) AS BIGINT))
+             |    OVER (ORDER BY yr, prio
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) / 1000000.0 AS chi2_running
              |FROM terms ORDER BY yr, prio""".stripMargin)),
 
     // EXT — supplier revenue/reach SKYLINE via the REUSABLE
