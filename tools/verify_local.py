@@ -76,6 +76,7 @@ def main():
     threads = 0
     memlimit = ""
     resume_logs = []
+    only = set()
     for a in sys.argv[1:]:
         if a.startswith("--timeout="):
             timeout_s = int(a.split("=", 1)[1])
@@ -87,6 +88,8 @@ def main():
             memlimit = a.split("=", 1)[1]
         if a.startswith("--resume="):
             resume_logs.extend(a.split("=", 1)[1].split(","))
+        if a.startswith("--only="):
+            only.update(a.split("=", 1)[1].split(","))
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     if "--skip-spark" not in sys.argv:
@@ -128,7 +131,8 @@ def main():
     n_pass = n_fail = n_skip = 0
     skipped = []
     names = [n for i, n in enumerate(sorted(oracles))
-             if i % shard_n == shard_i and n not in done]
+             if i % shard_n == shard_i and n not in done
+             and (not only or n in only)]
     for name in names:
         qdir = out_dir / name
         if not qdir.exists():
