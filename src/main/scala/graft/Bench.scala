@@ -87,10 +87,13 @@ object Bench {
       val t0 = System.nanoTime()
       sentinelSink ^= sentinelWork()
       val sec = (System.nanoTime() - t0) / 1e9
+      // one osLoad() read shared by the record and the log line so the
+      // stderr trace always matches the JSON artifact (r12 ADVICE)
+      val load = osLoad()
       sentinelSamples += tag -> sec
-      sentinelLoad += tag -> osLoad()
+      sentinelLoad += tag -> load
       System.err.println(
-        f"[bench] sentinel $tag: $sec%.3f s, loadavg ${osLoad()}%.1f")
+        f"[bench] sentinel $tag: $sec%.3f s, loadavg $load%.1f")
     }
     // one untimed warm-up so every timed sample runs fully JIT-compiled
     sentinelSink ^= sentinelWork()
@@ -300,8 +303,32 @@ object Bench {
     }
     val sentinelFlagged = sentinelSamples
       .filter(_._2 > 1.5 * sentinelMedian).map(_._1)
+    // LOADAVG FLAG RULE (round-12 VERDICT ask #2): the single-thread
+    // sentinel catches CPU steal but is blind to MULTI-CORE occupancy —
+    // the exact regime that inflated the r11/early-r12 252-256 s records
+    // by ~40% while the sentinel stayed clean. Mechanical rule: flag any
+    // window whose 1-min OS loadavg exceeds cores/2. Calibration: the
+    // bench's OWN between-pass load measured 3.1-8.6 on a clean box at
+    // sf0.1 (canonical r12 artifact, loadavg recorded per window), so
+    // cores/2 = 16 sits ~2x clear of the bench's own worst contribution,
+    // while any concurrent multi-core competitor (a DuckDB sweep, a
+    // second Spark JVM, an sbt test run) adds tens of runnable threads
+    // and crosses it immediately. Override via SPARK_GRAFT_LOAD_FLAG for
+    // differently-sized boxes. Both flag paths feed ONE verdict:
+    // "canonical" only when NO window is flagged by EITHER rule — a
+    // contended run keeps its numbers (per-query mins are still lower
+    // bounds) but can never be recorded as the round's canonical time.
+    val loadFlagThreshold = sys.env.get("SPARK_GRAFT_LOAD_FLAG")
+      .map(_.toDouble).getOrElse(cpus.toDouble / 2)
+    val loadFlagged = sentinelLoad
+      .filter(_._2 > loadFlagThreshold).map(_._1)
+    val verdict =
+      if (sentinelFlagged.isEmpty && loadFlagged.isEmpty) "canonical"
+      else "contended"
     System.err.println(f"[bench] sentinel median=$sentinelMedian%.3f s, " +
-      s"flagged=${sentinelFlagged.mkString("[", ",", "]")}" +
+      s"flagged=${sentinelFlagged.mkString("[", ",", "]")}, " +
+      f"load_flagged=${loadFlagged.mkString("[", ",", "]")} " +
+      f"(threshold ${loadFlagThreshold}%.1f), verdict=$verdict" +
       s" sink=${sentinelSink == 42L}")
     val sentinelJson =
       s"""{"median":$sentinelMedian,"samples":${
@@ -309,9 +336,10 @@ object Bench {
           .mkString("{", ",", "}")},"flagged":${
         sentinelFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"loadavg":${
         sentinelLoad.map { case (t, v) => "\"" + t + "\":" + v }
-          .mkString("{", ",", "}")}}"""
+          .mkString("{", ",", "}")},"load_flagged":${
+        loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"load_threshold":$loadFlagThreshold,"verdict":"$verdict"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round},"sentinel":$sentinelJson,"ingest_step_profile":$stepJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","runs":$runs,"total_first_run":$totalFirst,"queries_first_run":${jsonMap(firsts)},"ingest_envelopes_per_sec":${envThroughput.round},"verdict":"$verdict","sentinel":$sentinelJson,"ingest_step_profile":$stepJson}"""
     // Full-precision record goes to disk (path overridable via
     // SPARK_GRAFT_BENCH_OUT) — the driver's stdout capture keeps only the
     // last ~2000 chars, so the detailed line (119+ timings at full float
@@ -326,7 +354,7 @@ object Bench {
     // compactJson below. The detail pointer names the on-disk record.
     println(compactJson(results, total, totalFirst, runs,
       new java.io.File(sfDir).getName, envThroughput.round, outPath,
-      sentinelFlagged.length))
+      sentinelFlagged.length + loadFlagged.length, verdict))
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
     graft.queries.SimilarityQueries.reset(spark)
@@ -348,7 +376,7 @@ object Bench {
   private[graft] def compactJson(
       results: Seq[(String, Double)], total: Double, totalFirst: Double,
       runs: Int, sfName: String, ingestPerSec: Long, outPath: String,
-      sentinelFlagged: Int = 0): String = {
+      sentinelFlagged: Int = 0, verdict: String = "canonical"): String = {
     def fmt(v: Double, dec: Int): String =
       ("%." + dec + "f").formatLocal(java.util.Locale.ROOT, v)
     def candidate(dec: Int, topN: Int): String = {
@@ -359,7 +387,7 @@ object Bench {
       val omitted = shortKeys.size - kept.size
       val qj = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qj,"sf":"$sfName","runs":$runs,"total_first_run":${fmt(totalFirst, 3)},"ingest_envelopes_per_sec":$ingestPerSec,"sentinel_flagged":$sentinelFlagged""" +
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qj,"sf":"$sfName","runs":$runs,"total_first_run":${fmt(totalFirst, 3)},"ingest_envelopes_per_sec":$ingestPerSec,"sentinel_flagged":$sentinelFlagged,"verdict":"$verdict"""" +
         (if (omitted > 0) s""","queries_omitted":$omitted""" else "") +
         s""","detail":"$outPath"}"""
     }

@@ -50,6 +50,15 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => filter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // shared-frame manifest (SPARK_GRAFT_ORACLE_SHARED_DIR): the
+    // dependency-ordered SQL that builds each once-materialized oracle
+    // frame — verify_local.py --shared COPYs these before the sweep
+    val shared = graft.queries.OracleShared.manifest
+    if (shared.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/oracle_shared.json"),
+        shared.map { case (n, sql) =>
+          s"""{"name":${q(n)},"sql":${q(sql)}}""" }
+          .mkString("[", ",", "]"))
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
     graft.queries.SimilarityQueries.reset(spark)

@@ -255,9 +255,14 @@ object CoreFunctions {
     * DuckDB's hugeint-backed conversion does not (the q09 sf1-sweep
     * 1-ulp class), so past 2^53 the two engines disagree. Route the
     * exact integer c = sum·10^s through a 2^30 hi/lo split of BIGINTs —
-    * hi ≤ 2^63 and hi·2^30 are exactly representable, lo < 2^30 is
-    * exact, and the single rounding point (the final add) is the same
-    * hardware op in both engines. Valid for nonneg sums up to 2^93;
+    * hi·2^30 is exactly representable while hi itself fits in a double
+    * (hi ≤ 2^53, i.e. c ≤ 2^83), lo < 2^30 is exact, and the single
+    * rounding point (the final add) is the same hardware op in both
+    * engines. Valid for nonneg sums up to ~2^83: past that, hi's own
+    * int→double conversion rounds, and DuckDB's hugeint→double path
+    * reintroduces the sloppy-rounding divergence this primitive exists
+    * to fix (a second split level would extend the bound if ever
+    * needed — 2^83 is ~9.7e24, far past any reachable scale here).
     * [[graft.queries.RelationalQueries]] carries the SQL twin macro.
     */
   def decimalSumFp(sumDec: Column, scale: Long): Column = {

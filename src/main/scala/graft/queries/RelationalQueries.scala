@@ -1050,7 +1050,15 @@ object RelationalQueries {
           // reassociates, so past sf0.1 magnitudes the two engines'
           // running doubles drift an ulp apart (round-12 sf1 sweep);
           // floor of an identical double is bit-identical, and the
-          // BIGINT window sum is association-free
+          // BIGINT window sum is association-free.
+          // DETERMINISM TRADE-OFF (documented, not a bug): chi2_running
+          // is the running sum of the FLOOR-QUANTIZED terms, so it is
+          // NOT exactly the cumulative sum of the emitted chi2_term
+          // column — each term contributes a downward bias < 1e-6
+          // (worst case n_rows·1e-6 ≈ 2.5e-5 over this bounded
+          // |years|×|priorities| frame). Floor (not half-even) is
+          // deliberate: it is the one rounding mode whose SQL twin
+          // (FLOOR) is guaranteed bit-identical cross-engine.
           .withColumn("chi2_running",
             sum(floor(col("chi2_term") * lit(1000000.0)).cast("long"))
               .over(wRun).cast("double") / lit(1000000.0))

@@ -171,11 +171,14 @@ object SimilarityQueries {
 
   /** Shared oracle CTEs (double-cast vectors + norms), consumed by
     * q27/q40/q48/q79 so the twins cannot drift. */
-  private val prepSql =
+  private val prepFullSql =
     """e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (
       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+  private val prepSql = OracleShared.swap(prepFullSql,
+    Seq("n" -> s"WITH $prepFullSql SELECT * FROM n"))(
+    s"n AS (${OracleShared.read("n")})")
 
   /** Oracle twin of Similarity.topKCosine(q_id < 10, k = 5) as an
     * `exact` CTE (q27, q79). */
@@ -281,7 +284,7 @@ object SimilarityQueries {
     * `assigned (vec_id, v, nrm, list_id)` CTE — the blocking stage
     * shared by the KNN graph (q103/q104/q108) and semantic dedup
     * (q111). */
-  private val assignedCteSql =
+  private val assignedFullSql =
     """cents AS (
       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
       |  WHERE vec_id < 16),
@@ -293,11 +296,15 @@ object SimilarityQueries {
       |          c.cent_id) AS arn
       |    FROM n CROSS JOIN cents c) t
       |  WHERE arn = 1)""".stripMargin
+  private val assignedCteSql = OracleShared.swap(assignedFullSql,
+    Seq("assigned" -> (s"WITH n AS (${OracleShared.read("n")}),\n" +
+      s"$assignedFullSql SELECT * FROM assigned")))(
+    s"assigned AS (${OracleShared.read("assigned")})")
 
   /** Oracle twin of Similarity.knnGraphIvf(k = 5) as a `knn (vec_id,
     * nbr_id, cos_sim, rn)` CTE — shared by q103 and q104 so the two
     * twins cannot drift. */
-  private val knnCteSql = assignedCteSql + ",\n" +
+  private val knnPartSql =
     """knn AS (
       |  SELECT vec_id, nbr_id, cos_sim, rn FROM (
       |    SELECT a.vec_id, b.vec_id AS nbr_id,
@@ -308,6 +315,11 @@ object SimilarityQueries {
       |    FROM assigned a JOIN assigned b
       |      ON b.list_id = a.list_id AND b.vec_id <> a.vec_id) x
       |  WHERE rn <= 5)""".stripMargin
+  private val knnCteSql = assignedCteSql + ",\n" +
+    OracleShared.swap(knnPartSql,
+      Seq("knn" -> (s"WITH assigned AS (${OracleShared.read("assigned")}),\n" +
+        s"$knnPartSql SELECT * FROM knn")))(
+      s"knn AS (${OracleShared.read("knn")})")
 
   /** One unrolled integer-×1e9 PageRank iteration (operators.PageRank
     * algebra: floor-division contributions, 0.15/0.85 damped integer

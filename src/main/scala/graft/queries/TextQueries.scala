@@ -37,11 +37,15 @@ object TextQueries {
         col("text"))
       .select(col("doc_id"), col("i"), expr("substring(text, i, 8)").as("gram"))
 
-  /** DuckDB twin of gramsDf (bounded cross join + length filter). */
-  private[queries] val gramsSql =
+  /** DuckDB twin of gramsDf (bounded cross join + length filter).
+    * Under SPARK_GRAFT_ORACLE_SHARED_DIR the body swaps for a read of
+    * the once-materialized frame ([[OracleShared]]). */
+  private[queries] val gramsFullSql =
     """SELECT doc_id, i, substr(text, CAST(i AS INT), 8) AS gram
       |FROM documents CROSS JOIN (SELECT unnest(range(1, 1024)) AS i) pos
       |WHERE i <= length(text) - 7""".stripMargin
+  private[queries] val gramsSql = OracleShared.swap(gramsFullSql,
+    Seq("grams" -> gramsFullSql))(OracleShared.read("grams"))
 
   /** uint32 hash of a gram, remixed per band with cheap arithmetic — one
     * sha256 per gram instead of one per (gram, band): 8× fewer digest
@@ -179,7 +183,7 @@ object TextQueries {
       sharedEntityLabels.remove(k).foreach(_.unpersist(blocking = false)))
   }
 
-  private val minhashSigsSql = {
+  private val sigsPartSql = {
     val mins = (0 until 8).map(b =>
       s"MIN((h * ${b * 2 + 1} + $b * 2654435761) % 4294967296) AS m$b")
       .mkString(", ")
@@ -191,24 +195,35 @@ object TextQueries {
        |  FROM grams),
        |sigs_wide AS (
        |  SELECT doc_id, $mins FROM hashed_grams GROUP BY doc_id),
-       |sigs AS ($unions),
-       |sigs_capped AS (
+       |sigs AS ($unions)""".stripMargin
+  }
+  private val sigsCappedPartSql =
+    s"""sigs_capped AS (
        |  SELECT doc_id, band, minhash FROM (
        |    SELECT doc_id, band, minhash,
        |      row_number() OVER (PARTITION BY band, minhash ORDER BY doc_id) AS bucket_rk
        |    FROM sigs) t
        |  WHERE bucket_rk <= ${TextDedup.DefaultMaxBucketSize})""".stripMargin
-  }
+  private val minhashSigsSql = OracleShared.swap(
+    sigsPartSql + ",\n" + sigsCappedPartSql,
+    Seq(
+      "sigs" -> (s"WITH grams AS (${OracleShared.read("grams")}),\n" +
+        s"$sigsPartSql SELECT * FROM sigs"),
+      "sigs_capped" -> (s"WITH sigs AS (${OracleShared.read("sigs")}),\n" +
+        s"$sigsCappedPartSql SELECT * FROM sigs_capped")))(
+    s"""sigs AS (${OracleShared.read("sigs")}),
+       |sigs_capped AS (${OracleShared.read("sigs_capped")})""".stripMargin)
 
   /** DuckDB twin of TextDedup.jaccard over the capped candidate pairs,
     * ending in a `jac` CTE carrying the band count alongside the exact
     * score — shared by q31 and q82. Requires grams + [[minhashSigsSql]].
     * (Oracle intersects raw grams; engine uses xxhash64 keys — counts
     * only, collision odds documented in README.) */
-  private val jaccardCoreSql =
+  private val gsetPartSql =
     """gset AS (SELECT DISTINCT doc_id, gram FROM grams),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
-      |cand AS (
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id)""".stripMargin
+  private val jacPartSql =
+    """cand AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    COUNT(DISTINCT a.band) AS n_shared_bands
       |  FROM sigs_capped a JOIN sigs_capped b
@@ -230,6 +245,20 @@ object TextQueries {
       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
       |  JOIN sizes sa ON sa.doc_id = c.doc_a
       |  JOIN sizes sb ON sb.doc_id = c.doc_b)""".stripMargin
+  private val jaccardCoreSql = OracleShared.swap(
+    gsetPartSql + ",\n" + jacPartSql,
+    Seq(
+      "gset" -> (s"WITH grams AS (${OracleShared.read("grams")}),\n" +
+        s"$gsetPartSql SELECT * FROM gset"),
+      "jac_sizes" -> (s"WITH gset AS (${OracleShared.read("gset")}) " +
+        "SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id"),
+      "jac" -> (s"WITH gset AS (${OracleShared.read("gset")}),\n" +
+        s"sizes AS (${OracleShared.read("jac_sizes")}),\n" +
+        s"sigs_capped AS (${OracleShared.read("sigs_capped")}),\n" +
+        s"$jacPartSql SELECT * FROM jac")))(
+    s"""gset AS (${OracleShared.read("gset")}),
+       |sizes AS (${OracleShared.read("jac_sizes")}),
+       |jac AS (${OracleShared.read("jac")})""".stripMargin)
 
   /** Band-agreement floor for DUP-CLUSTER edges (q75/q76/q81): a
     * candidate pair becomes a cluster edge only when ≥ this many of the
@@ -250,15 +279,16 @@ object TextQueries {
     * recursive CTE (UNION-distinct delta evaluation terminates), take the
     * per-node minimum. Appended after [[minhashSigsSql]] under a
     * `WITH RECURSIVE` header (q75/q76). */
-  private val ccLabelsSql =
+  private val ccPairsPartSql =
     s"""cc_pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sigs_capped a JOIN sigs_capped b
       |    ON a.band = b.band AND a.minhash = b.minhash
       |    AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |  HAVING COUNT(DISTINCT a.band) >= $ClusterMinBands),
-      |cc_edges AS (
+      |  HAVING COUNT(DISTINCT a.band) >= $ClusterMinBands)""".stripMargin
+  private val ccLabelsPartSql =
+    """cc_edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM cc_pairs
       |  UNION SELECT doc_b AS src, doc_a AS dst FROM cc_pairs),
       |cc_reach AS (
@@ -269,6 +299,17 @@ object TextQueries {
       |cc_labels AS (
       |  SELECT id AS doc_id, MIN(label) AS cluster_id
       |  FROM cc_reach GROUP BY id)""".stripMargin
+  private val ccLabelsSql = OracleShared.swap(
+    ccPairsPartSql + ",\n" + ccLabelsPartSql,
+    Seq(
+      "cc_pairs" -> (s"WITH sigs_capped AS (${
+        OracleShared.read("sigs_capped")}),\n" +
+        s"$ccPairsPartSql SELECT * FROM cc_pairs"),
+      "cc_labels" -> (s"WITH RECURSIVE cc_pairs AS (${
+        OracleShared.read("cc_pairs")}),\n" +
+        s"$ccLabelsPartSql SELECT * FROM cc_labels")))(
+    s"""cc_pairs AS (${OracleShared.read("cc_pairs")}),
+       |cc_labels AS (${OracleShared.read("cc_labels")})""".stripMargin)
 
   /** 60-bit token hash (15 hex chars — stays positive in a signed long). */
   private val tokHash60Sql =

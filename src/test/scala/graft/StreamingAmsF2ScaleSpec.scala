@@ -90,6 +90,6 @@ class StreamingAmsF2ScaleSpec extends AnyFunSuite {
     println(f"[stream-ams] ${kv.length}%d events / " +
       f"${kv.grouped(batchSize).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; keys=${finals.size}%d")
-    assert(rate > 100.0, "streaming AMS unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming AMS")
   }
 }

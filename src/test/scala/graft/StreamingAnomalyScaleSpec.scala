@@ -94,6 +94,6 @@ class StreamingAnomalyScaleSpec extends AnyFunSuite {
     println(f"[stream-anom] ${ev.length}%d events / " +
       f"${ev.grouped(5000).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; anomalies=${got.size}%d")
-    assert(rate > 100.0, "streaming anomaly unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming anomaly")
   }
 }

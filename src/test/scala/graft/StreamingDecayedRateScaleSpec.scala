@@ -103,6 +103,6 @@ class StreamingDecayedRateScaleSpec extends AnyFunSuite {
     println(f"[stream-decay] ${ev.length}%d events / " +
       f"${ev.grouped(5000).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; keys=${finals.size}%d")
-    assert(rate > 100.0, "streaming decayed-rate unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming decayed-rate")
   }
 }

@@ -95,6 +95,6 @@ class StreamingDedupScaleSpec extends AnyFunSuite {
     // surfaced to the build log for the PLANS.md throughput record
     println(f"[stream-dedup] ${events.length}%d docs / ${events.grouped(batchSize).size}%d micro-batches " +
       f"in $secs%.1f s = $rate%.0f docs/s; pairs=${streamPairs.size}%d")
-    assert(rate > 10.0, "streaming dedup unreasonably slow")
+    PerfGate.check(rate, 10.0, "streaming dedup")
   }
 }

@@ -98,6 +98,6 @@ class StreamingDriftScaleSpec extends AnyFunSuite {
     println(f"[stream-drift] ${ev.length}%d vectors / " +
       f"${ev.grouped(100).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f vectors/s; sources=${finals.size}%d")
-    assert(rate > 10.0, "streaming drift unreasonably slow")
+    PerfGate.check(rate, 10.0, "streaming drift")
   }
 }

@@ -96,6 +96,6 @@ class StreamingEwmaScaleSpec extends AnyFunSuite {
     println(f"[stream-ewma] ${ev.length}%d events / " +
       f"${ev.grouped(5000).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; keys=${finals.size}%d")
-    assert(rate > 100.0, "streaming EWMA unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming EWMA")
   }
 }

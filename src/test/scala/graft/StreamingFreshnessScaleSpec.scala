@@ -84,6 +84,6 @@ class StreamingFreshnessScaleSpec extends AnyFunSuite {
     println(f"[stream-fresh] ${ev.length}%d events / " +
       f"${ev.grouped(5000).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; sources=${finals.size}%d")
-    assert(rate > 100.0, "streaming freshness unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming freshness")
   }
 }

@@ -89,6 +89,6 @@ class StreamingHllScaleSpec extends AnyFunSuite {
     println(f"[stream-hll] ${kv.length}%d events / " +
       f"${kv.grouped(batchSize).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; keys=${finals.size}%d")
-    assert(rate > 100.0, "streaming HLL unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming HLL")
   }
 }

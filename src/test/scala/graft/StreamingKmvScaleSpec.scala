@@ -100,6 +100,6 @@ class StreamingKmvScaleSpec extends AnyFunSuite {
     println(f"[stream-kmv] ${kv.length}%d events / " +
       f"${kv.grouped(batchSize).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; keys=${finals.size}%d")
-    assert(rate > 100.0, "streaming KMV unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming KMV")
   }
 }

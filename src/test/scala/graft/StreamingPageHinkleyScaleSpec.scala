@@ -94,6 +94,6 @@ class StreamingPageHinkleyScaleSpec extends AnyFunSuite {
     println(f"[stream-ph] ${ev.length}%d events / " +
       f"${ev.grouped(5000).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; keys=${finals.size}%d")
-    assert(rate > 100.0, "streaming Page-Hinkley unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming Page-Hinkley")
   }
 }

@@ -98,6 +98,6 @@ class StreamingPsiScaleSpec extends AnyFunSuite {
       f"${ev.grouped(5000).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; keys=${finals.size}%d " +
       f"psi=${finals.values.map(_.psi).max}%.4f")
-    assert(rate > 100.0, "streaming PSI unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming PSI")
   }
 }

@@ -96,6 +96,6 @@ class StreamingSessionizerScaleSpec extends AnyFunSuite {
     println(f"[stream-sessionize] ${events.length}%d events / " +
       f"${events.grouped(batchSize).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; sessions=${streamed.size}%d")
-    assert(rate > 100.0, "streaming sessionization unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming sessionization")
   }
 }

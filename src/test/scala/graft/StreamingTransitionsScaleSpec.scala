@@ -78,6 +78,6 @@ class StreamingTransitionsScaleSpec extends AnyFunSuite {
     println(f"[stream-trans] ${ev.length}%d events / " +
       f"${ev.grouped(batchSize).size}%d micro-batches in $secs%.1f s " +
       f"= $rate%.0f events/s; transitions=$nTrans%d pairs=${streamed.size}%d")
-    assert(rate > 100.0, "streaming transitions unreasonably slow")
+    PerfGate.check(rate, 100.0, "streaming transitions")
   }
 }

@@ -13,8 +13,16 @@ Usage: python3 tools/verify_local.py [sf_dir] [out_dir] [--skip-spark]
 records it as a LOUD per-query SKIP plus a summary count (for big-SF
 sweeps where a handful of O(n^2) DuckDB twins would run for hours —
 no silent caps: every skipped entry is named in the output).
+
+--shared=DIR materializes the oracle's shared pipeline frames (grams,
+minhash signatures, exact-Jaccard verify, dup-cluster labels, the KNN
+graph) ONCE into DIR before the sweep, and the twins read them instead
+of recomputing per query — the big-SF amortization that gives the
+heavy fold/cascade entries a real oracle adjudication. Implies the
+Spark step must run with SPARK_GRAFT_ORACLE_SHARED_DIR=DIR (this
+script sets it when --skip-spark is absent).
 """
-import json, math, subprocess, sys, threading
+import json, math, os, subprocess, sys, threading, time
 from pathlib import Path
 
 import duckdb
@@ -77,9 +85,12 @@ def main():
     memlimit = ""
     resume_logs = []
     only = set()
+    shared_dir = ""
     for a in sys.argv[1:]:
         if a.startswith("--timeout="):
             timeout_s = int(a.split("=", 1)[1])
+        if a.startswith("--shared="):
+            shared_dir = a.split("=", 1)[1]
         if a.startswith("--shard="):
             shard_i, shard_n = map(int, a.split("=", 1)[1].split("/"))
         if a.startswith("--threads="):
@@ -93,9 +104,13 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     if "--skip-spark" not in sys.argv:
+        env = dict(os.environ)
+        if shared_dir:
+            env["SPARK_GRAFT_ORACLE_SHARED_DIR"] = shared_dir
         r = subprocess.run(
             ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
-            cwd="/root/repo", capture_output=True, text=True, timeout=3600)
+            cwd="/root/repo", capture_output=True, text=True, timeout=7200,
+            env=env)
         sys.stdout.write("\n".join(
             l for l in (r.stdout + r.stderr).splitlines()
             if "[verify]" in l or "error" in l.lower()) + "\n")
@@ -120,15 +135,56 @@ def main():
 
     # --resume=<log,...>: skip entries already adjudicated (PASS/FAIL/
     # SKIP) in earlier sweep logs — lets a crashed big-SF sweep continue
-    # where it stopped without repeating hours of oracle work
+    # where it stopped without repeating hours of oracle work. Prior
+    # verdicts are CARRIED into this run's tally (r12 ADVICE: a resumed
+    # sweep must not print "0 fail" when an earlier shard failed), and a
+    # missing resume log is a hard error, not a silent empty carry.
     done = set()
+    carried = {"PASS": 0, "FAIL": 0, "SKIP": 0}
     for lg in resume_logs:
-        for line in Path(lg).read_text().splitlines():
+        p = Path(lg)
+        if not p.is_file():
+            print(f"ERROR: --resume log not found: {lg}", file=sys.stderr)
+            return 2
+        for line in p.read_text().splitlines():
             if line.startswith(("PASS ", "FAIL ", "SKIP ")):
-                done.add(line.split()[1].rstrip(":"))
+                name = line.split()[1].rstrip(":")
+                if name not in done:
+                    done.add(name)
+                    carried[line.split()[0]] += 1
+    if resume_logs:
+        print(f"== carried over from resume logs: {carried['PASS']} pass / "
+              f"{carried['FAIL']} fail / {carried['SKIP']} skip "
+              f"({len(done)} entries) ==")
+
+    # --shared=DIR: materialize the oracle's shared frames ONCE before
+    # the sweep (round-12 VERDICT ask #1). The manifest (dumped by
+    # graft.Verify when SPARK_GRAFT_ORACLE_SHARED_DIR is set) is
+    # dependency-ordered standalone SQL; each frame COPYs to parquet and
+    # every downstream twin reads it instead of recomputing the shared
+    # pipeline per query. Existing frames are reused (delete the dir to
+    # rebuild) so a resumed sweep doesn't repay the builds.
+    if shared_dir:
+        man_path = out_dir / "oracle_shared.json"
+        if not man_path.is_file():
+            print("ERROR: --shared given but oracle_shared.json missing "
+                  "(run Verify with SPARK_GRAFT_ORACLE_SHARED_DIR set)",
+                  file=sys.stderr)
+            return 2
+        Path(shared_dir).mkdir(parents=True, exist_ok=True)
+        for ent in json.loads(man_path.read_text()):
+            tgt = Path(shared_dir) / f"{ent['name']}.parquet"
+            if tgt.exists():
+                print(f"SHARED {ent['name']}: reusing {tgt}")
+                continue
+            t0 = time.time()
+            con.sql(f"COPY ({ent['sql']}) TO '{tgt}' (FORMAT PARQUET)")
+            print(f"SHARED {ent['name']}: materialized in "
+                  f"{time.time() - t0:.1f}s "
+                  f"({tgt.stat().st_size / 1e6:.1f} MB)")
 
     oracles = json.loads((out_dir / "oracle_sql.json").read_text())
-    n_pass = n_fail = n_skip = 0
+    n_pass, n_fail, n_skip = carried["PASS"], carried["FAIL"], carried["SKIP"]
     skipped = []
     names = [n for i, n in enumerate(sorted(oracles))
              if i % shard_n == shard_i and n not in done
