@@ -252,10 +252,38 @@ object TextQueries {
         s"$gsetPartSql SELECT * FROM gset"),
       "jac_sizes" -> (s"WITH gset AS (${OracleShared.read("gset")}) " +
         "SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id"),
+      // the MATERIALIZATION build uses a per-doc sorted-gram-list
+      // intersection instead of the inline twin's gset⋈gset join: the
+      // join form streams |pairs|·|grams/doc| matched rows into an
+      // 85M-group aggregate (~14e9 rows at sf1 — it OOM-killed a 42GB
+      // /28GB-spill DuckDB), while the list form emits exactly one row
+      // per candidate pair (85M at sf1, built in 28 min, near-zero
+      // spill). Proven cell-identical to the join form at sf0.01
+      // (EXCEPT in both directions = 0 over all 27,030 rows, doubles
+      // included — identical final expressions)
       "jac" -> (s"WITH gset AS (${OracleShared.read("gset")}),\n" +
         s"sizes AS (${OracleShared.read("jac_sizes")}),\n" +
         s"sigs_capped AS (${OracleShared.read("sigs_capped")}),\n" +
-        s"$jacPartSql SELECT * FROM jac")))(
+        "gl AS (SELECT doc_id, list(gram ORDER BY gram) AS gs\n" +
+        "  FROM gset GROUP BY 1),\n" +
+        """cand AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    COUNT(DISTINCT a.band) AS n_shared_bands
+          |  FROM sigs_capped a JOIN sigs_capped b
+          |    ON a.band = b.band AND a.minhash = b.minhash
+          |    AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+          |  CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS n_inter,
+          |  sa.n AS na, sb.n AS nb,
+          |  CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+          |    / CAST(sa.n + sb.n - len(list_intersect(ga.gs, gb.gs))
+          |        AS DOUBLE) AS jaccard
+          |FROM cand c
+          |JOIN gl ga ON ga.doc_id = c.doc_a
+          |JOIN gl gb ON gb.doc_id = c.doc_b
+          |JOIN sizes sa ON sa.doc_id = c.doc_a
+          |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin)))(
     s"""gset AS (${OracleShared.read("gset")}),
        |sizes AS (${OracleShared.read("jac_sizes")}),
        |jac AS (${OracleShared.read("jac")})""".stripMargin)

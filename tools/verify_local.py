@@ -86,11 +86,14 @@ def main():
     resume_logs = []
     only = set()
     shared_dir = ""
+    spill_cap = "30GB"
     for a in sys.argv[1:]:
         if a.startswith("--timeout="):
             timeout_s = int(a.split("=", 1)[1])
         if a.startswith("--shared="):
             shared_dir = a.split("=", 1)[1]
+        if a.startswith("--spillcap="):
+            spill_cap = a.split("=", 1)[1]
         if a.startswith("--shard="):
             shard_i, shard_n = map(int, a.split("=", 1)[1].split("/"))
         if a.startswith("--threads="):
@@ -130,8 +133,12 @@ def main():
         # cap spill too: an uncapped big-SF oracle can transiently fill
         # the disk and break CONCURRENT Spark shuffle writes (observed
         # twice in the round-12 sf1 sweep)
+        # default 30GB: an uncapped spill transiently filled the disk and
+        # broke CONCURRENT Spark writes twice in round 12. --spillcap=N
+        # raises it for materialization-phase builds that run AFTER the
+        # Spark side completed (the concurrency hazard is gone then)
         con.sql("SET temp_directory='/tmp/duckdb_spill'")
-        con.sql("SET max_temp_directory_size='30GB'")
+        con.sql(f"SET max_temp_directory_size='{spill_cap}'")
 
     # --resume=<log,...>: skip entries already adjudicated (PASS/FAIL/
     # SKIP) in earlier sweep logs — lets a crashed big-SF sweep continue
@@ -178,7 +185,15 @@ def main():
                 print(f"SHARED {ent['name']}: reusing {tgt}")
                 continue
             t0 = time.time()
-            con.sql(f"COPY ({ent['sql']}) TO '{tgt}' (FORMAT PARQUET)")
+            # atomic build: COPY to a dot-tmp then rename, so a crashed
+            # or OOM-killed build can never leave a truncated parquet
+            # that a resumed run "reuses" (bitten once: an OOM mid-jac
+            # left a 4-byte file and 4 downstream twins read it)
+            tmp = Path(shared_dir) / f".{ent['name']}.parquet.tmp"
+            if tmp.exists():
+                tmp.unlink()
+            con.sql(f"COPY ({ent['sql']}) TO '{tmp}' (FORMAT PARQUET)")
+            os.replace(tmp, tgt)
             print(f"SHARED {ent['name']}: materialized in "
                   f"{time.time() - t0:.1f}s "
                   f"({tgt.stat().st_size / 1e6:.1f} MB)")
@@ -189,11 +204,45 @@ def main():
     names = [n for i, n in enumerate(sorted(oracles))
              if i % shard_n == shard_i and n not in done
              and (not only or n in only)]
+    # results too large to canon/sort in python compare INSIDE DuckDB:
+    # sorted-column count + an order-independent HUGEINT content-hash
+    # sum on both sides — the same rows/schema/hash bar, no 85M-tuple
+    # python materialization (q26/q31 at sf1 emit 84.9M rows each)
+    BIG_ROWS = 2_000_000
+
+    def sql_hash_compare(name, qdir, osql):
+        s_cols = [c for c in
+                  con.sql(f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0").columns]
+        o_cols = [r[0] for r in
+                  con.sql(f"DESCRIBE ({osql})").fetchall()]
+        if sorted(s_cols) != sorted(o_cols):
+            return f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+        hexpr = ", ".join(f'"{c}"' for c in sorted(s_cols))
+        agg = (f"SELECT count(*) AS n, "
+               f"sum(CAST(hash({hexpr}) AS HUGEINT)) AS h FROM ")
+        s_n, s_h = fetch(con, agg + f"'{qdir}/*.parquet'", 0)[0][0]
+        o_n, o_h = fetch(con, agg + f"({osql}) t", timeout_s)[0][0]
+        if s_n != o_n:
+            return f"rows spark={s_n} oracle={o_n}"
+        if s_h != o_h:
+            return f"content hash spark={s_h} oracle={o_h}"
+        print(f"PASS {name} ({s_n} rows, sql-hash mode)")
+        return None
+
     for name in names:
         qdir = out_dir / name
         if not qdir.exists():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
+            s_cnt = con.sql(
+                f"SELECT count(*) FROM '{qdir}/*.parquet'").fetchone()[0]
+            if s_cnt > BIG_ROWS:
+                bad_big = sql_hash_compare(name, qdir, oracles[name])
+                if bad_big:
+                    print(f"FAIL {name}: {bad_big}"); n_fail += 1
+                else:
+                    n_pass += 1
+                continue
             s_raw, s_c = fetch(con, f"SELECT * FROM '{qdir}/*.parquet'", 0)
             s_rows, s_cols = canon(s_raw, s_c)
             o_raw, o_c = fetch(con, oracles[name], timeout_s)
