@@ -297,34 +297,12 @@ object Bench {
     // ≤1.11× across all windows of a full filtered run, while 64
     // background hog processes pushed a loaded window to 1.84× — the
     // threshold sits well clear of both sides.
-    val sentinelMedian = {
-      val s = sentinelSamples.map(_._2).sorted
-      if (s.isEmpty) -1.0 else s(s.length / 2)
-    }
-    val sentinelFlagged = sentinelSamples
-      .filter(_._2 > 1.5 * sentinelMedian).map(_._1)
-    // LOADAVG FLAG RULE (round-12 VERDICT ask #2): the single-thread
-    // sentinel catches CPU steal but is blind to MULTI-CORE occupancy —
-    // the exact regime that inflated the r11/early-r12 252-256 s records
-    // by ~40% while the sentinel stayed clean. Mechanical rule: flag any
-    // window whose 1-min OS loadavg exceeds cores/2. Calibration: the
-    // bench's OWN between-pass load measured 3.1-8.6 on a clean box at
-    // sf0.1 (canonical r12 artifact, loadavg recorded per window), so
-    // cores/2 = 16 sits ~2x clear of the bench's own worst contribution,
-    // while any concurrent multi-core competitor (a DuckDB sweep, a
-    // second Spark JVM, an sbt test run) adds tens of runnable threads
-    // and crosses it immediately. Override via SPARK_GRAFT_LOAD_FLAG for
-    // differently-sized boxes. Both flag paths feed ONE verdict:
-    // "canonical" only when NO window is flagged by EITHER rule — a
-    // contended run keeps its numbers (per-query mins are still lower
-    // bounds) but can never be recorded as the round's canonical time.
+    val (sentinelMedian, sentinelFlagged, loadFlagged, verdict) =
+      adjudicate(sentinelSamples.toSeq, sentinelLoad.toSeq,
+        sys.env.get("SPARK_GRAFT_LOAD_FLAG").map(_.toDouble)
+          .getOrElse(cpus.toDouble / 2))
     val loadFlagThreshold = sys.env.get("SPARK_GRAFT_LOAD_FLAG")
       .map(_.toDouble).getOrElse(cpus.toDouble / 2)
-    val loadFlagged = sentinelLoad
-      .filter(_._2 > loadFlagThreshold).map(_._1)
-    val verdict =
-      if (sentinelFlagged.isEmpty && loadFlagged.isEmpty) "canonical"
-      else "contended"
     System.err.println(f"[bench] sentinel median=$sentinelMedian%.3f s, " +
       s"flagged=${sentinelFlagged.mkString("[", ",", "]")}, " +
       f"load_flagged=${loadFlagged.mkString("[", ",", "]")} " +
@@ -360,6 +338,40 @@ object Bench {
     graft.queries.SimilarityQueries.reset(spark)
     graft.queries.RelationalQueries.reset(spark)
     spark.stop()
+  }
+
+  /** Run-acceptance adjudication — PURE so BenchFlagSpec can pin the
+    * constants the way the pow 2-ulp tolerance is pinned (r12 VERDICT
+    * residual nit: the 1.5× steal threshold and the loadavg rule were
+    * unvalidated constants).
+    *
+    * Two flag paths, one verdict:
+    *   - CPU-steal: a sentinel sample (fixed pure-JVM hash loop) >1.5×
+    *     the run's own median marks its window. 1.5× because the probe
+    *     is tight — measured CLEAN spread ≤1.11× across a full run,
+    *     while 64 background hogs pushed a loaded window to 1.84×; the
+    *     threshold sits well clear of both sides.
+    *   - Multi-core occupancy: the single-thread probe is blind to it
+    *     (r12's 256→178 s shift happened with a STABLE sentinel), so
+    *     any window whose 1-min OS loadavg exceeds `loadThreshold`
+    *     (default cores/2 = 16; the bench's own between-pass loadavg
+    *     measured 2.2–8.6 on clean boxes, a concurrent multi-threaded
+    *     competitor adds tens) flags independently.
+    * `verdict` is "canonical" ONLY when no window is flagged by either
+    * rule — a contended run keeps its numbers (mins are still lower
+    * bounds) but can never be recorded as a round's canonical time.
+    */
+  private[graft] def adjudicate(samples: Seq[(String, Double)],
+      loads: Seq[(String, Double)], loadThreshold: Double)
+      : (Double, Seq[String], Seq[String], String) = {
+    val sorted = samples.map(_._2).sorted
+    val median = if (sorted.isEmpty) -1.0 else sorted(sorted.length / 2)
+    val stealFlagged = samples.filter(_._2 > 1.5 * median).map(_._1)
+    val loadFlagged = loads.filter(_._2 > loadThreshold).map(_._1)
+    val verdict =
+      if (stealFlagged.isEmpty && loadFlagged.isEmpty) "canonical"
+      else "contended"
+    (median, stealFlagged, loadFlagged, verdict)
   }
 
   /** The one stdout JSON line, sized for the driver's ~2000-char stdout
