@@ -288,6 +288,43 @@ object TextQueries {
        |sizes AS (${OracleShared.read("jac_sizes")}),
        |jac AS (${OracleShared.read("jac")})""".stripMargin)
 
+  /** Materialization-only build of the exact Jaccard-≥3/5 pair frame
+    * (doc_a, doc_b, n_inter, na, nb) over ALL doc pairs sharing ≥1
+    * gram — the oracle twin of the engine's `sharedExactPairs`
+    * (q309/q334). The one-shot form is intractable at sf1: the gram
+    * equijoin feeds ~14e9 matched rows (a hot gram is shared by 38,590
+    * docs) into a billions-of-groups aggregate — OOM at any spill cap
+    * this box allows. Built SHARDED instead: 16 hash-shards of doc_a,
+    * each shard's aggregate filtered to QUALIFYING pairs before
+    * accumulating (the 3/5 filter needs only per-doc sizes, known at
+    * shard time), so peak spill is ~1/16 and the accumulated table is
+    * near-dup-sized, not all-pairs-sized. `;;`-separated statements —
+    * verify_local.py executes all but the last, then COPYs the last. */
+  // def, not val: the body reads OracleShared.dir and must only
+  // evaluate inside swap's by-name mats argument (i.e. when the
+  // materialization env is actually set)
+  private def exactPairs35Mat: String = {
+    def gsetRead = OracleShared.read("gset")
+    def sizesRead = OracleShared.read("jac_sizes")
+    val shards = (0 until 16).map { i =>
+      s"""INSERT INTO ex_acc
+         |SELECT x.doc_a, x.doc_b, x.n_inter, la.n AS na, lb.n AS nb FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM ($gsetRead) a JOIN ($gsetRead) b
+         |    ON b.gram = a.gram AND b.doc_id > a.doc_id
+         |  WHERE hash(a.doc_id) % 16 = $i
+         |  GROUP BY 1, 2) x
+         |JOIN ($sizesRead) la ON la.doc_id = x.doc_a
+         |JOIN ($sizesRead) lb ON lb.doc_id = x.doc_b
+         |WHERE x.n_inter * 5 >= 3 * (la.n + lb.n - x.n_inter)""".stripMargin
+    }
+    (("CREATE OR REPLACE TEMP TABLE ex_acc (doc_a BIGINT, doc_b BIGINT, " +
+      "n_inter BIGINT, na BIGINT, nb BIGINT)") +: shards)
+      .mkString("", "\n;;\n", "\n;;\n") +
+      "SELECT doc_a, doc_b, n_inter, na, nb FROM ex_acc"
+  }
+
   /** Band-agreement floor for DUP-CLUSTER edges (q75/q76/q81): a
     * candidate pair becomes a cluster edge only when ≥ this many of the
     * 8 bands agree. Clustering on "shares any band" over-merges — on a
@@ -1884,26 +1921,33 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           col("na"), col("nb"), col("jaccard"))
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH grams AS ($gramsSql),
-              |g AS (SELECT DISTINCT doc_id, gram FROM grams),
-              |len AS (
-              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l
-              |  FROM g GROUP BY 1),
-              |pair AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    CAST(COUNT(*) AS BIGINT) AS n_inter
-              |  FROM g a JOIN g b
-              |    ON b.gram = a.gram AND b.doc_id > a.doc_id
-              |  GROUP BY 1, 2)
-              |SELECT p.doc_a, p.doc_b, p.n_inter,
-              |  la.l AS na, lb.l AS nb,
-              |  CAST(p.n_inter AS DOUBLE)
-              |    / CAST(la.l + lb.l - p.n_inter AS DOUBLE) AS jaccard
-              |FROM pair p
-              |JOIN len la ON la.doc_id = p.doc_a
-              |JOIN len lb ON lb.doc_id = p.doc_b
-              |WHERE p.n_inter * 5 >= 3 * (la.l + lb.l - p.n_inter)
-              |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(OracleShared.swap(
+        s"""WITH grams AS ($gramsSql),
+           |g AS (SELECT DISTINCT doc_id, gram FROM grams),
+           |len AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l
+           |  FROM g GROUP BY 1),
+           |pair AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_inter
+           |  FROM g a JOIN g b
+           |    ON b.gram = a.gram AND b.doc_id > a.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b, p.n_inter,
+           |  la.l AS na, lb.l AS nb,
+           |  CAST(p.n_inter AS DOUBLE)
+           |    / CAST(la.l + lb.l - p.n_inter AS DOUBLE) AS jaccard
+           |FROM pair p
+           |JOIN len la ON la.doc_id = p.doc_a
+           |JOIN len lb ON lb.doc_id = p.doc_b
+           |WHERE p.n_inter * 5 >= 3 * (la.l + lb.l - p.n_inter)
+           |ORDER BY doc_a, doc_b""".stripMargin,
+        Seq("exact_pairs_35" -> exactPairs35Mat))(
+        s"""SELECT doc_a, doc_b, n_inter, na, nb,
+           |  CAST(n_inter AS DOUBLE)
+           |    / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+           |FROM (${OracleShared.read("exact_pairs_35")})
+           |ORDER BY doc_a, doc_b""".stripMargin))),
 
     // EXT — LSH CANDIDATE RECALL/PRECISION against the exact
     // Jaccard-≥3/5 truth set: the dedup-QA report that ties the
@@ -1950,22 +1994,26 @@ object TextQueries {
       },
       Some(s"""WITH grams AS ($gramsSql),
               |$minhashSigsSql,
-              |g AS (SELECT DISTINCT doc_id, gram FROM grams),
-              |len AS (
-              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l
-              |  FROM g GROUP BY 1),
-              |pair AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    CAST(COUNT(*) AS BIGINT) AS n_inter
-              |  FROM g a JOIN g b
-              |    ON b.gram = a.gram AND b.doc_id > a.doc_id
-              |  GROUP BY 1, 2),
-              |ex AS (
-              |  SELECT p.doc_a, p.doc_b
-              |  FROM pair p
-              |  JOIN len la ON la.doc_id = p.doc_a
-              |  JOIN len lb ON lb.doc_id = p.doc_b
-              |  WHERE p.n_inter * 5 >= 3 * (la.l + lb.l - p.n_inter)),
+              |${OracleShared.swap(
+                 """g AS (SELECT DISTINCT doc_id, gram FROM grams),
+                   |len AS (
+                   |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l
+                   |  FROM g GROUP BY 1),
+                   |pair AS (
+                   |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   |    CAST(COUNT(*) AS BIGINT) AS n_inter
+                   |  FROM g a JOIN g b
+                   |    ON b.gram = a.gram AND b.doc_id > a.doc_id
+                   |  GROUP BY 1, 2),
+                   |ex AS (
+                   |  SELECT p.doc_a, p.doc_b
+                   |  FROM pair p
+                   |  JOIN len la ON la.doc_id = p.doc_a
+                   |  JOIN len lb ON lb.doc_id = p.doc_b
+                   |  WHERE p.n_inter * 5 >= 3 * (la.l + lb.l - p.n_inter))""".stripMargin,
+                 Seq("exact_pairs_35" -> exactPairs35Mat))(
+                 s"""ex AS (SELECT doc_a, doc_b FROM (${
+                   OracleShared.read("exact_pairs_35")}))""")},
               |cand AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |    COUNT(DISTINCT a.band) AS n_shared_bands

@@ -192,7 +192,13 @@ def main():
             tmp = Path(shared_dir) / f".{ent['name']}.parquet.tmp"
             if tmp.exists():
                 tmp.unlink()
-            con.sql(f"COPY ({ent['sql']}) TO '{tmp}' (FORMAT PARQUET)")
+            # a frame's build SQL may be ';;'-separated statements (e.g.
+            # the sharded exact-pairs accumulator): execute all but the
+            # last, COPY the last
+            steps = [s.strip() for s in ent['sql'].split("\n;;\n")]
+            for stmt in steps[:-1]:
+                con.sql(stmt)
+            con.sql(f"COPY ({steps[-1]}) TO '{tmp}' (FORMAT PARQUET)")
             os.replace(tmp, tgt)
             print(f"SHARED {ent['name']}: materialized in "
                   f"{time.time() - t0:.1f}s "
