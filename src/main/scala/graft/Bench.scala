@@ -61,15 +61,6 @@ object Bench {
     val sentinelSamples =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sentinelSink = 0L // observable sink so JIT cannot drop the loop
-    def sentinelWork(): Long = {
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0L
-      while (i < 300000000L) {
-        h = java.lang.Long.rotateLeft(h * 0x9E3779B97F4A7C15L ^ i, 31)
-        i += 1L
-      }
-      h
-    }
     // The JVM loop catches single-core CPU steal but is blind to
     // MULTI-CORE occupancy: round 12 recorded a board-wide 256→178 s
     // shift between sessions with the single-thread sentinel STABLE —
@@ -80,9 +71,7 @@ object Bench {
     // regime.
     val sentinelLoad =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def osLoad(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
+    def osLoad(): Double = osLoadAvg()
     def sentinel(tag: String): Unit = {
       val t0 = System.nanoTime()
       sentinelSink ^= sentinelWork()
@@ -297,12 +286,10 @@ object Bench {
     // ≤1.11× across all windows of a full filtered run, while 64
     // background hog processes pushed a loaded window to 1.84× — the
     // threshold sits well clear of both sides.
-    val (sentinelMedian, sentinelFlagged, loadFlagged, verdict) =
-      adjudicate(sentinelSamples.toSeq, sentinelLoad.toSeq,
-        sys.env.get("SPARK_GRAFT_LOAD_FLAG").map(_.toDouble)
-          .getOrElse(cpus.toDouble / 2))
     val loadFlagThreshold = sys.env.get("SPARK_GRAFT_LOAD_FLAG")
       .map(_.toDouble).getOrElse(cpus.toDouble / 2)
+    val (sentinelMedian, sentinelFlagged, loadFlagged, verdict) =
+      adjudicate(sentinelSamples.toSeq, sentinelLoad.toSeq, loadFlagThreshold)
     System.err.println(f"[bench] sentinel median=$sentinelMedian%.3f s, " +
       s"flagged=${sentinelFlagged.mkString("[", ",", "]")}, " +
       f"load_flagged=${loadFlagged.mkString("[", ",", "]")} " +
@@ -332,7 +319,10 @@ object Bench {
     // compactJson below. The detail pointer names the on-disk record.
     println(compactJson(results, total, totalFirst, runs,
       new java.io.File(sfDir).getName, envThroughput.round, outPath,
-      sentinelFlagged.length + loadFlagged.length, verdict))
+      // DISTINCT union: a window flagged by both the steal and loadavg
+      // rules counts once, so this number always agrees with the
+      // detailed record's two lists (ADVICE r13)
+      (sentinelFlagged ++ loadFlagged).distinct.length, verdict))
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
     graft.queries.SimilarityQueries.reset(spark)
@@ -361,6 +351,25 @@ object Bench {
     * rule — a contended run keeps its numbers (mins are still lower
     * bounds) but can never be recorded as a round's canonical time.
     */
+  /** The CPU-steal probe loop — 300M mul-xor-rotate steps, no
+    * allocation, no GC, ~0.4 s warm; wall time moves only when the OS
+    * gives the thread less CPU. Object-level so BenchConcurrent runs
+    * the IDENTICAL probe (r13 VERDICT ask #5). */
+  private[graft] def sentinelWork(): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 300000000L) {
+      h = java.lang.Long.rotateLeft(h * 0x9E3779B97F4A7C15L ^ i, 31)
+      i += 1L
+    }
+    h
+  }
+
+  /** OS 1-min load average, shared by both bench mains. */
+  private[graft] def osLoadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   private[graft] def adjudicate(samples: Seq[(String, Double)],
       loads: Seq[(String, Double)], loadThreshold: Double)
       : (Double, Seq[String], Seq[String], String) = {

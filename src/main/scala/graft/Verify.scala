@@ -59,6 +59,16 @@ object Verify {
         shared.map { case (n, sql) =>
           s"""{"name":${q(n)},"sql":${q(sql)}}""" }
           .mkString("[", ",", "]"))
+    // equivalence-gate manifest (ADVICE r13): for frames whose
+    // materialized build is a structurally different algorithm than the
+    // inline twin, the inline form over the same upstream frames —
+    // verify_local.py asserts EXCEPT-both-ways emptiness at small SF
+    val gates = graft.queries.OracleShared.gates
+    if (gates.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/oracle_shared_gates.json"),
+        gates.map { case (n, sql) =>
+          s"""{"name":${q(n)},"inline_sql":${q(sql)}}""" }
+          .mkString("[", ",", "]"))
     graft.queries.OperatorQueries.reset(spark)
     graft.queries.TextQueries.reset(spark)
     graft.queries.SimilarityQueries.reset(spark)

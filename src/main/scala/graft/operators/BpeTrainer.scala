@@ -63,13 +63,26 @@ object BpeTrainer {
 
   /** Train `k` merges over a (token, freq) vocabulary. Returns the
     * merge table and the final segmentation frame (token, freq, syms).
-    * Stops early when no adjacent pair remains. */
-  def train(tokenFreq: DataFrame, k: Int): Trained = {
+    * Stops early when no adjacent pair remains.
+    *
+    * @param durableCheckpoints cut each round's lineage with reliable
+    *                 `checkpoint()` (requires `setCheckpointDir`)
+    *                 instead of `localCheckpoint()` — opt in on
+    *                 clusters where an executor loss mid-train must
+    *                 cost one task retry, not the whole k-merge fold
+    *                 (localCheckpoint blocks die with their executor
+    *                 and the truncated lineage cannot recompute them).
+    *                 Cost-only lever: output is bit-identical either
+    *                 way (DurableCheckpointParitySpec). */
+  def train(tokenFreq: DataFrame, k: Int,
+      durableCheckpoints: Boolean = false): Trained = {
     require(k >= 0, "merge count must be nonnegative")
-    var segmented = tokenFreq
+    def cut(df: DataFrame): DataFrame =
+      if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
+    var segmented = cut(tokenFreq
       .select(col("token"), col("freq"),
         expr("filter(split(token, ''), s -> s <> '')").as("syms"))
-      .localCheckpoint() // eager: O(1) plan per round (see scaladoc)
+      ) // eager: O(1) plan per round (see scaladoc)
     val merges = Seq.newBuilder[Merge]
     var done = false
     var rank = 1
@@ -83,9 +96,8 @@ object BpeTrainer {
         val (l, r, n) = (top.head.getString(0), top.head.getString(1),
           top.head.getLong(2))
         merges += Merge(rank, l, r, n)
-        segmented = segmented
-          .withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint()
+        segmented = cut(segmented
+          .withColumn("syms", applyMerge(col("syms"), l, r)))
         rank += 1
       }
     }

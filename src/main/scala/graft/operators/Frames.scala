@@ -22,7 +22,15 @@ private[graft] object Frames {
     * derivation of it) again: the cached blocks ARE the data — lineage
     * was truncated at the checkpoint, so a later action cannot
     * recompute them. No-op on frames with no checkpoint leaf (e.g. the
-    * empty seed state). */
+    * empty seed state).
+    *
+    * Works under both lineage-cut modes of the loop operators'
+    * `durableCheckpoints` lever: for `localCheckpoint()` frames this
+    * frees the executor-cached blocks that ARE the data; for reliable
+    * `checkpoint()` frames the data lives in checkpoint-dir FILES and
+    * the unpersist is a harmless no-op (file cleanup belongs to
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`/job teardown,
+    * not per-round storage accounting). */
   def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)

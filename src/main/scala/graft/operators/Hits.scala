@@ -49,12 +49,26 @@ object Hits {
   /** Score every node of `nodes` (first column = node id) over
     * directed `edges` (first two columns = src, dst).
     *
+    * @param durableCheckpoints cut each half-step with reliable
+    *                `checkpoint()` (requires `setCheckpointDir`). The
+    *                DEFAULT loop is deliberately fully lazy (the r11
+    *                A/B below: any eager per-half-step cut measured
+    *                7.6 → 14.8 s on q284 because checkpoint boundaries
+    *                defeat Catalyst's column pruning), but lazy means
+    *                the whole 2·iterations-join chain recomputes from
+    *                the scan on task retry — on a cluster with real
+    *                executor churn the durable cut bounds a loss to
+    *                one half-step. Cost-only lever: the integer
+    *                fixed-point scores are bit-identical either way
+    *                (DurableCheckpointParitySpec).
     * @return (<nodes' id column>, hub_fp, auth_fp) — ×1e9 longs.
     */
-  def scoresFp(edges: DataFrame, nodes: DataFrame, iterations: Int = 3)
-      : DataFrame = {
+  def scoresFp(edges: DataFrame, nodes: DataFrame, iterations: Int = 3,
+      durableCheckpoints: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       "fixed iteration count must stay oracle-unrollable")
+    def cut(df: DataFrame): DataFrame =
+      if (durableCheckpoints) df.checkpoint() else df
     val idCol = nodes.columns.head
     val Array(srcCol, dstCol, _*) = edges.columns
     val e = edges.select(col(srcCol).as("ht_src"), col(dstCol).as("ht_dst"))
@@ -69,7 +83,7 @@ object Hits {
         .groupBy(col("ht_dst").as("ht_id"))
         .agg(sum("ht_h").as("ht_raw"))
       val aTot = aRaw.agg(sum("ht_raw").as("ht_tot"))
-      auth = universe
+      auth = cut(universe
         .join(aRaw, Seq("ht_id"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("ht_id"),
@@ -79,19 +93,19 @@ object Hits {
           // the "isolated nodes survive with both scores 0" contract.
           expr(s"coalesce(coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale" +
               " div ht_tot, CAST(0 AS BIGINT))")
-            .as("ht_a"))
+            .as("ht_a")))
       val hRaw = e
         .join(auth.withColumnRenamed("ht_id", "ht_dst"), "ht_dst")
         .groupBy(col("ht_src").as("ht_id"))
         .agg(sum("ht_a").as("ht_raw"))
       val hTot = hRaw.agg(sum("ht_raw").as("ht_tot"))
-      hub = universe
+      hub = cut(universe
         .join(hRaw, Seq("ht_id"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("ht_id"),
           expr(s"coalesce(coalesce(ht_raw, CAST(0 AS BIGINT)) * $Scale" +
               " div ht_tot, CAST(0 AS BIGINT))")
-            .as("ht_h"))
+            .as("ht_h")))
     }
     // STAYS LAZY deliberately — round-11 A/B: materializing here (an
     // eager localCheckpoint, with or without AQE) measured 7.6 → 14.8 s

@@ -39,9 +39,16 @@ object LabelPropagation {
   /** @param edges (src, dst) — undirected, deduped by caller if needed
     * @param nodes one column of node ids (isolated nodes keep their id)
     * @param maxIter hard round cap; LPA typically settles in < 10
+    * @param durableCheckpoints cut round lineage with reliable
+    *                `checkpoint()` (requires `setCheckpointDir`)
+    *                instead of `localCheckpoint()` — the executor-
+    *                loss-survival lever (Mst.forest discipline);
+    *                cost-only, output bit-identical
     * @return (<nodes' id column>, community_id) */
   def communities(edges: DataFrame, nodes: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, durableCheckpoints: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
     val idCol = nodes.columns.head
     val Array(srcCol, dstCol, _*) = edges.columns
     val sym = edges
@@ -55,9 +62,9 @@ object LabelPropagation {
       .repartition(col("lp_nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labeled = nodes.select(col(idCol).cast("long").as("lp_id")).distinct()
-      .withColumn("lp_label", col("lp_id"))
-      .localCheckpoint()
+    var labeled = cut(nodes.select(col(idCol).cast("long").as("lp_id"))
+      .distinct()
+      .withColumn("lp_label", col("lp_id")))
     var prev: DataFrame = null // round N−2 labeling, for 2-cycle detection
     var round = 0
     var settled = false
@@ -75,11 +82,10 @@ object LabelPropagation {
         .agg(max_by(col("lp_nbr_label"),
           struct(col("lp_n"), (-col("lp_nbr_label")).as("lp_neg")))
           .as("lp_vote"))
-      val next = labeled.join(voted, Seq("lp_id"), "left")
+      val next = cut(labeled.join(voted, Seq("lp_id"), "left")
         .select(col("lp_id"),
           coalesce(col("lp_vote"), col("lp_label")).as("lp_label"),
-          col("lp_label").as("lp_prev_label"))
-        .localCheckpoint()
+          col("lp_label").as("lp_prev_label")))
       // The stop checks are PURELY an early-exit optimization: the
       // least(label_N, label_N−1) output law gives the identical
       // result whether a convergence/2-cycle is caught the round it
@@ -105,9 +111,8 @@ object LabelPropagation {
         else if (prev != null && stats.getLong(1) == 0L) {
           // 2-cycle (round N equals round N−2 everywhere):
           // deterministic break keeps the smaller alternating label
-          labeled = next.select(col("lp_id"),
-            least(col("lp_label"), col("lp_prev_label")).as("lp_label"))
-            .localCheckpoint()
+          labeled = cut(next.select(col("lp_id"),
+            least(col("lp_label"), col("lp_prev_label")).as("lp_label")))
           settled = true
         }
       }

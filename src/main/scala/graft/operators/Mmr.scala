@@ -39,12 +39,20 @@ object Mmr {
     *                   same q_id (same 1e6 scale as rel_fp)
     * @param k          selections per query group (groups with fewer
     *                   candidates exhaust early and return them all)
+    * @param durableCheckpoints cut round lineage with reliable
+    *                   `checkpoint()` (requires `setCheckpointDir`)
+    *                   instead of `localCheckpoint()` — the executor-
+    *                   loss-survival lever (Mst.forest discipline);
+    *                   cost-only, output bit-identical
     * @return (q_id, step, vec_id, score_fp): step ∈ 1..k in selection
     *         order; score_fp = rel_fp − max sim_fp to the prior
     *         selections (step 1: plain rel_fp)
     */
-  def select(candidates: DataFrame, pairSims: DataFrame, k: Int): DataFrame = {
+  def select(candidates: DataFrame, pairSims: DataFrame, k: Int,
+      durableCheckpoints: Boolean = false): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    def cut(df: DataFrame): DataFrame =
+      if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
     val w = Window.partitionBy("q_id")
       .orderBy(col("score_fp").desc, col("vec_id"))
     // pre-partition BOTH inputs on q_id: every per-round operator
@@ -54,12 +62,10 @@ object Mmr {
     // exchange-free off these two checkpointed layouts instead of
     // re-shuffling 4 times per round (at bench SF the rounds are pure
     // fixed cost, and exchanges are most of it)
-    val cand = candidates.select("q_id", "vec_id", "rel_fp")
-      .repartition(col("q_id"))
-      .localCheckpoint()
-    val pairs = pairSims.select("q_id", "a", "b", "sim_fp")
-      .repartition(col("q_id"))
-      .localCheckpoint()
+    val cand = cut(candidates.select("q_id", "vec_id", "rel_fp")
+      .repartition(col("q_id")))
+    val pairs = cut(pairSims.select("q_id", "a", "b", "sim_fp")
+      .repartition(col("q_id")))
     // loop-sized width + AQE off for the k per-round checkpoints
     // (LoopTuning): the q_id layouts above were built OUTSIDE the
     // loop conf, but ClusteredDistribution on q_id is satisfied at any
@@ -89,7 +95,7 @@ object Mmr {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), lit(step.toLong).as("step"),
           col("score_fp"))
-      selected = selected.union(pick).localCheckpoint()
+      selected = cut(selected.union(pick))
     }
     selected
     }

@@ -25,7 +25,22 @@ object WarehouseWriter {
     * Opens by repairing any crash debris a previous compaction left
     * ([[recoverPartitions]]) — an append into a directory whose last
     * compaction died mid-swap must first restore the moved-aside
-    * partition, or the append writes beside an invisible original. */
+    * partition, or the append writes beside an invisible original.
+    *
+    * SINGLE-WRITER ASSUMPTION (applies to [[write]],
+    * [[compactPartitions]], [[expirePartitions]]): exactly one writer
+    * process may operate on a warehouse path at a time — the standard
+    * contract of a path-based (catalog-less) table. The open-time
+    * repair unconditionally deletes `*_compact_tmp` and restores
+    * `*_compact_bak`, which is only safe because no LIVE compaction
+    * can own those dirs concurrently; a second writer would destroy
+    * an in-flight compaction's temp or un-swap it mid-rename (the
+    * data itself stays safe — the original is always in src or bak —
+    * but the concurrent compaction fails). Concurrent READERS are
+    * always safe: temp/backup dirs are dot-hidden from discovery.
+    * Deployments needing multiple writers must serialize externally
+    * (scheduler lock, ZK lease); a lock FILE here would be advisory
+    * only on object stores and is deliberately not pretended. */
   def write(events: DataFrame, path: String): Unit = {
     recoverPartitions(events.sparkSession, path)
     events
@@ -266,9 +281,17 @@ object WarehouseWriter {
           s"original untouched, compacted rewrite left in $tmp")
       if (crashAt == 2) throw new InjectedCrash(2) // mid-swap: src missing
       if (!fs.rename(tmp, src)) {
-        fs.rename(bak, src) // restore the original on a failed swap
+        // restore the original on a failed swap — and CHECK the restore:
+        // if it also fails the partition is genuinely missing and the
+        // message must say so, not claim "original restored" (ADVICE r13)
+        val restored = fs.rename(bak, src)
         throw new IllegalStateException(
-          s"compactPartitions: swap failed for $part; original restored")
+          if (restored)
+            s"compactPartitions: swap failed for $part; original restored"
+          else
+            s"compactPartitions: swap failed for $part AND the backup " +
+              s"restore failed — partition data is in $bak; run " +
+              s"recoverPartitions (or rename manually) before reading")
       }
       if (crashAt == 3) throw new InjectedCrash(3) // committed, bak not yet dropped
       fs.delete(bak, true)

@@ -55,4 +55,27 @@ private[graft] object OracleShared {
   /** The ordered manifest, for Verify's oracle_shared.json dump. */
   def manifest: Seq[(String, String)] =
     frames.synchronized(frames.toSeq)
+
+  // Equivalence gates (ADVICE r13): a frame whose MATERIALIZATION build
+  // uses a structurally different algorithm than the inline twin (e.g.
+  // jac's sorted-gram-list intersection vs the inline gset⋈gset join;
+  // the 16-way sharded exact-pairs accumulator) registers the inline
+  // algorithm here as standalone SQL over the SAME upstream frames.
+  // Verify dumps these as oracle_shared_gates.json and
+  // tools/verify_local.py asserts EXCEPT-both-directions emptiness at
+  // small SF on every --shared sweep — the equivalence is machine-gated
+  // per sweep instead of proven once manually and trusted thereafter.
+  private val gateChecks =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** Register the inline-algorithm twin of a structurally-different
+    * materialized frame (only meaningful when [[dir]] is set). */
+  def gate(frame: String, inlineSql: String): Unit =
+    gateChecks.synchronized {
+      if (!gateChecks.contains(frame)) gateChecks.update(frame, inlineSql)
+    }
+
+  /** Registered gates, for Verify's oracle_shared_gates.json dump. */
+  def gates: Seq[(String, String)] =
+    gateChecks.synchronized(gateChecks.toSeq)
 }

@@ -247,7 +247,18 @@ object TextQueries {
       |  JOIN sizes sb ON sb.doc_id = c.doc_b)""".stripMargin
   private val jaccardCoreSql = OracleShared.swap(
     gsetPartSql + ",\n" + jacPartSql,
-    Seq(
+    {
+      // equivalence gate (ADVICE r13): the inline gset⋈gset join form of
+      // jac, over the SAME materialized upstream frames — verify_local.py
+      // EXCEPTs this against the list-intersect build at small SF on
+      // every --shared sweep, so the structural divergence can't drift
+      OracleShared.gate("jac",
+        s"""WITH gset AS (${OracleShared.read("gset")}),
+           |sizes AS (${OracleShared.read("jac_sizes")}),
+           |sigs_capped AS (${OracleShared.read("sigs_capped")}),
+           |$jacPartSql
+           |SELECT * FROM jac""".stripMargin)
+      Seq(
       "gset" -> (s"WITH grams AS (${OracleShared.read("grams")}),\n" +
         s"$gsetPartSql SELECT * FROM gset"),
       "jac_sizes" -> (s"WITH gset AS (${OracleShared.read("gset")}) " +
@@ -283,7 +294,8 @@ object TextQueries {
           |JOIN gl ga ON ga.doc_id = c.doc_a
           |JOIN gl gb ON gb.doc_id = c.doc_b
           |JOIN sizes sa ON sa.doc_id = c.doc_a
-          |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin)))(
+          |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin))
+    })(
     s"""gset AS (${OracleShared.read("gset")}),
        |sizes AS (${OracleShared.read("jac_sizes")}),
        |jac AS (${OracleShared.read("jac")})""".stripMargin)
@@ -306,6 +318,23 @@ object TextQueries {
   private def exactPairs35Mat: String = {
     def gsetRead = OracleShared.read("gset")
     def sizesRead = OracleShared.read("jac_sizes")
+    // equivalence gate (ADVICE r13): the ONE-SHOT unsharded form over
+    // the same upstream frames — verify_local.py EXCEPTs it against the
+    // 16-way sharded accumulator at small SF on every --shared sweep
+    OracleShared.gate("exact_pairs_35",
+      s"""WITH gset AS ($gsetRead),
+         |sizes AS ($sizesRead),
+         |pair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM gset a JOIN gset b
+         |    ON b.gram = a.gram AND b.doc_id > a.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.n_inter, la.n AS na, lb.n AS nb
+         |FROM pair p
+         |JOIN sizes la ON la.doc_id = p.doc_a
+         |JOIN sizes lb ON lb.doc_id = p.doc_b
+         |WHERE p.n_inter * 5 >= 3 * (la.n + lb.n - p.n_inter)""".stripMargin)
     val shards = (0 until 16).map { i =>
       s"""INSERT INTO ex_acc
          |SELECT x.doc_a, x.doc_b, x.n_inter, la.n AS na, lb.n AS nb FROM (

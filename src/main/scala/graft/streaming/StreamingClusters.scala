@@ -114,6 +114,13 @@ final class StreamingClusters(spark: SparkSession,
         .union(work.select(col("v").as("id"))).distinct()
       val (lbl, release) =
         ConnectedComponents.labelsWithHandle(work, nodes)
+      // INTRA-BATCH localCheckpoint is deliberate — the one exemption
+      // from the loop operators' durableCheckpoints lever: durability
+      // here comes from the STREAMING checkpoint (the parquet state
+      // table + _committed_batch horizon written below), so an executor
+      // loss that kills these blocks costs one batch replay from the
+      // last committed state, not the job. A reliable checkpoint() per
+      // batch would duplicate the durable write every micro-batch.
       val next = lbl
         .select(col("id").as("node"), col("cluster_id").as("comp"))
         .localCheckpoint()

@@ -9,7 +9,11 @@ import graft.functions.CoreFunctions._
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: task retries ON (cluster default is
+      // 4; bare local[4] pins maxFailures=1) so TaskChaosSpec can inject
+      // first-attempt task failures and every other suite runs under the
+      // retry semantics a real cluster has
+      .master("local[4, 4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

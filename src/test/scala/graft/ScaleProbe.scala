@@ -52,26 +52,55 @@ object GenScaleProbe {
     // "disjoint" suffix-salts EVERY token per copy — within-copy
     // similarity structure is preserved exactly (one bijective vocab
     // map per copy) while cross-copy shingle overlap drops to zero,
-    // the linear-scaling regime a real generator would produce.
+    // the linear-scaling regime a real generator would produce;
+    // "jitter" (round-13 VERDICT ask #1) = disjoint text PLUS
+    // non-verbatim embeddings: verbatim-copied vectors made every
+    // gated vector's top-5 neighbors its own copies (cos 1.0, ids
+    // ≥ 1e8), so the r13 sf1 passes of the knn-gated family were
+    // structurally empty. Each copy i > 0 gets (a) a per-(copy, dim)
+    // deterministic ±1 sign flip — a diagonal ORTHOGONAL transform,
+    // so every copy's intra-copy distances and cosines are preserved
+    // exactly (its neighborhoods are the real sf0.1 neighborhoods)
+    // while cross-copy cosines decorrelate to ~N(0, 1/64) — and (b) a
+    // per-(vec, dim, copy) hash-seeded ±2% relative jitter so copies
+    // are not bit-replicas of each other. Both engines read the same
+    // generated parquet, so determinism is by construction.
     val mode = if (args.length > 3) args(3) else "stress"
     val spark = benchSession()
+    val textMode = if (mode == "jitter") "disjoint" else mode
     def amplify(table: String, keyCols: Seq[String],
-        perturbText: Boolean = false, nameCols: Seq[String] = Nil): Unit = {
+        perturbText: Boolean = false, nameCols: Seq[String] = Nil,
+        jitterEmb: Boolean = false): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val shifted = (0 until copies).map { i =>
-        val s0 = keyCols.foldLeft(base)((df, k) =>
+        val s00 = keyCols.foldLeft(base)((df, k) =>
           df.withColumn(k, col(k) + lit(i * K)))
+        val s0 =
+          if (jitterEmb && mode == "jitter" && i > 0)
+            s00.withColumn("embedding",
+              transform(col("embedding"), (x, j) => {
+                // ±1 per (copy, dim): diagonal orthogonal — intra-copy
+                // geometry exact, cross-copy cosines ~N(0, 1/dim)
+                val sign = when(
+                  pmod(xxhash64(lit("sgn"), lit(i), j), lit(2)) === 0,
+                  lit(1.0)).otherwise(lit(-1.0))
+                // ±2% per (vec, dim, copy): copies are not bit-replicas
+                val eps = (xxhash64(col("vec_id"), j, lit(i)) % 1000)
+                  .cast("double") / lit(50000.0)
+                (x.cast("double") * sign * (lit(1.0) + eps)).cast("float")
+              }))
+          else s00
         // entity/name columns get a DOUBLED-digit suffix in disjoint
         // mode: a 1-char suffix would let cross-copy names share a
         // single-deletion bucket (q107's SymSpell keys), re-creating
         // the quadratic duplicate regime the mode exists to avoid
         val s1 =
-          if (mode == "disjoint" && i > 0)
+          if (textMode == "disjoint" && i > 0)
             nameCols.foldLeft(s0)((df, k) =>
               df.withColumn(k, concat(col(k), lit(s"$i$i"))))
           else s0
         if (perturbText && i > 0) {
-          if (mode == "disjoint")
+          if (textMode == "disjoint")
             s1.withColumn("text", concat_ws(" ",
               transform(split(col("text"), " "),
                 t => concat(t, lit(s"x$i")))))
@@ -83,7 +112,7 @@ object GenScaleProbe {
       println(s"[gen] $table x$copies ($mode) -> $dst/$table.parquet")
     }
     amplify("documents", Seq("doc_id"), perturbText = true)
-    amplify("embeddings", Seq("vec_id"))
+    amplify("embeddings", Seq("vec_id"), jitterEmb = true)
     amplify("events", Seq("event_id", "user_id"))
     amplify("orders", Seq("o_orderkey", "o_custkey"))
     amplify("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))

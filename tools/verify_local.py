@@ -104,6 +104,7 @@ def main():
             resume_logs.extend(a.split("=", 1)[1].split(","))
         if a.startswith("--only="):
             only.update(a.split("=", 1)[1].split(","))
+    gate_equiv = ("--gate-equiv" in sys.argv, "--no-gate-equiv" in sys.argv)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     if "--skip-spark" not in sys.argv:
@@ -179,6 +180,38 @@ def main():
                   file=sys.stderr)
             return 2
         Path(shared_dir).mkdir(parents=True, exist_ok=True)
+        # Dataset fingerprint (ADVICE r13): frame reuse without one lets
+        # a sweep pointed at a DIFFERENT sf_dir (or a regenerated corpus)
+        # silently adjudicate against stale oracle frames. Bind the
+        # shared dir to the exact source dataset: resolved sf_dir path +
+        # per-table byte sizes and mtimes (dirs: part-file sum + max
+        # mtime). Written on first build; any later mismatch is a HARD
+        # error — never silently rebuild, the operator must decide
+        # whether the old frames or the new corpus is the mistake.
+        def _tbl_sig(t):
+            p = Path(sf_dir) / f"{t}.parquet"
+            if p.is_dir():
+                parts = sorted(p.glob("*.parquet"))
+                return [t, sum(f.stat().st_size for f in parts),
+                        max((int(f.stat().st_mtime) for f in parts),
+                            default=0), len(parts)]
+            if p.is_file():
+                return [t, p.stat().st_size, int(p.stat().st_mtime), 1]
+            return [t, 0, 0, 0]
+        fingerprint = {"sf_dir": str(Path(sf_dir).resolve()),
+                       "tables": [_tbl_sig(t) for t in TABLES]}
+        fp_path = Path(shared_dir) / ".dataset_fingerprint.json"
+        if fp_path.is_file():
+            recorded = json.loads(fp_path.read_text())
+            if recorded != fingerprint:
+                print(f"ERROR: shared dir {shared_dir} was built from a "
+                      f"different dataset.\n  recorded: {recorded}\n  "
+                      f"current:  {fingerprint}\nDelete the shared dir to "
+                      "rebuild against the current corpus, or point "
+                      "--shared at the matching one.", file=sys.stderr)
+                return 2
+        else:
+            fp_path.write_text(json.dumps(fingerprint, indent=1))
         for ent in json.loads(man_path.read_text()):
             tgt = Path(shared_dir) / f"{ent['name']}.parquet"
             if tgt.exists():
@@ -203,6 +236,46 @@ def main():
             print(f"SHARED {ent['name']}: materialized in "
                   f"{time.time() - t0:.1f}s "
                   f"({tgt.stat().st_size / 1e6:.1f} MB)")
+        # Equivalence gate (ADVICE r13): frames whose materialized build
+        # is a structurally different algorithm than the inline twin
+        # (jac's list-intersect vs join; the sharded exact-pairs
+        # accumulator) carry their inline form in
+        # oracle_shared_gates.json. Assert EXCEPT-ALL-both-directions
+        # emptiness so the equivalence is re-proven on every sweep, not
+        # trusted from a one-off manual check. Auto-runs when the corpus
+        # is small (the inline forms are intractable at sf1 — that is
+        # WHY the mat builds exist); --gate-equiv forces, --no-gate-equiv
+        # skips (loudly).
+        gates_path = out_dir / "oracle_shared_gates.json"
+        docs = Path(sf_dir) / "documents.parquet"
+        docs_bytes = (sum(f.stat().st_size for f in docs.glob("*.parquet"))
+                      if docs.is_dir() else
+                      (docs.stat().st_size if docs.is_file() else 0))
+        force_gate, skip_gate = gate_equiv
+        run_gates = force_gate or (docs_bytes < 50_000_000 and not skip_gate)
+        if gates_path.is_file():
+            gates = json.loads(gates_path.read_text())
+            if not run_gates:
+                print(f"GATE-EQUIV: skipped ({len(gates)} gates; corpus "
+                      f"{docs_bytes / 1e6:.0f} MB — inline forms "
+                      "intractable at big SF; re-prove at sf0.01)")
+            for ent in (gates if run_gates else []):
+                name, inline = ent["name"], ent["inline_sql"]
+                mat = f"SELECT * FROM '{shared_dir}/{name}.parquet'"
+                t0 = time.time()
+                extra = con.sql(f"SELECT COUNT(*) FROM (({inline}) "
+                                f"EXCEPT ALL ({mat}))").fetchone()[0]
+                missing = con.sql(f"SELECT COUNT(*) FROM (({mat}) "
+                                  f"EXCEPT ALL ({inline}))").fetchone()[0]
+                n = con.sql(f"SELECT COUNT(*) FROM ({mat})").fetchone()[0]
+                if extra or missing:
+                    print(f"GATE-EQUIV {name}: FAIL — inline-only rows: "
+                          f"{extra}, mat-only rows: {missing} "
+                          f"(mat has {n} rows)", file=sys.stderr)
+                    return 2
+                print(f"GATE-EQUIV {name}: OK — inline ≡ materialized "
+                      f"({n} rows, both EXCEPT ALL empty, "
+                      f"{time.time() - t0:.1f}s)")
 
     oracles = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass, n_fail, n_skip = carried["PASS"], carried["FAIL"], carried["SKIP"]
