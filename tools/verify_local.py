@@ -105,6 +105,10 @@ def main():
         if a.startswith("--only="):
             only.update(a.split("=", 1)[1].split(","))
     gate_equiv = ("--gate-equiv" in sys.argv, "--no-gate-equiv" in sys.argv)
+    frames_only = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--frames="):
+            frames_only.update(a.split("=", 1)[1].split(","))
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     if "--skip-spark" not in sys.argv:
@@ -214,6 +218,15 @@ def main():
             fp_path.write_text(json.dumps(fingerprint, indent=1))
         for ent in json.loads(man_path.read_text()):
             tgt = Path(shared_dir) / f"{ent['name']}.parquet"
+            # --frames=a,b,c: materialize only the listed frames (for a
+            # --only run over a family that reads a frame subset — e.g.
+            # the knn family never reads the text frames, whose sf1
+            # builds cost tens of minutes). LOUD skip line per frame; a
+            # twin that reads an unbuilt frame fails its oracle query
+            # visibly, never silently.
+            if frames_only and ent['name'] not in frames_only:
+                print(f"SHARED {ent['name']}: skipped (--frames)")
+                continue
             if tgt.exists():
                 print(f"SHARED {ent['name']}: reusing {tgt}")
                 continue
@@ -261,6 +274,10 @@ def main():
                       "intractable at big SF; re-prove at sf0.01)")
             for ent in (gates if run_gates else []):
                 name, inline = ent["name"], ent["inline_sql"]
+                if not (Path(shared_dir) / f"{name}.parquet").is_file():
+                    print(f"GATE-EQUIV {name}: skipped (frame not "
+                          "materialized in this run)")
+                    continue
                 mat = f"SELECT * FROM '{shared_dir}/{name}.parquet'"
                 t0 = time.time()
                 extra = con.sql(f"SELECT COUNT(*) FROM (({inline}) "
