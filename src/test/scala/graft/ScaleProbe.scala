@@ -49,10 +49,12 @@ object GenScaleProbe {
     // text modes: "stress" appends one token per copy — copies stay
     // near-identical, so every doc gains 9 near-dups and pair counts
     // grow ~quadratically (the worst-case duplication regime);
-    // "disjoint" suffix-salts EVERY token per copy — within-copy
-    // similarity structure is preserved exactly (one bijective vocab
-    // map per copy) while cross-copy shingle overlap drops to zero,
-    // the linear-scaling regime a real generator would produce;
+    // "disjoint" applies one bijective CHARACTER map per copy (letters
+    // and digits rotated by the copy index — see the cipher() comment
+    // below for why the former per-token suffix was not actually
+    // disjoint) — within-copy similarity structure is preserved
+    // exactly while cross-copy shingle overlap drops to ~zero, the
+    // linear-scaling regime a real generator would produce;
     // "jitter" (round-13 VERDICT ask #1) = disjoint text PLUS
     // non-verbatim embeddings: verbatim-copied vectors made every
     // gated vector's top-5 neighbors its own copies (cos 1.0, ids
@@ -90,20 +92,47 @@ object GenScaleProbe {
                 (x.cast("double") * sign * (lit(1.0) + eps)).cast("float")
               }))
           else s00
-        // entity/name columns get a DOUBLED-digit suffix in disjoint
-        // mode: a 1-char suffix would let cross-copy names share a
-        // single-deletion bucket (q107's SymSpell keys), re-creating
-        // the quadratic duplicate regime the mode exists to avoid
+        // Disjoint-mode text/name transform (round 14): a per-copy
+        // CHARACTER BIJECTION (letters and digits each rotated by the
+        // copy index, space/punct fixed) instead of the former
+        // per-token "x$i" suffix. The suffix regime measurably broke
+        // both halves of the disjointness claim at sf1 (r14 scaling
+        // study, q26): (a) lengthening every token made 8-char grams
+        // more token-local, raising within-copy gram Jaccard between
+        // UNRELATED docs — salted copies produced 2–3.4× copy-0's
+        // candidate pairs (copy 0: exactly the sf0.1 count); (b) grams
+        // interior to tokens ≥ 8 chars carried no salt at all — 5.4M
+        // cross-copy candidate pairs that a disjoint regime should not
+        // have. A char bijection fixes both: token lengths, whitespace
+        // structure, gram statistics, and edit distances are preserved
+        // EXACTLY within each copy (any per-char bijection preserves
+        // substring equality and Levenshtein distance), while a gram
+        // containing any letter/digit can never collide across copies
+        // (residual: all-punctuation grams, negligible in this corpus).
+        // The doubled-digit name suffix stays as the historical guard
+        // for q107's deletion buckets; digits rotate too, so cross-copy
+        // names now differ at EVERY digit position as well.
+        def cipher(c: org.apache.spark.sql.Column,
+            copy: Int): org.apache.spark.sql.Column =
+          if (copy == 0) c
+          else {
+            val lower = "abcdefghijklmnopqrstuvwxyz"
+            val upper = lower.toUpperCase
+            val digits = "0123456789"
+            def rot(s: String, k: Int) = {
+              val n = k % s.length; s.drop(n) + s.take(n)
+            }
+            translate(c, lower + upper + digits,
+              rot(lower, copy) + rot(upper, copy) + rot(digits, copy))
+          }
         val s1 =
           if (textMode == "disjoint" && i > 0)
             nameCols.foldLeft(s0)((df, k) =>
-              df.withColumn(k, concat(col(k), lit(s"$i$i"))))
+              df.withColumn(k, concat(cipher(col(k), i), lit(s"$i$i"))))
           else s0
         if (perturbText && i > 0) {
           if (textMode == "disjoint")
-            s1.withColumn("text", concat_ws(" ",
-              transform(split(col("text"), " "),
-                t => concat(t, lit(s"x$i")))))
+            s1.withColumn("text", cipher(col("text"), i))
           else
             s1.withColumn("text", concat(col("text"), lit(s" probe$i")))
         } else s1
