@@ -10,10 +10,23 @@ object Catalog {
 
   val tableNames: Seq[String] = Tables.starTables :+ "events"
 
+  /** Last dir registered per session: re-registering the same dir is a
+    * no-op (the temp views would be replaced with identical plans —
+    * ~70 ms of catalog writes per call, paid by every SQL-entry query
+    * per bench pass). A DIFFERENT dir re-registers everything. Weak
+    * keys so short-lived test sessions do not accumulate. */
+  private val registeredDir =
+    new java.util.WeakHashMap[SparkSession, String]()
+
   /** Register every table under `dir` as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach { t =>
-      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        tableNames.foreach { t =>
+          Tables.table(spark, dir, t).createOrReplaceTempView(t)
+        }
+        registeredDir.put(spark, dir)
+      }
     }
 
   /** Convenience: register + run one SQL statement. */

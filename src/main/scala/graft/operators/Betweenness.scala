@@ -72,22 +72,26 @@ object Betweenness {
       .select(col("bt_seed"), col("bt_seed").as("bt_node"),
         lit(1L).as("sigma")))
     var layers = List(layer0) // head = deepest layer so far
-    var visited = layer0.select("bt_seed", "bt_node")
     var hop = 0
     var exhausted = false
     while (!exhausted && hop < maxHops) {
       hop += 1
+      // visited = union of the cut layers (append-only, the Bfs r14
+      // discipline): no per-hop re-checkpoint of the growing visited
+      // set, and the frontier-size test rides the checkpoint job as an
+      // observed metric — 3 jobs/hop → 1 (LoopObs)
+      val visited = layers.map(_.select("bt_seed", "bt_node"))
+        .reduce(_ union _)
+      val obs = org.apache.spark.sql.Observation(s"bt_hop_$hop")
       val next = cut(layers.head.join(e, "bt_node")
         .select(col("bt_seed"), col("bt_next").as("bt_node"),
           col("sigma"))
         .join(visited, Seq("bt_seed", "bt_node"), "left_anti")
         .groupBy("bt_seed", "bt_node")
-        .agg(sum("sigma").as("sigma")))
-      exhausted = next.count() == 0L
-      if (!exhausted) {
-        layers ::= next
-        visited = cut(visited.union(next.select("bt_seed", "bt_node")))
-      }
+        .agg(sum("sigma").as("sigma"))
+        .observe(obs, count(lit(1)).as("n")))
+      exhausted = LoopObs.count(obs, next) == 0L
+      if (!exhausted) layers ::= next
     }
 
     // ---- backward sweep: δ per layer, deepest first ----

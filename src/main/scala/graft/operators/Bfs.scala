@@ -50,36 +50,63 @@ object Bfs {
     def cut(df: DataFrame): DataFrame =
       if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
     val Array(srcCol, dstCol, _*) = edges.columns
-    val e = edges.select(col(srcCol).as("bfs_node"), col(dstCol).as("bfs_next"))
+    val eRaw = edges.select(col(srcCol).as("bfs_node"), col(dstCol).as("bfs_next"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // loop-sized shuffles + AQE off for the hop loop (LoopTuning); the
     // count also materializes the edge cache before the first hop
-    val edgeRows = e.count()
+    // (under SESSION conf — candidate generation above the edge frame
+    // can be the heaviest subplan in the engine and keeps AQE)
+    val edgeRows = eRaw.count()
     LoopTuning.withLoopConf(edges.sparkSession, edgeRows) {
-    var visited = cut(seeds
+    // Pre-partition the edge frame ON THE JOIN KEY at loop width, once
+    // (guide §2.4: repeated joins on the same key reuse a persisted
+    // partitioning): the cached scan partitioning carries no
+    // distribution info, so every hop's frontier⋈edges was re-shuffling
+    // the WHOLE edge list — rounds × |E| shuffle rows; after this one
+    // keyed exchange the per-hop join shuffles only the frontier.
+    val e = eRaw.repartition(col("bfs_node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = cut(seeds
       .select(col(seeds.columns.head).as("bfs_seed")).distinct()
       .select(col("bfs_seed"), col("bfs_seed").as("bfs_node"),
         lit(0L).as("bfs_dist")))
-    var frontier = visited
+    // BFS visited state is APPEND-ONLY (first touch is the minimum
+    // distance), so the visited set is kept as the UNION of the per-hop
+    // cut frontier levels instead of being re-checkpointed every hop:
+    // each level is already a lineage leaf, the union of ≤ maxHops
+    // leaves keeps the per-hop plan flat, and the old
+    // `cut(visited ∪ next)` job — one extra action re-materializing
+    // O(|reached|) rows EVERY hop, O(|reached|·hops) total writes — is
+    // gone (r14 optimization: 3 jobs/hop → 2, measured on q322/q281).
+    // The anti-join reads the same rows either way.
+    var levels = List(seed)
+    var frontier = seed
     var hop = 0
     var exhausted = false
     while (!exhausted && hop < maxHops) {
       hop += 1
+      val visited = levels.map(_.select("bfs_seed", "bfs_node"))
+        .reduce(_ union _)
+      // the frontier-size convergence test rides the checkpoint job as
+      // an observed metric instead of a second count() action — one
+      // scheduler round-trip per hop, not two (LoopObs)
+      val obs = org.apache.spark.sql.Observation(s"bfs_hop_$hop")
       val next = cut(frontier.join(e, "bfs_node")
         .select(col("bfs_seed"), col("bfs_next").as("bfs_node"))
         .distinct()
-        .join(visited.select("bfs_seed", "bfs_node"),
-          Seq("bfs_seed", "bfs_node"), "left_anti")
+        .join(visited, Seq("bfs_seed", "bfs_node"), "left_anti")
         .select(col("bfs_seed"), col("bfs_node"),
-          lit(hop.toLong).as("bfs_dist")))
-      exhausted = next.count() == 0L
+          lit(hop.toLong).as("bfs_dist"))
+        .observe(obs, count(lit(1)).as("n")))
+      exhausted = LoopObs.count(obs, next) == 0L
       if (!exhausted) {
-        visited = cut(visited.union(next))
+        levels ::= next
         frontier = next
       }
     }
     e.unpersist(blocking = false)
-    visited
+    eRaw.unpersist(blocking = false)
+    levels.reduce(_ union _)
     }
   }
 }

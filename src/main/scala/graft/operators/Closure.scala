@@ -71,6 +71,9 @@ object Closure {
       iter += 1
       if (iter > maxIter) throw new IllegalStateException(
         s"transitive closure did not fix in $maxIter doubling rounds")
+      // fixpoint row count folded into the checkpoint job (LoopObs):
+      // one action per doubling round instead of two
+      val obs = org.apache.spark.sql.Observation(s"tc_round_$iter")
       val doubled = cut(reach
         .union(reach.as("a")
           .join(reach.select(col("tc_src").as("tc_mid2"),
@@ -78,8 +81,9 @@ object Closure {
             col("a.tc_dst") === col("tc_mid2"))
           .select(col("a.tc_src").as("tc_src"),
             col("tc_far").as("tc_dst")))
-        .distinct())
-      val n2 = doubled.count()
+        .distinct()
+        .observe(obs, count(lit(1)).as("n")))
+      val n2 = LoopObs.count(obs, doubled)
       closed = n2 == n
       n = n2
       reach = doubled
@@ -149,6 +153,12 @@ object Closure {
       iter += 1
       if (iter > maxIter) throw new IllegalStateException(
         s"dagLayers did not converge in $maxIter rounds — cyclic input?")
+      // the moved-row convergence test is computable INSIDE the round's
+      // plan (old layer vs corrected layer are both present before the
+      // final projection), so it rides the checkpoint job as an
+      // observed metric — the old separate next⋈layer count job per
+      // round is gone (LoopObs; 2 jobs + 1 join → 1 job per round)
+      val obs = org.apache.spark.sql.Observation(s"lay_round_$iter")
       val next = cut(layer
         .join(layer.select(col("lay_node").as("lay_src"),
             col("lay_layer").as("src_layer"))
@@ -156,14 +166,19 @@ object Closure {
           .groupBy("lay_node")
           .agg((max(col("src_layer")) + 1L).as("in_layer")),
           Seq("lay_node"), "left")
-        .select(col("lay_node"),
+        .select(col("lay_node"), col("lay_layer").as("lay_old"),
           greatest(col("lay_layer"), coalesce(col("in_layer"), lit(0L)))
-            .as("lay_layer")))
-      val moved = next.join(layer.withColumnRenamed("lay_layer", "old"),
-          Seq("lay_node"))
-        .filter(col("lay_layer") =!= col("old"))
-        .count()
-      settled = moved == 0L
+            .as("lay_new"))
+        .observe(obs, coalesce(sum(
+            when(col("lay_new") =!= col("lay_old"), 1L).otherwise(0L)),
+          lit(0L)).as("n"))
+        .select(col("lay_node"), col("lay_new").as("lay_layer")))
+      settled = LoopObs.metric(obs) {
+        // fallback recomputation of the SAME moved-count (join form)
+        next.join(layer.withColumnRenamed("lay_layer", "old"),
+            Seq("lay_node"))
+          .filter(col("lay_layer") =!= col("old")).count()
+      } == 0L
       layer = next
     }
     e.unpersist(blocking = false)

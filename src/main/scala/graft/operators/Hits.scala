@@ -25,19 +25,21 @@ import org.apache.spark.sql.functions._
   * normalize; hub = Σ over out-edges of the NEW authority, then L1
   * normalize. Each half is one shuffle join of edges against the
   * |V|-row score frame plus one keyed sum; the L1 total is a 1-row
-  * broadcast (never a driver-side collect). Like PageRank the loop is
-  * fully lazy; pass a persisted edge frame — it is consumed
-  * 2·iterations times.
+  * broadcast (never a driver-side collect). Pass a persisted edge
+  * frame — it is consumed 2·iterations times.
   *
-  * This exact structure is the measured optimum of three variants at
-  * sf0.1 (steady, ScaleProbe): lazy with the per-half-step |V|-row
-  * universe join 6.8 s; adding eager localCheckpoints per half-step
-  * 8.2 s (job overhead > recomputation saved — ReuseExchange already
-  * dedupes the L1 total's second reference through the SHUFFLE
-  * boundaries the universe join creates); dropping the universe joins
-  * to keep sparse frames 59 s (the totals then hang off BROADCAST
-  * subtrees, which do not get reused, so every iteration re-executes
-  * the whole preceding chain — exponential). Keep the universe join.
+  * Structure history: the universe join per half-step is the r10
+  * measured optimum (dropping it to keep sparse frames hangs totals
+  * off BROADCAST subtrees, which are not reused — 59 s, exponential
+  * re-execution; keep the universe join). The r10/r11 A/Bs also kept
+  * the loop FULLY LAZY (eager cuts then measured 8.2 s vs 6.8 s), but
+  * that verdict predated LoopTuning's loop-sized shuffles + codegen
+  * gating AND under-weighed the driver side: the lazy unrolled tree
+  * doubles twice per iteration (~4^iterations Catalyst nodes), costing
+  * ~5.6 s of per-evaluation analysis+optimization at 3 iterations
+  * (ProfileBench r14). With loop conf applied, per-half-step eager
+  * cuts of the narrow (id, score) frames measure 6.7 → 3.0 s on q284
+  * (min-of-3, r14) with bit-identical integers. See scoresFp.
   *
   * Nodes with no in-edges (or no out-edges) get authority (hub) 0 via
   * the left join; isolated nodes survive with both scores 0.
@@ -50,32 +52,48 @@ object Hits {
     * directed `edges` (first two columns = src, dst).
     *
     * @param durableCheckpoints cut each half-step with reliable
-    *                `checkpoint()` (requires `setCheckpointDir`). The
-    *                DEFAULT loop is deliberately fully lazy (the r11
-    *                A/B below: any eager per-half-step cut measured
-    *                7.6 → 14.8 s on q284 because checkpoint boundaries
-    *                defeat Catalyst's column pruning), but lazy means
-    *                the whole 2·iterations-join chain recomputes from
-    *                the scan on task retry — on a cluster with real
-    *                executor churn the durable cut bounds a loss to
-    *                one half-step. Cost-only lever: the integer
-    *                fixed-point scores are bit-identical either way
-    *                (DurableCheckpointParitySpec).
+    *                `checkpoint()` (requires `setCheckpointDir`)
+    *                instead of the default eager `localCheckpoint()` —
+    *                on a cluster the durable cut bounds an executor
+    *                loss to one half-step. Cost-only lever: the
+    *                integer fixed-point scores are bit-identical
+    *                either way (DurableCheckpointParitySpec).
     * @return (<nodes' id column>, hub_fp, auth_fp) — ×1e9 longs.
     */
   def scoresFp(edges: DataFrame, nodes: DataFrame, iterations: Int = 3,
       durableCheckpoints: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       "fixed iteration count must stay oracle-unrollable")
+    // r14: each half-step is EAGERLY lineage-cut. The lazy unrolled
+    // form this replaces (kept through r13 on the strength of the
+    // r10/r11 A/Bs) doubles the logical tree TWICE per iteration
+    // (each half-step references the previous frame in both its raw
+    // sum and its L1 total), i.e. ~4^iterations plan nodes: at 3
+    // iterations the DRIVER paid ~4.1 s of eager per-operator analysis
+    // + ~1.5 s of optimization per q284 evaluation (ProfileBench r14)
+    // — the execution itself was fine (ReuseExchange dedupes), the
+    // Catalyst tree walk was the cost. Cutting each half-step keeps
+    // every plan constant-size; the cut frames are (id, score) pairs —
+    // 2 longs × |V| — so the "checkpoint forces every column" penalty
+    // behind the r11 14.8 s rejection does not apply (that A/B cut the
+    // FINAL wide joined frame, not the narrow per-half-step scores),
+    // and the per-cut job latency is bounded by LoopTuning (loop-sized
+    // shuffles, AQE off, codegen off below the row threshold).
+    // Measured q284 (min-of-3, quiet box): 6.7 s lazy → 3.0 s eager,
+    // identical integers (oracle-regated at sf0.01 + sf0.1).
     def cut(df: DataFrame): DataFrame =
-      if (durableCheckpoints) df.checkpoint() else df
+      if (durableCheckpoints) df.checkpoint() else df.localCheckpoint()
     val idCol = nodes.columns.head
     val Array(srcCol, dstCol, _*) = edges.columns
     val e = edges.select(col(srcCol).as("ht_src"), col(dstCol).as("ht_dst"))
     val universe = nodes.select(col(idCol).as("ht_id")).distinct()
     val nRow = universe.agg(count(lit(1)).as("ht_n"))
-    var hub = universe.crossJoin(broadcast(nRow))
-      .select(col("ht_id"), expr(s"$Scale div ht_n").as("ht_h"))
+    // the count sizes the loop conf AND materializes the caller's edge
+    // cache (knnShared-style frames are persisted upstream)
+    val edgeRows = e.count()
+    LoopTuning.withLoopConf(edges.sparkSession, edgeRows) {
+    var hub = cut(universe.crossJoin(broadcast(nRow))
+      .select(col("ht_id"), expr(s"$Scale div ht_n").as("ht_h")))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
       val aRaw = e
@@ -107,15 +125,14 @@ object Hits {
               " div ht_tot, CAST(0 AS BIGINT))")
             .as("ht_h")))
     }
-    // STAYS LAZY deliberately — round-11 A/B: materializing here (an
-    // eager localCheckpoint, with or without AQE) measured 7.6 → 14.8 s
-    // steady on q284, because the consumer's action lets Catalyst PRUNE
-    // through this projection (a count never computes the score
-    // columns' normalizations), and a checkpoint boundary forces every
-    // column to materialize. The r10 variant table in the scaladoc
-    // stands: lazy + universe joins is the optimum.
+    // The FINAL join stays lazy (outside the cuts): hub/auth are leaf
+    // frames, so the consumer's action plans a 3-node join — the r11
+    // "final frame must stay lazy" finding (its eager cut forced every
+    // normalization column and measured 7.6 → 14.8 s) is preserved;
+    // only the per-half-step score frames are cut.
     hub.join(auth, "ht_id")
       .select(col("ht_id").as(idCol), col("ht_h").as("hub_fp"),
         col("ht_a").as("auth_fp"))
+    }
   }
 }

@@ -90,12 +90,19 @@ object Isotonic {
       val wRun = Window.partitionBy("iso_k", "iso_runid")
         .orderBy("iso_rn")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // the any-merge convergence test rides the checkpoint job as an
+      // observed metric (LoopObs) — 3 jobs/round → 2
+      val obs = org.apache.spark.sql.Observation(s"iso_round_$round")
       val sel = cut(marked
         .withColumn("iso_rstart",
           min(when(col("iso_viol"), col("iso_rn"))).over(wRun))
         .withColumn("iso_merge", col("iso_viol") &&
-          (col("iso_rn") - col("iso_rstart")) % 2 === 0))
-      if (sel.filter(col("iso_merge")).limit(1).count() == 0L) done = true
+          (col("iso_rn") - col("iso_rstart")) % 2 === 0)
+        .observe(obs, coalesce(sum(when(col("iso_merge"), 1L)
+          .otherwise(0L)), lit(0L)).as("n")))
+      if (LoopObs.metric(obs) {
+        sel.filter(col("iso_merge")).limit(1).count()
+      } == 0L) done = true
       else blocks = cut(sel
         .withColumn("iso_nmerge",
           coalesce(lead("iso_merge", 1).over(w), lit(false)))

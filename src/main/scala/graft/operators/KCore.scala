@@ -63,17 +63,25 @@ object KCore {
     val Array(srcCol, dstCol, _*) = edges.columns
     var cur = cut(edges.select(col(srcCol).as("kc_a"), col(dstCol).as("kc_b")))
     var n = cur.count()
+    // loop-sized shuffles + AQE off for the peel rounds (LoopTuning,
+    // r14 — this was the one fixpoint operator still running its
+    // |E|-row rounds at session width with AQE barriers); the survivor
+    // count rides each round's checkpoint job as an observed metric
+    // (LoopObs) instead of a second count() action — 2 jobs → 1/round
+    LoopTuning.withLoopConf(edges.sparkSession, n) {
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
       round += 1
       val good = cur.groupBy("kc_a").agg(count(lit(1)).as("kc_d"))
         .filter(col("kc_d") >= k).select("kc_a")
+      val obs = org.apache.spark.sql.Observation(s"kcore_round_$round")
       val nxt = cut(cur
         .join(good, Seq("kc_a"), "left_semi")
         .join(good.withColumnRenamed("kc_a", "kc_b"), Seq("kc_b"), "left_semi")
-        .select("kc_a", "kc_b"))
-      val m = nxt.count()
+        .select("kc_a", "kc_b")
+        .observe(obs, count(lit(1)).as("n")))
+      val m = LoopObs.count(obs, nxt)
       converged = m == n
       cur = nxt
       n = m
@@ -82,6 +90,7 @@ object KCore {
       s"k-core peeling did not converge in $maxIter rounds " +
         "(peel depth exceeds maxIter — raise it)")
     cur.select(col("kc_a").as(srcCol), col("kc_b").as(dstCol))
+    }
   }
 
   /** Nodes of the k-core with their within-core degree — the per-node

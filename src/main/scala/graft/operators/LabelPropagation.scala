@@ -82,34 +82,39 @@ object LabelPropagation {
         .agg(max_by(col("lp_nbr_label"),
           struct(col("lp_n"), (-col("lp_nbr_label")).as("lp_neg")))
           .as("lp_vote"))
+      // the changed-vs-N−1 count rides the checkpoint job as an
+      // observed metric (LoopObs) — convergence detection is now FREE
+      // every round (r14; it previously ran as a separate aggregate
+      // action every 4th round, so a settled graph spun up to 3 extra
+      // vote rounds). The output law — least(label_N, label_N−1) —
+      // makes when-we-stop cost-only: stable labels repeat, so
+      // stopping the round convergence happens (or any round later)
+      // yields identical communities.
+      val obs = org.apache.spark.sql.Observation(s"lpa_round_$round")
       val next = cut(labeled.join(voted, Seq("lp_id"), "left")
         .select(col("lp_id"),
           coalesce(col("lp_vote"), col("lp_label")).as("lp_label"),
-          col("lp_label").as("lp_prev_label")))
-      // The stop checks are PURELY an early-exit optimization: the
-      // least(label_N, label_N−1) output law gives the identical
-      // result whether a convergence/2-cycle is caught the round it
-      // starts or any round later (stable labels repeat; a 2-cycle's
-      // least is phase-independent). So check only every 4th round —
-      // one aggregate action (changed-vs-N−1 and changed-vs-N−2 from
-      // the same job) instead of per-round actions that dominated the
-      // loop cost at bench SF.
-      if (round % 4 == 0 && round < maxIter) {
-        val chgCol = coalesce(sum(when(
-          col("lp_label") =!= col("lp_prev_label"), 1L).otherwise(0L)),
-          lit(0L))
-        val stats =
-          if (prev != null)
-            next.join(prev.select(col("lp_id"),
-                col("lp_label").as("lp_label_2ago")), "lp_id")
-              .agg(chgCol, coalesce(sum(when(
-                col("lp_label") =!= col("lp_label_2ago"), 1L)
-                .otherwise(0L)), lit(0L)))
-              .first()
-          else next.agg(chgCol, lit(-1L)).first()
-        if (stats.getLong(0) == 0L) settled = true
-        else if (prev != null && stats.getLong(1) == 0L) {
-          // 2-cycle (round N equals round N−2 everywhere):
+          col("lp_label").as("lp_prev_label"))
+        .observe(obs, coalesce(sum(when(
+            col("lp_label") =!= col("lp_prev_label"), 1L).otherwise(0L)),
+          lit(0L)).as("n")))
+      val changed = LoopObs.metric(obs) {
+        next.agg(coalesce(sum(when(
+            col("lp_label") =!= col("lp_prev_label"), 1L).otherwise(0L)),
+          lit(0L))).first().getLong(0)
+      }
+      if (changed == 0L) settled = true
+      // 2-cycle detection (round N equals round N−2 everywhere) still
+      // needs the N−2 join, so it keeps the every-4th-round cadence —
+      // phase-independent by the same output law.
+      else if (round % 4 == 0 && round < maxIter && prev != null) {
+        val twoAgo = next.join(prev.select(col("lp_id"),
+            col("lp_label").as("lp_label_2ago")), "lp_id")
+          .agg(coalesce(sum(when(
+            col("lp_label") =!= col("lp_label_2ago"), 1L)
+            .otherwise(0L)), lit(0L)))
+          .first().getLong(0)
+        if (twoAgo == 0L) {
           // deterministic break keeps the smaller alternating label
           labeled = cut(next.select(col("lp_id"),
             least(col("lp_label"), col("lp_prev_label")).as("lp_label")))

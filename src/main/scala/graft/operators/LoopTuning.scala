@@ -37,10 +37,35 @@ import org.apache.spark.sql.SparkSession
 private[graft] object LoopTuning {
 
   /** Per-session loop-nesting state: the stack of pre-entry shuffle
-    * widths (head = innermost parent) and the original AQE flag saved
-    * at the outermost entry. Mutations synchronize on [[active]]. */
-  private final class Nesting(var widths: List[String], val aqe: String)
+    * widths (head = innermost parent) and the original AQE + codegen
+    * flags saved at the outermost entry. Mutations synchronize on
+    * [[active]]. */
+  private final class Nesting(var widths: List[(String, String)],
+    val aqe: String)
   private val active = scala.collection.mutable.Map.empty[SparkSession, Nesting]
+
+  /** Row count below which a fixpoint loop's rounds run with whole-stage
+    * codegen OFF (measured r14, DebugLoopCost at sf0.1): every round's
+    * plan carries fresh literals/expr-ids, so its generated source never
+    * hits the codegen cache and each stage pays a ~10–50 ms Janino
+    * compile that interpreted execution of a few-thousand-row frame
+    * never earns back — the 8-query loop family measured 15–35% faster
+    * with codegen off (q335 3.09→2.02 s, q316 4.42→3.00 s build).
+    * Breakeven: compile ≈30 ms vs ≤2× per-row penalty on ~100 ns/row
+    * expressions ⇒ ~10⁵–10⁶ rows; 4M sits safely above it, so big
+    * production folds (q332's 36M-pref sf1 market) KEEP codegen while
+    * scheduler-latency-bound benches drop it. Same scale-adaptive
+    * discipline as widthFor — not a local[32] constant: the decision
+    * input is the loop's own row count. SPARK_GRAFT_LOOP_CODEGEN=on|off
+    * forces either side (the A/B kill-switch). */
+  private val CodegenRowThreshold = 4000000L
+
+  private def codegenFor(rows: Long): String =
+    sys.env.get("SPARK_GRAFT_LOOP_CODEGEN") match {
+      case Some("on") => "true"
+      case Some("off") => "false"
+      case _ => if (rows < CodegenRowThreshold) "false" else "true"
+    }
 
   /** The session's TRUE shuffle width — the saved pre-loop value when a
     * tuned loop is running, else the live conf value. Keeps width
@@ -48,7 +73,7 @@ private[graft] object LoopTuning {
     * inside a loop that already narrowed the conf. */
   private def trueSessionWidth(spark: SparkSession): Long =
     active.synchronized {
-      active.get(spark).flatMap(_.widths.lastOption).map(_.toLong)
+      active.get(spark).flatMap(_.widths.lastOption).map(_._1.toLong)
         .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toLong)
     }
 
@@ -69,18 +94,21 @@ private[graft] object LoopTuning {
   def updateWidth(spark: SparkSession, rows: Long): Unit = {
     if (tuningOff) return
     val inLoop = active.synchronized(active.contains(spark))
-    if (inLoop)
+    if (inLoop) {
       spark.conf.set("spark.sql.shuffle.partitions", widthFor(spark, rows))
+      // a working set that grew past the threshold re-earns codegen
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenFor(rows))
+    }
   }
 
-  // NOTE (round-11 A/B): an `evalWithoutAqe` variant for LAZY unrolled
-  // plans (Hits/PageRank) — materialize the final frame once with AQE
-  // off — was tried and REJECTED: a bare-conf probe suggested 9.0 →
-  // 5.5 s on q284, but the real bench runs the consumer's action over
-  // the LAZY plan, where Catalyst prunes the score-normalization
-  // columns a count never needs; an eager checkpoint forces every
-  // column and measured 7.6 → 14.8 s. Lazy operators must stay lazy —
-  // this helper is only for loops that ALREADY run per-round actions.
+  // NOTE (round-11 A/B, revised r14): an `evalWithoutAqe` variant for
+  // LAZY unrolled plans — materialize the FINAL frame once with AQE
+  // off — was tried and REJECTED: the final-frame eager checkpoint
+  // forces every column that a consumer's count would have pruned
+  // (7.6 → 14.8 s on q284). That finding stands for FINAL frames. In
+  // r14 Hits moved to eager per-half-step cuts of its NARROW score
+  // frames (no wide columns to force) under this loop conf, which is a
+  // different trade and measured 6.7 → 3.0 s — see Hits.scoresFp.
 
   /** Run `body` with loop-sized shuffles and AQE off; restore after.
     * `SPARK_GRAFT_LOOP_TUNING=off` bypasses (the A/B kill-switch). */
@@ -89,16 +117,19 @@ private[graft] object LoopTuning {
     active.synchronized {
       val n = active.getOrElseUpdate(spark,
         new Nesting(Nil, spark.conf.get("spark.sql.adaptive.enabled")))
-      n.widths ::= spark.conf.get("spark.sql.shuffle.partitions")
+      n.widths ::= (spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.codegen.wholeStage", "true"))
     }
     spark.conf.set("spark.sql.shuffle.partitions", widthFor(spark, rows))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", codegenFor(rows))
     try body
     finally active.synchronized {
       val n = active(spark)
-      val parentWidth = n.widths.head
+      val (parentWidth, parentCodegen) = n.widths.head
       n.widths = n.widths.tail
       spark.conf.set("spark.sql.shuffle.partitions", parentWidth)
+      spark.conf.set("spark.sql.codegen.wholeStage", parentCodegen)
       if (n.widths.isEmpty) {
         spark.conf.set("spark.sql.adaptive.enabled", n.aqe)
         active.remove(spark)

@@ -86,8 +86,14 @@ object Matching {
         math.min(v / 2L + 4L, Int.MaxValue.toLong).toInt
       }
     LoopTuning.withLoopConf(spark, edgeRows) {
-    var acc = spark.emptyDataset[(Long, Long, Long)]
-      .toDF("m_u", "m_v", "m_w")
+    // the matched-pair accumulator is APPEND-ONLY: keep the per-round
+    // cut frames and union once at the end instead of re-checkpointing
+    // the growing accumulator every round; the liveness test rides the
+    // alive-cut job as an observed metric (LoopObs) — 4 jobs/round → 2
+    // (r14 optimization; chosen rounds are disjoint so the final union
+    // is exact)
+    var accParts = List(spark.emptyDataset[(Long, Long, Long)]
+      .toDF("m_u", "m_v", "m_w"))
     var round = 0
     var done = edgeRows == 0L
     while (!done && round < cap) {
@@ -105,14 +111,16 @@ object Matching {
           "m_v")
         .filter(cand === col("bu") && cand === col("bv"))
         .select("m_u", "m_v", "m_w"))
-      acc = cut(acc.union(chosen))
+      accParts ::= chosen
       val sat = chosen.select(col("m_u").as("node"))
         .union(chosen.select(col("m_v").as("node")))
+      val obs = org.apache.spark.sql.Observation(s"match_round_$round")
       alive = cut(alive
         .join(sat.select(col("node").as("m_u")), Seq("m_u"), "left_anti")
         .join(sat.select(col("node").as("m_v")), Seq("m_v"), "left_anti")
-        .select("m_u", "m_v", "m_w"))
-      done = alive.isEmpty
+        .select("m_u", "m_v", "m_w")
+        .observe(obs, count(lit(1)).as("n")))
+      done = LoopObs.count(obs, alive) == 0L
     }
     // Cap exhausted with edges still alive: every alive edge has two
     // free endpoints, so the matching below is not MAXIMAL — refuse
@@ -122,7 +130,7 @@ object Matching {
         "edges still alive — the result would not be a maximal matching; " +
         "raise maxRounds (an ascending-weight path matches one edge per " +
         "round, so the longest such chain bounds the rounds needed)")
-    acc
+    accParts.reduce(_ union _)
     }
   }
 }

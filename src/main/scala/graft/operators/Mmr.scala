@@ -71,10 +71,16 @@ object Mmr {
     // loop conf, but ClusteredDistribution on q_id is satisfied at any
     // width, so the rounds stay exchange-free either way
     LoopTuning.withLoopConf(candidates.sparkSession, cand.count()) {
-    var selected = cand.limit(0)
+    // the selection set is APPEND-ONLY: cut each round's pick (one
+    // |groups|-row leaf) and keep `selected` as the union of the cut
+    // leaves, instead of re-checkpointing the whole growing set every
+    // round — per-round writes drop from O(step·groups) to O(groups)
+    // rows (the Bfs r14 discipline); same one action per round
+    var parts = List(cand.limit(0)
       .select(col("q_id"), col("vec_id"), lit(0L).as("step"),
-        lit(0L).as("score_fp"))
+        lit(0L).as("score_fp")))
     for (step <- 1 to k) {
+      val selected = parts.reduce(_ union _)
       // selected is ≤ step·|groups| rows — broadcast both probes, so a
       // round's only clustering requirements (the keyed max and the
       // top-1 window) are already satisfied by the q_id layout above
@@ -95,9 +101,9 @@ object Mmr {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), lit(step.toLong).as("step"),
           col("score_fp"))
-      selected = cut(selected.union(pick))
+      parts ::= cut(pick)
     }
-    selected
+    parts.reduce(_ union _)
     }
   }
 }

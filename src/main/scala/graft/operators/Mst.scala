@@ -102,8 +102,16 @@ object Mst {
         .union(e.select(col("mst_v").as("node")))
         .distinct()
         .select(col("node"), col("node").as("comp")))
-    var acc = spark.emptyDataset[(Long, Long, Long)]
-      .toDF("mst_w", "mst_u", "mst_v")
+    // r14 loop-action diet: (a) the forest accumulator is APPEND-ONLY —
+    // per-round picks are cut individually and unioned once at the end
+    // (each cut job writes only the round's edges, not the growing
+    // accumulator); (b) the old separate `ce.isEmpty` probe job is gone
+    // — the pick row count rides the accumulator's checkpoint job as an
+    // observed metric (LoopObs), and pick is empty ⟺ ce is empty
+    // (pick is a groupBy over ce); (c) each double-jump's convergence
+    // test is folded into the jump's checkpoint job the same way.
+    var accParts = List(spark.emptyDataset[(Long, Long, Long)]
+      .toDF("mst_w", "mst_u", "mst_v"))
     var round = 0
     var done = false
     while (!done && round < cap) {
@@ -116,27 +124,29 @@ object Mst {
         .join(comp.select(col("node").as("mst_v"), col("comp").as("cv")),
           "mst_v")
         .filter(col("cu") =!= col("cv"))
+      // Per-component minimum cross-edge under (w, u, v): one
+      // map-side-combining min of a struct on the component key.
+      val cand = struct(col("mst_w"), col("mst_u"), col("mst_v"),
+        col("ct"))
+      val pick = ce
+        .select(col("cu").as("cf"), col("cv").as("ct"),
+          col("mst_w"), col("mst_u"), col("mst_v"))
+        .union(ce.select(col("cv").as("cf"), col("cu").as("ct"),
+          col("mst_w"), col("mst_u"), col("mst_v")))
+        .groupBy("cf").agg(min(cand).as("pick"))
+        .select(col("cf"), col("pick.mst_w").as("mst_w"),
+          col("pick.mst_u").as("mst_u"), col("pick.mst_v").as("mst_v"),
+          col("pick.ct").as("ct"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (ce.isEmpty) {
+      val obs = org.apache.spark.sql.Observation(s"mst_round_$round")
+      val roundEdges = cut(pick
+        .observe(obs, count(lit(1)).as("n"))
+        .select("mst_w", "mst_u", "mst_v").distinct())
+      if (LoopObs.count(obs, pick) == 0L) {
         done = true
-        ce.unpersist(blocking = false)
+        pick.unpersist(blocking = false)
       } else {
-        // Per-component minimum cross-edge under (w, u, v): one
-        // map-side-combining min of a struct on the component key.
-        val cand = struct(col("mst_w"), col("mst_u"), col("mst_v"),
-          col("ct"))
-        val pick = ce
-          .select(col("cu").as("cf"), col("cv").as("ct"),
-            col("mst_w"), col("mst_u"), col("mst_v"))
-          .union(ce.select(col("cv").as("cf"), col("cu").as("ct"),
-            col("mst_w"), col("mst_u"), col("mst_v")))
-          .groupBy("cf").agg(min(cand).as("pick"))
-          .select(col("cf"), col("pick.mst_w").as("mst_w"),
-            col("pick.mst_u").as("mst_u"), col("pick.mst_v").as("mst_v"),
-            col("pick.ct").as("ct"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        acc = cut(acc.union(
-          pick.select("mst_w", "mst_u", "mst_v").distinct()))
+        accParts ::= roundEdges
         // Contract: root mutual pairs at the smaller component id,
         // then pointer-jump the selection forest to depth 1. Each
         // DOUBLE jump is checkpointed and convergence-checked ONCE
@@ -155,12 +165,24 @@ object Mst {
             when(col("ppc") === col("c") && col("c") < col("pc"),
               col("c")).otherwise(col("pc")).as("par")))
         var jumping = true
+        var jumpN = 0
         while (jumping) {
-          val j2 = cut(jump(jump(par)))
-          jumping = j2.as("n")
-            .join(par.withColumnRenamed("par", "old"), "c")
-            .filter(col("par") =!= col("old"))
-            .limit(1).count() > 0L
+          jumpN += 1
+          val jObs = org.apache.spark.sql.Observation(
+            s"mst_jump_${round}_$jumpN")
+          val j1 = jump(par)
+          // the convergence compare (j² vs j¹... conservatively vs the
+          // PRE-jump table, as before) rides the checkpoint job
+          val j2 = cut(jump(j1)
+            .join(par.select(col("c"), col("par").as("jold")), "c")
+            .observe(jObs, coalesce(sum(
+                when(col("par") =!= col("jold"), 1L).otherwise(0L)),
+              lit(0L)).as("n"))
+            .select(col("c"), col("par")))
+          jumping = LoopObs.metric(jObs) {
+            j2.as("n").join(par.withColumnRenamed("par", "old"), "c")
+              .filter(col("par") =!= col("old")).count()
+          } > 0L
           par = j2
         }
         comp = cut(comp
@@ -169,7 +191,6 @@ object Mst {
           .select(col("node"),
             coalesce(col("par"), col("comp")).as("comp")))
         pick.unpersist(blocking = false)
-        ce.unpersist(blocking = false)
       }
     }
     if (!done) {
@@ -194,7 +215,7 @@ object Mst {
       }
     }
     e.unpersist(blocking = false)
-    acc.select("mst_u", "mst_v", "mst_w")
+    accParts.reduce(_ union _).select("mst_u", "mst_v", "mst_w")
     }
   }
 }

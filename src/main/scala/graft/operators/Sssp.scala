@@ -92,12 +92,17 @@ object Sssp {
           (col("sp_cost") + col("sp_w")).as("sp_cost"))
         .groupBy("sp_seed", "sp_node")
         .agg(min("sp_cost").as("sp_cost"))
+      // convergence test folded into the checkpoint job (LoopObs): the
+      // improvement count is observed during materialization instead of
+      // re-counted by a second action
+      val obs = org.apache.spark.sql.Observation(s"sssp_round_$round")
       val improved = cut(tentative
         .join(dist.withColumnRenamed("sp_cost", "sp_old"),
           Seq("sp_seed", "sp_node"), "left")
         .filter(col("sp_old").isNull || col("sp_cost") < col("sp_old"))
-        .select("sp_seed", "sp_node", "sp_cost"))
-      settled = improved.count() == 0L
+        .select("sp_seed", "sp_node", "sp_cost")
+        .observe(obs, count(lit(1)).as("n")))
+      settled = LoopObs.count(obs, improved) == 0L
       if (!settled) {
         dist = cut(dist
           .join(improved.select("sp_seed", "sp_node"),

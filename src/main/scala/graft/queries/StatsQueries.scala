@@ -6003,12 +6003,17 @@ object StatsQueries {
   private def cardAuditFrame(s: SparkSession, dir: String,
       tblA: String, keyA: String, tblB: String, keyB: String,
       label: String): DataFrame = {
+    // the per-key count frames feed FIVE consumers each (MCV top-20,
+    // table totals, MCV totals, anti-join tails, exact join) — cut them
+    // to leaves once so the base-table scan+aggregate runs once, not
+    // once per scalar subframe (r14; at warehouse scale this is a ~4×
+    // scan reduction for the audit, guide §1.2 "don't recompute")
     val ca = t(s, dir, tblA).groupBy(col(keyA).as("v"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
     val cb = t(s, dir, tblB).groupBy(col(keyB).as("v"))
-      .agg(count(lit(1)).as("c2"))
-    val ma = ca.orderBy(col("c").desc, col("v")).limit(20)
-    val mb = cb.orderBy(col("c2").desc, col("v")).limit(20)
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val ma = ca.orderBy(col("c").desc, col("v")).limit(20).localCheckpoint()
+    val mb = cb.orderBy(col("c2").desc, col("v")).limit(20).localCheckpoint()
     val ta = ca.agg(sum("c").cast("long").as("rows_a"),
       count(lit(1)).as("ndv_a"))
     val tb = cb.agg(sum("c2").cast("long").as("rows_b"),
